@@ -49,6 +49,7 @@ class DynamicEulerBernoulliBeam:
         use_consistent_nonlinear: bool = False,
     ):
         self.force_params = force_params or ForceParams()
+        self.use_consistent_nonlinear = use_consistent_nonlinear
 
         if isinstance(filename, pd.DataFrame):
             self.params = filename.copy()

@@ -1,0 +1,224 @@
+"""High-level on-device simulation driver.
+
+This is the TPU replacement for the reference's SciPy workload harness
+(``example_utilities.py:116-170``): one call builds a fully-compiled rollout
+program for a :class:`DynamicEulerBernoulliBeam` — explicit (RK4 / adaptive
+Dopri5) or implicit (Newmark-beta with block-tridiagonal Newton) — and runs
+it start to finish on device. Batched rollouts are ``jax.vmap`` over the same
+program (``parallel/rollout.py``).
+
+Solver selection guidance:
+
+* ``dopri5`` — accuracy-controlled explicit; parity runs vs solve_ivp.
+* ``rk4`` — cheapest per step; needs dt below the beam's stability limit
+  (the highest FEM eigenfrequency scales ~ 1/h^2 — fine for few elements).
+* ``newmark`` — unconditionally stable implicit; the throughput path for
+  fine meshes where explicit dt would be absurd (SURVEY §7 step 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import assembly
+from .config import BCInfo
+from ..ops import banded, integrators
+
+
+@dataclasses.dataclass
+class SimulationResult:
+    """Rollout output: times, stacked states ``[q; v]``, optional stats.
+
+    ``ys`` has shape ``(len(ts), 2*n_free)`` (or with leading batch axes),
+    matching the layout of ``solve_ivp``'s ``sol.y.T``.
+    """
+
+    ts: jax.Array
+    ys: jax.Array
+    stats: Optional[integrators.AdaptiveStats] = None
+
+    @property
+    def y(self) -> jax.Array:
+        """Transposed view matching ``scipy`` convention (state, time)."""
+        return jnp.moveaxis(self.ys, 0, -1)
+
+
+def _free_mask_nodes(bc_info: BCInfo) -> np.ndarray:
+    return bc_info.free_mask.reshape(bc_info.n_nodes, 3)
+
+
+def make_newmark_operator(
+    model,
+    forces_func: Optional[Callable] = None,
+    dt: float = None,
+    beta: float = 0.25,
+    use_modified_newton: bool = True,
+) -> integrators.NewmarkOperator:
+    """Build the implicit-stepper operators for a dynamic beam model.
+
+    All operators act on *reduced* coordinates; internally the Jacobian
+    solves run in masked full coordinates where the system stays
+    block-tridiagonal (``ops/banded.py``). For purely linear beams the
+    effective Jacobian ``M + beta dt^2 K`` is factored once at build time;
+    nonlinear beams refactor at each Newton linearization point (or reuse
+    the zero-state factor when ``use_modified_newton``).
+    """
+    arrays = model.beam_model.arrays
+    bc_info = model.beam_model.bc_info
+    free = bc_info.free_dofs
+    n_full = bc_info.n_dofs_full
+    n_nodes = bc_info.n_nodes
+    mask_nodes = _free_mask_nodes(bc_info)
+    use_consistent = getattr(model, "use_consistent_nonlinear", False)
+
+    if forces_func is None:
+        forces_func = model.force_registry.create_aggregated_function()
+
+    m_diag, m_off = assembly.mass_block_tridiagonal(arrays)
+    m_lower = jnp.swapaxes(m_off, -1, -2)
+    mm_diag, mm_lower, mm_upper = banded.btd_apply_bc(
+        m_diag, m_lower, m_off, jnp.asarray(mask_nodes)
+    )
+
+    def pad(r):
+        return assembly.pad_to_full(r, free, n_full)
+
+    def red(v):
+        return assembly.reduce_from_full(v, free)
+
+    def mass_apply(a_red):
+        a_nodes = pad(a_red).reshape(*a_red.shape[:-1], n_nodes, 3)
+        out = banded.btd_matvec(mm_diag, mm_lower, mm_upper, a_nodes)
+        return red(out.reshape(*a_red.shape[:-1], n_full))
+
+    internal_force = assembly.make_reduced_internal_force(
+        arrays, free, n_full, use_consistent=use_consistent
+    )
+
+    all_linear = not bool(np.any(np.asarray(arrays.nonlinear_mask)))
+
+    def factors_at(q_full, c):
+        kd, kl, ku = assembly.tangent_block_tridiagonal(
+            arrays, q_full, use_consistent=use_consistent
+        )
+        jd = mm_diag + c * kd
+        jl = mm_lower + c * kl
+        ju = mm_upper + c * ku
+        jd, jl, ju = banded.btd_apply_bc(jd, jl, ju, jnp.asarray(mask_nodes))
+        return banded.btd_factor(jd, jl, ju)
+
+    prefactored = {}
+    if all_linear or use_modified_newton:
+        q_zero = jnp.zeros(n_full, dtype=m_diag.dtype)
+        cs = [0.0]
+        if dt is not None:
+            cs.append(beta * dt * dt)
+        for c in cs:
+            # Computed eagerly once; closed over as device constants.
+            prefactored[float(c)] = jax.tree_util.tree_map(
+                jnp.asarray, factors_at(q_zero, c)
+            )
+
+    def solve(q_red, c):
+        c_key = float(c)
+
+        def do_solve(r_red):
+            if c_key in prefactored:
+                factors = prefactored[c_key]
+            else:
+                factors = factors_at(pad(q_red), c)
+            r_nodes = pad(r_red).reshape(*r_red.shape[:-1], n_nodes, 3)
+            x = banded.btd_solve(factors, r_nodes)
+            return red(x.reshape(*r_red.shape[:-1], n_full))
+
+        return do_solve
+
+    return integrators.NewmarkOperator(
+        mass_apply=mass_apply,
+        internal_force=internal_force,
+        external_force=forces_func,
+        solve=solve,
+    )
+
+
+def simulate(
+    model,
+    x0,
+    t_final: float,
+    dt: float,
+    method: str = "dopri5",
+    u=None,
+    forces_func: Optional[Callable] = None,
+    rtol: float = 1e-8,
+    atol: float = 1e-10,
+    substeps: int = 1,
+    n_newton: int = 2,
+    jit: bool = True,
+) -> SimulationResult:
+    """Run a complete rollout on device.
+
+    Args:
+        model: a :class:`DynamicEulerBernoulliBeam`.
+        x0: initial reduced state ``[q; v]`` (leading batch axes allowed for
+            ``rk4``/``newmark``; vmap :func:`simulate` for adaptive batches).
+        t_final, dt: horizon and output-frame spacing (the reference's 1 s /
+            1 ms grid, ``example_utilities.py:20-21``).
+        method: ``rk4`` | ``dopri5`` | ``newmark``.
+        u: constant input-force vector over position DOFs, or traceable
+           callable ``t -> force`` (the tip-impulse workload shape).
+        substeps: inner steps per output frame (rk4/newmark).
+    """
+    x0 = jnp.asarray(x0)
+    n_steps = int(round(t_final / dt))
+    rhs = model.build_rhs(forces_func)
+
+    if method == "rk4":
+
+        def run(x0):
+            ts, xs = integrators.integrate_fixed(
+                rhs, x0, 0.0, dt, n_steps, u=u, substeps=substeps
+            )
+            return ts, xs, None
+
+    elif method == "dopri5":
+        t_eval = jnp.arange(n_steps + 1) * dt
+
+        def run(x0):
+            xs, stats = integrators.integrate_adaptive(
+                rhs, x0, t_eval, u=u, rtol=rtol, atol=atol, dt0=dt / 10.0
+            )
+            return t_eval, xs, stats
+
+    elif method == "newmark":
+        op = make_newmark_operator(
+            model, forces_func=forces_func, dt=dt / substeps
+        )
+        n = x0.shape[-1] // 2
+
+        def run(x0):
+            q0, v0 = x0[..., :n], x0[..., n:]
+            ts, qs, vs = integrators.integrate_newmark(
+                op,
+                q0,
+                v0,
+                0.0,
+                dt,
+                n_steps,
+                u=u,
+                n_newton=n_newton,
+                substeps=substeps,
+            )
+            return ts, jnp.concatenate([qs, vs], axis=-1), None
+
+    else:
+        raise ValueError(f"Unknown method: {method}")
+
+    if jit:
+        run = jax.jit(run)
+    ts, ys, stats = run(x0)
+    return SimulationResult(ts=ts, ys=ys, stats=stats)

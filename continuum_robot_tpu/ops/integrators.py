@@ -1,0 +1,325 @@
+"""On-device time integration: lax.scan steppers replacing scipy.solve_ivp.
+
+The reference integrates through ``scipy.integrate.solve_ivp`` (LSODA/RK45),
+re-entering Python for every RHS evaluation (``example_utilities.py:153-159``,
+SURVEY §3.2). Here the entire rollout — thousands of steps — is ONE compiled
+XLA program:
+
+* :func:`rk4` / :func:`integrate_fixed` — classic explicit fixed-step scan.
+* :func:`dopri5` / :func:`integrate_adaptive` — Dormand-Prince 5(4) with an
+  embedded error estimate and PI step-size control inside ``lax.while_loop``
+  (the explicit adaptive path matching solve_ivp's RK45 accuracy contract).
+* :func:`newmark_step` / :func:`integrate_newmark` — implicit Newmark-beta
+  (average acceleration) with fixed-iteration Newton on the acceleration,
+  using block-tridiagonal tangent solves. This is the stiff-dynamics engine
+  replacing LSODA's implicit mode (SURVEY §7 step 5 "hard parts"): explicit
+  steppers on a 1k-element beam are stability-limited to ~1e-8 s while
+  Newmark is unconditionally stable, so implicit stepping is what makes the
+  100x-per-step throughput target reachable.
+
+Everything broadcasts over leading batch axes and composes with ``jax.vmap``
+and ``shard_map`` — 4096-env rollouts use exactly the same code.
+
+The callable contract is ``rhs(t, x, u) -> dx/dt`` (``models/dynamics.py``);
+``u`` may be ``None``, an array, or a traceable callable of ``t``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Explicit fixed-step: RK4
+# ---------------------------------------------------------------------------
+
+
+def rk4_step(rhs: Callable, t, x, dt, u=None):
+    """One classic Runge-Kutta 4 step."""
+    k1 = rhs(t, x, u)
+    k2 = rhs(t + 0.5 * dt, x + 0.5 * dt * k1, u)
+    k3 = rhs(t + 0.5 * dt, x + 0.5 * dt * k2, u)
+    k4 = rhs(t + dt, x + dt * k3, u)
+    return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+def integrate_fixed(
+    rhs: Callable,
+    x0: jax.Array,
+    t0: float,
+    dt: float,
+    n_steps: int,
+    u=None,
+    substeps: int = 1,
+    step_fn: Callable = rk4_step,
+):
+    """Fixed-step rollout: ``n_steps`` saved frames, ``substeps`` inner steps.
+
+    Returns ``(ts (n_steps+1,), xs (n_steps+1, ...))`` including the initial
+    state — the shape contract of ``solve_ivp(t_eval=...)`` outputs.
+    """
+    h = dt / substeps
+
+    def outer(x, i):
+        t_frame = t0 + i * dt
+
+        def inner(x, j):
+            t = t_frame + j * h
+            return step_fn(rhs, t, x, h, u), None
+
+        x, _ = jax.lax.scan(inner, x, jnp.arange(substeps))
+        return x, x
+
+    _, xs = jax.lax.scan(outer, x0, jnp.arange(n_steps))
+    ts = t0 + dt * jnp.arange(n_steps + 1)
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    return ts, xs
+
+
+# ---------------------------------------------------------------------------
+# Explicit adaptive: Dormand-Prince 5(4)
+# ---------------------------------------------------------------------------
+
+# Butcher tableau (Dormand & Prince 1980), float64 literals.
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = np.zeros((7, 7))
+_DP_A[1, 0] = 1 / 5
+_DP_A[2, :2] = [3 / 40, 9 / 40]
+_DP_A[3, :3] = [44 / 45, -56 / 15, 32 / 9]
+_DP_A[4, :4] = [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]
+_DP_A[5, :5] = [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]
+_DP_A[6, :6] = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]
+_DP_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DP_B4 = np.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def dopri5_step(rhs: Callable, t, x, dt, u=None):
+    """One Dopri5 step; returns ``(x5, err_vec)`` (5th-order sol + estimate)."""
+    dtype = x.dtype
+    ks = []
+    for i in range(7):
+        xi = x
+        for j in range(i):
+            a = _DP_A[i, j]
+            if a != 0.0:
+                xi = xi + dt * jnp.asarray(a, dtype) * ks[j]
+        ks.append(rhs(t + _DP_C[i] * dt, xi, u))
+    x5 = x
+    err = jnp.zeros_like(x)
+    for i in range(7):
+        if _DP_B5[i] != 0.0:
+            x5 = x5 + dt * jnp.asarray(_DP_B5[i], dtype) * ks[i]
+        d = _DP_B5[i] - _DP_B4[i]
+        if d != 0.0:
+            err = err + dt * jnp.asarray(d, dtype) * ks[i]
+    return x5, err
+
+
+class AdaptiveStats(NamedTuple):
+    """Solver counters — the nfev/naccept/nreject parity meter (SURVEY §5)."""
+
+    n_steps: jax.Array
+    n_accepted: jax.Array
+    n_rejected: jax.Array
+
+
+def integrate_adaptive(
+    rhs: Callable,
+    x0: jax.Array,
+    t_eval: jax.Array,
+    u=None,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    dt0: float = 1e-4,
+    max_steps_per_interval: int = 10_000,
+    safety: float = 0.9,
+):
+    """Adaptive Dopri5 hitting every ``t_eval`` point exactly.
+
+    Outer ``lax.scan`` over output intervals; inner ``lax.while_loop``
+    stepping with PI-controlled step size clamped to land on the interval
+    end. Error norm is the standard hairer RMS over ``atol + rtol*|x|``.
+
+    Returns ``(xs (len(t_eval), ...), AdaptiveStats)`` with ``xs[0] = x0``.
+    """
+    t_eval = jnp.asarray(t_eval)
+    dtype = x0.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def err_norm(err, x_new, x_old):
+        scale = atol + rtol * jnp.maximum(jnp.abs(x_old), jnp.abs(x_new))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def advance_interval(carry, t_pair):
+        x, dt_est, stats = carry
+        t_start, t_end = t_pair[0], t_pair[1]
+
+        def cond(state):
+            t, x, dt_est, n, acc, rej = state
+            return jnp.logical_and(t < t_end - 1e-14, n < max_steps_per_interval)
+
+        def body(state):
+            t, x, dt_est, n, acc, rej = state
+            dt = jnp.minimum(dt_est, t_end - t)
+            x_new, err = dopri5_step(rhs, t, x, dt, u)
+            e = err_norm(err, x_new, x)
+            accept = e <= 1.0
+            # PI controller (order 5): factor in [0.2, 5].
+            factor = jnp.clip(
+                safety * jnp.power(jnp.maximum(e, 1e-16), -0.2), 0.2, 5.0
+            )
+            dt_next = dt * factor
+            t = jnp.where(accept, t + dt, t)
+            x = jnp.where(accept, x_new, x)
+            return (
+                t,
+                x,
+                dt_next,
+                n + 1,
+                acc + accept.astype(jnp.int32),
+                rej + (1 - accept.astype(jnp.int32)),
+            )
+
+        t_fin, x_fin, dt_fin, n, acc, rej = jax.lax.while_loop(
+            cond, body, (t_start, x, dt_est, 0, 0, 0)
+        )
+        new_stats = AdaptiveStats(
+            stats.n_steps + n, stats.n_accepted + acc, stats.n_rejected + rej
+        )
+        return (x_fin, dt_fin, new_stats), x_fin
+
+    stats0 = AdaptiveStats(
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)
+    )
+    pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=-1)
+    (xf, _, stats), xs = jax.lax.scan(
+        advance_interval, (x0, jnp.asarray(dt0, dtype), stats0), pairs
+    )
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    return xs, stats
+
+
+# ---------------------------------------------------------------------------
+# Implicit: Newmark-beta with Newton iterations (stiff structural dynamics)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NewmarkOperator:
+    """Problem operators for the implicit stepper (all pure callables).
+
+    * ``mass_apply(q_like) -> M @ q_like``
+    * ``internal_force(q) -> k(q)`` (reduced coordinates)
+    * ``external_force(x, t) -> f`` over position DOFs (may be None)
+    * ``solve(q, c) -> callable r -> (M + c*K_tan(q))^{-1} r`` — builds the
+      effective-Jacobian solver at the Newton linearization point.
+    """
+
+    mass_apply: Callable
+    internal_force: Callable
+    external_force: Optional[Callable]
+    solve: Callable
+
+
+def newmark_step(
+    op: NewmarkOperator,
+    t,
+    q,
+    v,
+    a,
+    dt,
+    u=None,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    n_newton: int = 2,
+):
+    """One Newmark-beta step (average acceleration by default).
+
+    Unknown is the end-of-step acceleration ``a1``; Newton iterates
+
+        r(a1) = M a1 + k(q1(a1)) - F(x1, t1) - u
+        J     = M + beta dt^2 K_tan(q1)   (velocity-dependence of F treated
+                                           as lagged — standard for light
+                                           damping like quadratic drag)
+
+    with a fixed ``n_newton`` iteration count (jit-friendly; 2 suffices for
+    the beam's mildly nonlinear forces at practical dt).
+    """
+    t1 = t + dt
+    q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
+    v_pred = v + (1.0 - gamma) * dt * a
+
+    def newton_body(i, a1):
+        q1 = q_pred + beta * dt * dt * a1
+        v1 = v_pred + gamma * dt * a1
+        f_ext = 0.0
+        if op.external_force is not None:
+            x1 = jnp.concatenate([q1, v1], axis=-1)
+            f_ext = op.external_force(x1, t1)
+        r = op.mass_apply(a1) + op.internal_force(q1) - f_ext
+        if u is not None:
+            r = r - (u(t1) if callable(u) else u)
+        da = op.solve(q1, beta * dt * dt)(r)
+        return a1 - da
+
+    a1 = jax.lax.fori_loop(0, n_newton, newton_body, a)
+    q1 = q_pred + beta * dt * dt * a1
+    v1 = v_pred + gamma * dt * a1
+    return q1, v1, a1
+
+
+def integrate_newmark(
+    op: NewmarkOperator,
+    q0,
+    v0,
+    t0: float,
+    dt: float,
+    n_steps: int,
+    u=None,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    n_newton: int = 2,
+    substeps: int = 1,
+):
+    """Newmark rollout via lax.scan; returns ``(ts, qs, vs)`` incl. initials.
+
+    The initial acceleration solves ``M a0 = F(x0, t0) + u - k(q0)`` using the
+    operator's Jacobian solver with ``c=0`` (i.e. plain mass solve).
+    """
+    f0 = -op.internal_force(q0)
+    if op.external_force is not None:
+        f0 = f0 + op.external_force(jnp.concatenate([q0, v0], axis=-1), t0)
+    if u is not None:
+        f0 = f0 + (u(t0) if callable(u) else u)
+    a0 = op.solve(q0, 0.0)(f0)
+
+    h = dt / substeps
+
+    def outer(carry, i):
+        q, v, a = carry
+        t_frame = t0 + i * dt
+
+        def inner(carry, j):
+            q, v, a = carry
+            t = t_frame + j * h
+            q, v, a = newmark_step(
+                op, t, q, v, a, h, u, beta=beta, gamma=gamma, n_newton=n_newton
+            )
+            return (q, v, a), None
+
+        (q, v, a), _ = jax.lax.scan(inner, (q, v, a), jnp.arange(substeps))
+        return (q, v, a), (q, v)
+
+    (_, _, _), (qs, vs) = jax.lax.scan(outer, (q0, v0, a0), jnp.arange(n_steps))
+    ts = t0 + dt * jnp.arange(n_steps + 1)
+    qs = jnp.concatenate([q0[None], qs], axis=0)
+    vs = jnp.concatenate([v0[None], vs], axis=0)
+    return ts, qs, vs
