@@ -9,6 +9,7 @@ device meshes, and on-device control design.
 Public surface parity: reference ``src/continuum_robot/__init__.py:1-9``.
 """
 
+from .control import FullStateLinear, LinearQuadraticRegulator
 from .models import (
     BoundaryConditionType,
     DynamicEulerBernoulliBeam,
@@ -29,9 +30,11 @@ __all__ = [
     "ElementType",
     "EulerBernoulliBeam",
     "ForceParams",
+    "FullStateLinear",
     "GravityForce",
     "IBeam",
     "ISegment",
+    "LinearQuadraticRegulator",
     "Properties",
     "__version__",
 ]

@@ -1,0 +1,139 @@
+"""LQR control design with the on-device CARE solver.
+
+Parity surface: reference ``control/linear_quadratic_regulator.py:5-200`` —
+same constructor/validation contracts (square/PSD/PD checks with the same
+tolerances), ``get_A``/``get_B`` state-space construction from beam K/M,
+cached gain computation, and the closed-loop stability check that raises on
+instability. The Riccati solve itself runs on device
+(``ops/care.py``; the reference calls out to slycot via ``control.lqr``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import care
+
+
+class LinearQuadraticRegulator:
+    """LQR for linear beam systems built from stiffness/mass matrices."""
+
+    def __init__(self, K_beam, M_beam, Q, R):
+        K_beam = np.asarray(K_beam)
+        M_beam = np.asarray(M_beam)
+        Q = np.asarray(Q)
+        R = np.asarray(R)
+        self._validate_beam_matrices(K_beam, M_beam)
+        self._validate_weighting_matrices(Q, R)
+
+        self.K_beam = K_beam
+        self.M_beam = M_beam
+        self.Q = Q
+        self.R = R
+        self._A = None
+        self._B = None
+        self._K = None
+        self._S = None
+        self._E = None
+
+    def _validate_beam_matrices(self, K_beam, M_beam) -> None:
+        if K_beam.ndim != 2 or K_beam.shape[0] != K_beam.shape[1]:
+            raise ValueError("Stiffness matrix must be square")
+        if M_beam.ndim != 2 or M_beam.shape[0] != M_beam.shape[1]:
+            raise ValueError("Mass matrix must be square")
+        if K_beam.shape != M_beam.shape:
+            raise ValueError(
+                "Stiffness and mass matrices must have the same dimensions"
+            )
+
+    def _validate_weighting_matrices(self, Q, R) -> None:
+        if Q.ndim != 2 or Q.shape[0] != Q.shape[1]:
+            raise ValueError("Q matrix must be square")
+        if R.ndim != 2 or R.shape[0] != R.shape[1]:
+            raise ValueError("R matrix must be square")
+        try:
+            eigenvals_Q = np.linalg.eigvals(Q)
+            if np.any(eigenvals_Q < -1e-10):
+                raise ValueError("Q matrix must be positive semidefinite")
+        except np.linalg.LinAlgError:
+            raise ValueError("Q matrix must be positive semidefinite")
+        try:
+            eigenvals_R = np.linalg.eigvals(R)
+            if np.any(eigenvals_R <= 1e-10):
+                raise ValueError("R matrix must be positive definite")
+        except np.linalg.LinAlgError:
+            raise ValueError("R matrix must be positive definite")
+
+    def get_A(self) -> np.ndarray:
+        """``A = [[0, I], [-M^-1 K, 0]]`` (parity: ``:84-117``)."""
+        if self._A is not None:
+            return self._A
+        M, K = self.M_beam, self.K_beam
+        n = M.shape[0]
+        A = np.zeros((2 * n, 2 * n))
+        A[:n, n:] = np.eye(n)
+        try:
+            M_inv = np.linalg.inv(M)
+            A[n:, :n] = -M_inv @ K
+        except np.linalg.LinAlgError:
+            raise ValueError("Mass matrix is singular and cannot be inverted")
+        self._A = A
+        return A
+
+    def get_B(self) -> np.ndarray:
+        """``B = [0; M^-1]`` — full actuation (parity: ``:119-146``)."""
+        if self._B is not None:
+            return self._B
+        M = self.M_beam
+        n = M.shape[0]
+        B = np.zeros((2 * n, n))
+        try:
+            M_inv = np.linalg.inv(M)
+            B[n:, :] = M_inv
+        except np.linalg.LinAlgError:
+            raise ValueError("Mass matrix is singular and cannot be inverted")
+        self._B = B
+        return B
+
+    def compute_gain_matrix(self) -> np.ndarray:
+        """Optimal gain via the on-device CARE solve; validates stability.
+
+        Raises ``ValueError`` if the solver fails or the closed loop has any
+        eigenvalue with nonnegative real part (parity: ``:148-191``). The
+        eigenvalue check runs on the host (nonsymmetric eig is not a TPU op)
+        — it is a design-time assertion, not a hot-path computation.
+        """
+        if self._K is not None:
+            return self._K
+
+        A = self.get_A()
+        B = self.get_B()
+
+        if self.Q.shape[0] != A.shape[0]:
+            raise ValueError(
+                f"Q matrix dimension {self.Q.shape[0]} must match state dimension {A.shape[0]}"
+            )
+        if self.R.shape[0] != B.shape[1]:
+            raise ValueError(
+                f"R matrix dimension {self.R.shape[0]} must match input dimension {B.shape[1]}"
+            )
+
+        try:
+            K, P, result = care.lqr_gain(A, B, self.Q, self.R)
+            K = np.asarray(K)
+            P = np.asarray(P)
+        except Exception as e:
+            raise ValueError(f"Failed to solve LQR problem: {e}")
+        if not np.all(np.isfinite(K)):
+            raise ValueError("Failed to solve LQR problem: non-finite gain")
+
+        A_cl = A - B @ K
+        eigenvals = np.linalg.eigvals(A_cl)
+        if np.any(np.real(eigenvals) >= 0):
+            raise ValueError("LQR solution results in unstable closed-loop system")
+
+        self._K, self._S, self._E = K, P, eigenvals
+        return self._K
+
+    def get_K(self) -> np.ndarray:
+        return self.compute_gain_matrix()

@@ -1,0 +1,248 @@
+"""Control tests: stiffness-matrix extraction, LQR validation, on-device CARE.
+
+Mirrors the reference suite ``tests/test_control.py:62-468`` (input
+validation negative cases, A/B structure, gain shape, closed-loop stability,
+caching, LQR+FullStateLinear integration) plus golden checks of the CARE
+solver against scipy (``tests/goldens/lqr.npz``).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from continuum_robot_tpu.control import FullStateLinear, LinearQuadraticRegulator
+from continuum_robot_tpu.models import (
+    BoundaryConditionType,
+    DynamicEulerBernoulliBeam,
+    EulerBernoulliBeam,
+)
+from continuum_robot_tpu.models.simulate import simulate
+from continuum_robot_tpu.ops.care import care_residual, solve_care
+from tests import helpers
+from tests.test_unified_beam_system import make_df
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "lqr.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def beam_matrices(golden):
+    return golden["K_beam"], golden["M_beam"]
+
+
+class TestStiffnessMatrixExtraction:
+    def test_linear_success(self):
+        beam = EulerBernoulliBeam(make_df(["linear"] * 4))
+        K = beam.get_stiffness_matrix()
+        assert K.shape == (15, 15)
+
+    def test_mixed_beam_fails(self):
+        beam = EulerBernoulliBeam(make_df(["linear", "nonlinear"]))
+        with pytest.raises(ValueError, match="nonlinear"):
+            beam.get_stiffness_matrix()
+
+    def test_bc_reduced(self):
+        beam = EulerBernoulliBeam(make_df(["linear"] * 4))
+        beam.apply_boundary_conditions({0: BoundaryConditionType.FIXED})
+        assert beam.get_stiffness_matrix().shape == (12, 12)
+
+
+class TestLQRValidation:
+    def test_non_square_stiffness(self, beam_matrices):
+        K, M = beam_matrices
+        with pytest.raises(ValueError, match="square"):
+            LinearQuadraticRegulator(K[:, :3], M, np.eye(2 * K.shape[0]), np.eye(K.shape[0]))
+
+    def test_mismatched_km(self, beam_matrices):
+        K, M = beam_matrices
+        with pytest.raises(ValueError, match="same dimensions"):
+            LinearQuadraticRegulator(K[:3, :3], M, np.eye(6), np.eye(3))
+
+    def test_q_not_square(self, beam_matrices):
+        K, M = beam_matrices
+        n = K.shape[0]
+        with pytest.raises(ValueError, match="Q matrix must be square"):
+            LinearQuadraticRegulator(K, M, np.ones((2 * n, 3)), np.eye(n))
+
+    def test_q_not_psd(self, beam_matrices):
+        K, M = beam_matrices
+        n = K.shape[0]
+        with pytest.raises(ValueError, match="positive semidefinite"):
+            LinearQuadraticRegulator(K, M, -np.eye(2 * n), np.eye(n))
+
+    def test_r_not_pd(self, beam_matrices):
+        K, M = beam_matrices
+        n = K.shape[0]
+        with pytest.raises(ValueError, match="positive definite"):
+            LinearQuadraticRegulator(K, M, np.eye(2 * n), np.zeros((n, n)))
+
+    def test_q_dimension_mismatch(self, beam_matrices):
+        K, M = beam_matrices
+        n = K.shape[0]
+        lqr = LinearQuadraticRegulator(K, M, np.eye(n), np.eye(n))  # Q too small
+        with pytest.raises(ValueError, match="must match state dimension"):
+            lqr.compute_gain_matrix()
+
+    def test_r_dimension_mismatch(self, beam_matrices):
+        K, M = beam_matrices
+        n = K.shape[0]
+        lqr = LinearQuadraticRegulator(K, M, np.eye(2 * n), np.eye(n + 1))
+        with pytest.raises(ValueError, match="must match input dimension"):
+            lqr.compute_gain_matrix()
+
+
+class TestABStructure:
+    def test_structure(self, beam_matrices):
+        K, M = beam_matrices
+        n = K.shape[0]
+        lqr = LinearQuadraticRegulator(K, M, np.eye(2 * n), np.eye(n))
+        A, B = lqr.get_A(), lqr.get_B()
+        assert A.shape == (2 * n, 2 * n) and B.shape == (2 * n, n)
+        np.testing.assert_allclose(A[:n, n:], np.eye(n))
+        np.testing.assert_allclose(A[:n, :n], 0.0)
+        np.testing.assert_allclose(A[n:, n:], 0.0)
+        np.testing.assert_allclose(A[n:, :n], -np.linalg.solve(M, K), rtol=1e-9)
+        np.testing.assert_allclose(B[:n, :], 0.0)
+        np.testing.assert_allclose(B[n:, :], np.linalg.inv(M), rtol=1e-9)
+
+
+class TestCareSolver:
+    def test_random_systems_vs_scipy(self):
+        from scipy.linalg import solve_continuous_are
+
+        rng = np.random.default_rng(42)
+        for n, m in [(4, 2), (12, 5)]:
+            A = rng.normal(size=(n, n)) * 0.5
+            B = rng.normal(size=(n, m))
+            Q, R = np.eye(n), np.eye(m)
+            P_ref = solve_continuous_are(A, B, Q, R)
+            res = solve_care(A, B, Q, R)
+            np.testing.assert_allclose(np.asarray(res.P), P_ref, rtol=1e-9, atol=1e-12)
+
+    def test_beam_golden(self, golden):
+        P = solve_care(
+            _beam_A(golden), _beam_B(golden), golden["Q"], golden["R"]
+        ).P
+        scale = np.abs(golden["P"]).max()
+        np.testing.assert_allclose(
+            np.asarray(P) / scale, golden["P"] / scale, atol=1e-8
+        )
+
+    def test_residual_small(self, golden):
+        A, B = _beam_A(golden), _beam_B(golden)
+        res = solve_care(A, B, golden["Q"], golden["R"])
+        # The beam CARE is ill-conditioned (||A|| ~ 2e9); measure the
+        # residual against the sum of the terms it cancels between.
+        P = np.asarray(res.P)
+        G = B @ np.linalg.solve(golden["R"], B.T)
+        scale = (
+            np.linalg.norm(A.T @ P)
+            + np.linalg.norm(P @ A)
+            + np.linalg.norm(P @ G @ P)
+            + np.linalg.norm(golden["Q"])
+        )
+        assert float(res.residual) / scale < 1e-6
+
+
+def _beam_A(golden):
+    K, M = golden["K_beam"], golden["M_beam"]
+    n = K.shape[0]
+    A = np.zeros((2 * n, 2 * n))
+    A[:n, n:] = np.eye(n)
+    A[n:, :n] = -np.linalg.solve(M, K)
+    return A
+
+
+def _beam_B(golden):
+    M = golden["M_beam"]
+    n = M.shape[0]
+    B = np.zeros((2 * n, n))
+    B[n:, :] = np.linalg.inv(M)
+    return B
+
+
+class TestGainComputation:
+    def test_gain_vs_scipy_golden(self, golden):
+        lqr = LinearQuadraticRegulator(
+            golden["K_beam"], golden["M_beam"], golden["Q"], golden["R"]
+        )
+        K = lqr.compute_gain_matrix()
+        assert K.shape == golden["K_gain"].shape
+        scale = np.abs(golden["K_gain"]).max()
+        np.testing.assert_allclose(K / scale, golden["K_gain"] / scale, atol=1e-4)
+
+    def test_closed_loop_stable(self, golden):
+        lqr = LinearQuadraticRegulator(
+            golden["K_beam"], golden["M_beam"], golden["Q"], golden["R"]
+        )
+        lqr.compute_gain_matrix()
+        assert np.all(np.real(lqr._E) < 0)
+
+    def test_caching(self, golden):
+        lqr = LinearQuadraticRegulator(
+            golden["K_beam"], golden["M_beam"], golden["Q"], golden["R"]
+        )
+        K1 = lqr.compute_gain_matrix()
+        K2 = lqr.get_K()
+        assert K1 is K2
+
+
+class TestFullStateLinear:
+    def test_validation(self):
+        with pytest.raises(ValueError, match="2D"):
+            FullStateLinear(np.ones(4))
+        h = FullStateLinear(np.ones((2, 4)))
+        with pytest.raises(ValueError, match="1D"):
+            h.compute_input(np.ones((2, 4)), np.ones(4), 0.0)
+        with pytest.raises(ValueError, match="same length"):
+            h.compute_input(np.ones(4), np.ones(3), 0.0)
+        with pytest.raises(ValueError, match="column dimension"):
+            h.compute_input(np.ones(5), np.ones(5), 0.0)
+
+    def test_feedback_law(self):
+        K = np.array([[1.0, 0.0], [0.0, 2.0]])
+        h = FullStateLinear(K)
+        u = np.asarray(h.compute_input(np.array([1.0, 1.0]), np.zeros(2), 0.0))
+        np.testing.assert_allclose(u, [-1.0, -2.0])
+
+
+@pytest.mark.integration
+class TestClosedLoop:
+    def test_lqr_stabilizes_beam(self, golden):
+        """Closed-loop rollout decays vs open-loop (reference :389-468)."""
+        linear_file = helpers.linear_csv()
+        beam = DynamicEulerBernoulliBeam(linear_file)
+        lqr = LinearQuadraticRegulator(
+            golden["K_beam"], golden["M_beam"], golden["Q"], golden["R"]
+        )
+        K = lqr.compute_gain_matrix()
+        controller = FullStateLinear(K)
+
+        n = beam.n_pos_states
+        x0 = np.zeros(2 * n)
+        x0[n - 2] = 0.001  # initial tip displacement
+
+        import jax.numpy as jnp
+
+        Kj = jnp.asarray(K)
+
+        # Closed loop: fold u = -K x into the forces.
+        def feedback_force(x, t):
+            return -jnp.einsum("ij,...j->...i", Kj, x)
+
+        res_cl = simulate(
+            beam, x0, 0.05, 0.001, method="dopri5",
+            forces_func=feedback_force, rtol=1e-8, atol=1e-10,
+        )
+        res_ol = simulate(
+            beam, x0, 0.05, 0.001, method="dopri5", rtol=1e-8, atol=1e-10,
+        )
+        tip_cl = np.abs(np.asarray(res_cl.ys)[-10:, n - 2]).max()
+        tip_ol = np.abs(np.asarray(res_ol.ys)[-10:, n - 2]).max()
+        assert np.all(np.isfinite(np.asarray(res_cl.ys)))
+        assert tip_cl < tip_ol  # control damps the oscillation

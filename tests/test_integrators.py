@@ -1,0 +1,151 @@
+"""Integrator tests: convergence orders, adaptivity, implicit stability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+from continuum_robot_tpu.models.simulate import simulate
+from continuum_robot_tpu.ops import integrators
+from tests import helpers
+
+
+def decay_rhs(t, x, u=None):
+    return -x
+
+
+def oscillator_rhs(t, x, u=None):
+    # x = [q, v], q'' = -omega^2 q with omega = 2
+    return jnp.stack([x[1], -4.0 * x[0]])
+
+
+class TestRK4:
+    def test_exponential_decay(self):
+        ts, xs = integrators.integrate_fixed(
+            decay_rhs, jnp.ones(3), 0.0, 0.1, 10, substeps=10
+        )
+        np.testing.assert_allclose(
+            np.asarray(xs[-1]), np.exp(-1.0), rtol=1e-9
+        )
+
+    def test_fourth_order_convergence(self):
+        x0 = jnp.array([1.0, 0.0])
+        exact = np.array([np.cos(2.0), -2 * np.sin(2.0)])
+        errs = []
+        for ss in [4, 8, 16]:
+            _, xs = integrators.integrate_fixed(
+                oscillator_rhs, x0, 0.0, 1.0, 1, substeps=ss
+            )
+            errs.append(np.abs(np.asarray(xs[-1]) - exact).max())
+        order = np.log2(errs[0] / errs[1])
+        assert 3.5 < order < 4.5
+
+
+class TestDopri5:
+    def test_accuracy_and_stats(self):
+        t_eval = jnp.linspace(0.0, 1.0, 11)
+        xs, stats = integrators.integrate_adaptive(
+            decay_rhs, jnp.ones(2), t_eval, rtol=1e-10, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(xs)[:, 0], np.exp(-np.asarray(t_eval)), rtol=1e-9
+        )
+        assert int(stats.n_accepted) > 0
+        assert int(stats.n_steps) == int(stats.n_accepted) + int(stats.n_rejected)
+
+    def test_tolerance_controls_error(self):
+        t_eval = jnp.linspace(0.0, 2.0, 3)
+        exact = np.cos(2 * np.asarray(t_eval))
+        errs = []
+        for rtol in [1e-4, 1e-8]:
+            xs, _ = integrators.integrate_adaptive(
+                oscillator_rhs, jnp.array([1.0, 0.0]), t_eval,
+                rtol=rtol, atol=rtol * 1e-2,
+            )
+            errs.append(np.abs(np.asarray(xs)[:, 0] - exact).max())
+        assert errs[1] < errs[0] * 1e-2
+
+    def test_jittable_end_to_end(self):
+        t_eval = jnp.linspace(0.0, 1.0, 5)
+
+        @jax.jit
+        def run(x0):
+            xs, stats = integrators.integrate_adaptive(
+                decay_rhs, x0, t_eval, rtol=1e-8, atol=1e-10
+            )
+            return xs
+
+        xs = run(jnp.ones(2))
+        np.testing.assert_allclose(
+            np.asarray(xs)[:, 0], np.exp(-np.asarray(t_eval)), rtol=1e-6
+        )
+
+
+class TestNewmarkOnBeam:
+    @pytest.fixture(scope="class")
+    def beam(self):
+        return DynamicEulerBernoulliBeam(helpers.linear_csv())
+
+    def test_matches_dopri_on_tip_motion(self, beam):
+        """Tip trajectory converges to the explicit reference at 2nd order."""
+        n = beam.n_pos_states
+        x0 = np.zeros(2 * n)
+        u = jnp.zeros(n).at[-2].set(0.05)
+        ref = simulate(beam, x0, 0.01, 0.001, method="dopri5", u=u,
+                       rtol=1e-11, atol=1e-13)
+        tip_ref = np.asarray(ref.ys)[:, n - 2]
+        errs = []
+        for ss in [50, 100]:
+            res = simulate(beam, x0, 0.01, 0.001, method="newmark", u=u,
+                           substeps=ss)
+            errs.append(np.abs(np.asarray(res.ys)[:, n - 2] - tip_ref).max())
+        scale = np.abs(tip_ref).max()
+        assert errs[0] / scale < 1e-2
+        order = np.log2(errs[0] / errs[1])
+        assert order > 1.5  # second-order convergence
+
+    def test_unconditional_stability(self, beam):
+        """Newmark stays bounded at dt far above the explicit stability limit.
+
+        (omega_max ~ 4.6e4 rad/s for this mesh -> explicit limit ~4e-5 s;
+        we step at 1e-3 s, 25x beyond it.)
+        """
+        n = beam.n_pos_states
+        x0 = np.zeros(2 * n)
+        x0[n - 2] = 0.001
+        res = simulate(beam, x0, 0.5, 0.001, method="newmark", substeps=1)
+        ys = np.asarray(res.ys)
+        assert np.all(np.isfinite(ys))
+        # Positions stay bounded near the initial 1e-3 deflection scale
+        # (velocities legitimately reach ~omega*q ~ 45).
+        assert np.abs(ys[:, :n]).max() < 0.01
+
+    def test_nonlinear_newmark(self):
+        beam = DynamicEulerBernoulliBeam(helpers.nonlinear_csv())
+        n = beam.n_pos_states
+        x0 = np.zeros(2 * n)
+        u = jnp.zeros(n).at[-2].set(0.05)
+        ref = simulate(beam, x0, 0.01, 0.001, method="dopri5", u=u,
+                       rtol=1e-10, atol=1e-12)
+        res = simulate(beam, x0, 0.01, 0.001, method="newmark", u=u,
+                       substeps=100, n_newton=3)
+        tip_ref = np.asarray(ref.ys)[:, n - 2]
+        tip_new = np.asarray(res.ys)[:, n - 2]
+        assert np.abs(tip_new - tip_ref).max() / np.abs(tip_ref).max() < 2e-2
+
+    def test_batched_rollout(self, beam):
+        """The same newmark program runs a batch via vmap."""
+        n = beam.n_pos_states
+        x0s = np.zeros((4, 2 * n))
+        x0s[:, n - 2] = np.linspace(1e-4, 4e-4, 4)
+
+        res = jax.vmap(
+            lambda x0: simulate(beam, x0, 0.005, 0.001, method="newmark",
+                                substeps=4, jit=False).ys
+        )(jnp.asarray(x0s))
+        ys = np.asarray(res)
+        assert ys.shape == (4, 6, 2 * n)
+        assert np.all(np.isfinite(ys))
+        # different initial conditions -> different trajectories
+        assert not np.allclose(ys[0], ys[-1])
