@@ -52,12 +52,37 @@ def _free_mask_nodes(bc_info: BCInfo) -> np.ndarray:
     return bc_info.free_mask.reshape(bc_info.n_nodes, 3)
 
 
+def reduce_matrix_dense(arrays, free_dofs, use_consistent: bool) -> np.ndarray:
+    """Reduced dense tangent stiffness at q=0 (host, for prefactoring).
+
+    Uses the elementwise tangent (not the linear element matrix) so it is
+    also correct as the modified-Newton operator for nonlinear beams, whose
+    reference-parity kernel has a non-symmetric zero-state tangent.
+    """
+    n_full = 3 * (arrays.n_elements + 1)
+    q_zero = jnp.zeros(n_full)
+    kd, kl, ku = assembly.tangent_block_tridiagonal(
+        arrays, q_zero, use_consistent=use_consistent
+    )
+    kd, kl, ku = np.asarray(kd), np.asarray(kl), np.asarray(ku)
+    n_nodes = kd.shape[0]
+    K = np.zeros((n_full, n_full))
+    for i in range(n_nodes):
+        K[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] = kd[i]
+    for i in range(n_nodes - 1):
+        K[3 * i : 3 * i + 3, 3 * i + 3 : 3 * i + 6] = ku[i]
+        K[3 * i + 3 : 3 * i + 6, 3 * i : 3 * i + 3] = kl[i]
+    free = np.asarray(free_dofs)
+    return K[np.ix_(free, free)]
+
+
 def make_newmark_operator(
     model,
     forces_func: Optional[Callable] = None,
     dt: float = None,
     beta: float = 0.25,
     use_modified_newton: bool = True,
+    linear_solver: str = "btd",
 ) -> integrators.NewmarkOperator:
     """Build the implicit-stepper operators for a dynamic beam model.
 
@@ -67,6 +92,14 @@ def make_newmark_operator(
     effective Jacobian ``M + beta dt^2 K`` is factored once at build time;
     nonlinear beams refactor at each Newton linearization point (or reuse
     the zero-state factor when ``use_modified_newton``).
+
+    ``linear_solver``: how prefactored (state-independent) solves execute —
+
+    * ``"btd"`` — O(N) block-Thomas sweeps via lax.scan. Memory-lean, but a
+      sequential dependency chain over nodes: right for CPU/small batches.
+    * ``"dense_inv"`` — precompute the dense inverse once (host, float64)
+      and apply it as one ``(n, n) @ (n, batch)`` matmul. O(N^2) memory but
+      pure MXU work: the throughput choice on TPU for big batched rollouts.
     """
     arrays = model.beam_model.arrays
     bc_info = model.beam_model.bc_info
@@ -113,21 +146,32 @@ def make_newmark_operator(
         return banded.btd_factor(jd, jl, ju)
 
     prefactored = {}
+    dense_inverses = {}
     if all_linear or use_modified_newton:
         q_zero = jnp.zeros(n_full, dtype=m_diag.dtype)
         cs = [0.0]
         if dt is not None:
             cs.append(beta * dt * dt)
-        for c in cs:
-            # Computed eagerly once; closed over as device constants.
-            prefactored[float(c)] = jax.tree_util.tree_map(
-                jnp.asarray, factors_at(q_zero, c)
-            )
+        if linear_solver == "dense_inv":
+            # Host float64 reduced-system inverses, applied as MXU matmuls.
+            M_red = np.asarray(model.beam_model.M.toarray(), dtype=np.float64)
+            K_red = reduce_matrix_dense(arrays, free, use_consistent)
+            for c in cs:
+                dense_inverses[float(c)] = np.linalg.inv(M_red + c * K_red)
+        else:
+            for c in cs:
+                # Computed eagerly once; closed over as device constants.
+                prefactored[float(c)] = jax.tree_util.tree_map(
+                    jnp.asarray, factors_at(q_zero, c)
+                )
 
     def solve(q_red, c):
         c_key = float(c)
 
         def do_solve(r_red):
+            if c_key in dense_inverses:
+                inv = jnp.asarray(dense_inverses[c_key], dtype=r_red.dtype)
+                return jnp.einsum("ij,...j->...i", inv, r_red)
             if c_key in prefactored:
                 factors = prefactored[c_key]
             else:
@@ -158,6 +202,7 @@ def simulate(
     atol: float = 1e-10,
     substeps: int = 1,
     n_newton: int = 2,
+    linear_solver: str = "btd",
     jit: bool = True,
 ) -> SimulationResult:
     """Run a complete rollout on device.
@@ -196,7 +241,8 @@ def simulate(
 
     elif method == "newmark":
         op = make_newmark_operator(
-            model, forces_func=forces_func, dt=dt / substeps
+            model, forces_func=forces_func, dt=dt / substeps,
+            linear_solver=linear_solver,
         )
         n = x0.shape[-1] // 2
 

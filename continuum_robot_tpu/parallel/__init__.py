@@ -1,0 +1,17 @@
+"""Parallelism layer: device meshes, batched/sharded rollouts, spatial sharding."""
+
+from .mesh import batch_sharding, make_mesh, replicated
+from .rollout import batched_rollout, build_rollout_fn, sweep_statistics
+from .spatial import SpatialBeam, build_spatial_rhs, make_spatial_beam
+
+__all__ = [
+    "SpatialBeam",
+    "batch_sharding",
+    "batched_rollout",
+    "build_rollout_fn",
+    "build_spatial_rhs",
+    "make_mesh",
+    "make_spatial_beam",
+    "replicated",
+    "sweep_statistics",
+]

@@ -1,0 +1,287 @@
+"""Spatial (beam-axis) model parallelism: shard nodes across devices.
+
+The 1-D FEM chain is this framework's "sequence" axis (SURVEY §5): global
+state is ``[u, w, phi] x N`` nodes and every element couples two neighbors.
+For beams too long for one chip, nodes are sharded across the ``sp`` mesh
+axis and each step exchanges exactly one 3-DOF halo node with each neighbor
+via ``jax.lax.ppermute`` over ICI — the structural analogue of context/ring
+parallelism (no attention exists; the halo IS the ring payload).
+
+Decomposition (S shards, m = Np/S nodes per shard, node count padded to a
+multiple of S with zero-property elements so every shard is uniform):
+
+* shard k owns nodes ``[k*m, (k+1)*m)`` and elements ``[k*m, (k+1)*m)``
+  (element e connects nodes e, e+1; padded elements have zero EA/EI/rhoA so
+  they contribute nothing);
+* internal force: receive right neighbor's first node (halo), evaluate the
+  local element batch, then send the bridging force contribution back to the
+  right neighbor (one more ppermute) and add it there;
+* consistent-mass solve: the block-tridiagonal Thomas recursion is serial
+  across shards, so the spatial path solves ``M a = f`` with Jacobi-
+  preconditioned conjugate gradients instead — every CG iteration is one
+  halo-exchange matvec + ``psum`` dot products. The consistent mass is
+  spectrally within a factor ~2 of its block-diagonal part, so CG converges
+  to fp32 accuracy in ~10-20 iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..models import assembly, elements
+from ..models.config import BeamArrays
+
+
+def pad_arrays_for_shards(arrays: BeamArrays, n_shards: int):
+    """Pad to ``Np`` nodes (multiple of ``n_shards``) with zero elements.
+
+    Returns ``(padded_arrays, n_nodes_padded)``. Zero-property elements have
+    zero stiffness/mass contribution; padded mass diagonal gets unit pivots
+    via the BC mask path so solves remain well-posed.
+    """
+    n_el = arrays.n_elements
+    n_nodes = n_el + 1
+    n_pad_nodes = -(-n_nodes // n_shards) * n_shards
+    # Element count must equal padded node count so each shard owns the same
+    # number of elements as nodes; the element bridging shard boundaaries is
+    # always present, and element Np-1 is guaranteed padding (zero).
+    n_pad_el = n_pad_nodes
+    pad = n_pad_el - n_el
+
+    def pad_field(x, value=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((pad,), value, dtype=x.dtype)], axis=0
+        )
+
+    padded = BeamArrays(
+        length=pad_field(arrays.length, 1.0),  # avoid 0/0 in kernels
+        elastic_modulus=pad_field(arrays.elastic_modulus, 0.0),
+        moment_inertia=pad_field(arrays.moment_inertia, 0.0),
+        density=pad_field(arrays.density, 0.0),
+        cross_area=pad_field(arrays.cross_area, 0.0),
+        wetted_area=pad_field(arrays.wetted_area, 0.0),
+        drag_coef=pad_field(arrays.drag_coef, 0.0),
+        nonlinear_mask=jnp.concatenate(
+            [arrays.nonlinear_mask, jnp.zeros((pad,), dtype=bool)]
+        ),
+    )
+    return padded, n_pad_nodes
+
+
+@dataclasses.dataclass
+class SpatialBeam:
+    """A node-sharded beam operator bound to a mesh axis."""
+
+    arrays: BeamArrays  # padded, length Np
+    n_nodes: int  # Np (padded)
+    n_nodes_real: int
+    free_mask: np.ndarray  # (Np, 3) bool; padding nodes are constrained
+    mesh: Mesh
+    axis: str = "sp"
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+
+def make_spatial_beam(
+    arrays: BeamArrays,
+    free_mask_nodes: np.ndarray,
+    mesh: Mesh,
+    axis: str = "sp",
+) -> SpatialBeam:
+    n_shards = mesh.shape[axis]
+    padded, n_pad_nodes = pad_arrays_for_shards(arrays, n_shards)
+    n_real = arrays.n_elements + 1
+    mask = np.zeros((n_pad_nodes, 3), dtype=bool)
+    mask[:n_real] = free_mask_nodes
+    return SpatialBeam(
+        arrays=padded,
+        n_nodes=n_pad_nodes,
+        n_nodes_real=n_real,
+        free_mask=mask,
+        mesh=mesh,
+        axis=axis,
+    )
+
+
+def _right_perm(n):
+    """ppermute spec sending shard k's payload to shard k+1 (ring)."""
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def _left_perm(n):
+    return [(i, (i - 1) % n) for i in range(n)]
+
+
+def spatial_internal_force_local(
+    q_local, arr_local: BeamArrays, mask_local, axis: str, n_shards: int,
+    use_consistent: bool = False,
+):
+    """Per-shard body: internal force with 1-node halo exchange.
+
+    ``q_local``: (m, 3) this shard's nodes (already BC-masked).
+    Runs inside ``shard_map``; two ppermutes per evaluation:
+    (1) left-neighbor pull of the next shard's first node,
+    (2) right-push of the bridging element's far-node contribution.
+    """
+    # Halo: receive right neighbor's first node (ring; shard S-1 receives
+    # shard 0's first node but its bridging element is zero padding).
+    halo = jax.lax.ppermute(q_local[:1], axis, _left_perm(n_shards))
+    q_ext = jnp.concatenate([q_local, halo], axis=0)  # (m+1, 3)
+
+    q6 = jnp.concatenate([q_ext[:-1], q_ext[1:]], axis=-1)  # (m, 6)
+    fe = elements.element_internal_force(
+        q6,
+        arr_local.length,
+        arr_local.elastic_modulus,
+        arr_local.moment_inertia,
+        arr_local.cross_area,
+        arr_local.nonlinear_mask,
+        use_consistent=use_consistent,
+    )
+    f_ext = jnp.zeros_like(q_ext)
+    f_ext = f_ext.at[:-1].add(fe[..., 0:3])
+    f_ext = f_ext.at[1:].add(fe[..., 3:6])
+    # Push the halo-node contribution to its owner (right neighbor's node 0).
+    bridge = jax.lax.ppermute(f_ext[-1:], axis, _right_perm(n_shards))
+    f_local = f_ext[:-1].at[:1].add(bridge)
+    return f_local * mask_local
+
+
+def spatial_mass_matvec_local(
+    v_local, mdiag_local, mlow_local, mup_local, axis: str, n_shards: int
+):
+    """Masked consistent-mass matvec with halo exchange (per shard).
+
+    ``mlow_local[i]`` couples local node i to global node (start+i-1); the
+    first row's lower block uses the left neighbor's last node. Bands are
+    stored shard-aligned: lower/upper are (m, 3, 3) with entry 0 of ``lower``
+    reaching into the left halo and entry m-1 of ``upper`` reaching into the
+    right halo.
+    """
+    left_halo = jax.lax.ppermute(v_local[-1:], axis, _right_perm(n_shards))
+    right_halo = jax.lax.ppermute(v_local[:1], axis, _left_perm(n_shards))
+    v_ext = jnp.concatenate([left_halo, v_local, right_halo], axis=0)  # (m+2,3)
+    y = jnp.einsum("nij,nj->ni", mdiag_local, v_local)
+    y = y + jnp.einsum("nij,nj->ni", mlow_local, v_ext[:-2])
+    y = y + jnp.einsum("nij,nj->ni", mup_local, v_ext[2:])
+    return y
+
+
+def build_spatial_rhs(
+    beam: SpatialBeam,
+    cg_iters: int = 16,
+    use_consistent: bool = False,
+) -> Callable:
+    """Fully sharded ``rhs(t, x, u)`` over the ``sp`` axis via shard_map.
+
+    ``x``: (2, Np, 3) = stacked (positions, velocities) in node layout,
+    sharded on the node axis. ``u``: (Np, 3) force layout or None.
+    The mass solve is Jacobi-preconditioned CG with halo-exchange matvecs
+    and ``psum`` reductions — fixed iteration count for jit.
+    """
+    mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
+    arrays = beam.arrays
+    mask = jnp.asarray(beam.free_mask, dtype=jnp.float32)
+
+    # Precompute shard-aligned mass bands (global, then sharded by shard_map).
+    # The padded element list has Np elements -> Np+1 assembled nodes; node Np
+    # is a phantom that only zero-property padding elements touch, so its
+    # row/col are exactly zero and truncation to Np nodes is lossless.
+    mdiag, moff = assembly.mass_block_tridiagonal(arrays)
+    mdiag = mdiag[: beam.n_nodes]
+    moff = moff[: beam.n_nodes - 1]
+    # Unit pivots on constrained/padding nodes.
+    from ..ops import banded
+
+    mlow_band = jnp.swapaxes(moff, -1, -2)
+    mdiag, mlow_band, mup_band = banded.btd_apply_bc(
+        mdiag, mlow_band, moff, jnp.asarray(beam.free_mask)
+    )
+    Np = beam.n_nodes
+    # Align bands per node: lower[i] couples node i with i-1 (zero for i=0),
+    # upper[i] couples node i with i+1 (zero for i=Np-1).
+    zeros33 = jnp.zeros((1, 3, 3), dtype=mdiag.dtype)
+    mlow = jnp.concatenate([zeros33, mlow_band], axis=0)  # (Np, 3, 3)
+    mup = jnp.concatenate([mup_band, zeros33], axis=0)  # (Np, 3, 3)
+    # Jacobi preconditioner: inverse of the 3x3 diagonal blocks.
+    mdiag_inv = banded.inv33(mdiag)
+
+    arr_fields = (
+        arrays.length, arrays.elastic_modulus, arrays.moment_inertia,
+        arrays.cross_area, arrays.nonlinear_mask,
+    )
+
+    p_node = PartitionSpec(axis, None)
+    p_block = PartitionSpec(axis, None, None)
+    p_el = PartitionSpec(axis)
+    p_x = PartitionSpec(None, axis, None)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(p_x, p_node, p_el, p_el, p_el, p_el, p_el, p_node,
+                  p_block, p_block, p_block, p_block),
+        out_specs=p_x,
+    )
+    def rhs_core(x, u, a_len, a_E, a_I, a_A, a_nl, m_mask,
+                 md, ml, mu, mdi):
+        q, v = x[0], x[1]
+        arr_local = BeamArrays(
+            length=a_len, elastic_modulus=a_E, moment_inertia=a_I,
+            density=a_len * 0, cross_area=a_A, wetted_area=a_len * 0,
+            drag_coef=a_len * 0, nonlinear_mask=a_nl,
+        )
+        k = spatial_internal_force_local(
+            q * m_mask, arr_local, m_mask, axis, S, use_consistent
+        )
+        f = (u - k) * m_mask
+
+        def matvec(z):
+            return spatial_mass_matvec_local(z, md, ml, mu, axis, S)
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), axis)
+
+        # Jacobi-preconditioned CG on M a = f.
+        a0 = jnp.zeros_like(f)
+        r0 = f - matvec(a0)
+        z0 = jnp.einsum("nij,nj->ni", mdi, r0)
+        p0 = z0
+        rz0 = pdot(r0, z0)
+
+        def cg_step(carry, _):
+            a, r, p, rz = carry
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
+            a = a + alpha * p
+            r = r - alpha * Ap
+            z = jnp.einsum("nij,nj->ni", mdi, r)
+            rz_new = pdot(r, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (a, r, p, rz_new), None
+
+        (acc, _, _, _), _ = jax.lax.scan(
+            cg_step, (a0, r0, p0, rz0), None, length=cg_iters
+        )
+        acc = acc * m_mask
+        return jnp.stack([v * m_mask, acc], axis=0)
+
+    def rhs(t, x, u=None):
+        if u is None:
+            u = jnp.zeros((Np, 3), dtype=x.dtype)
+        return rhs_core(
+            x, u, *arr_fields, mask,
+            mdiag, mlow, mup, mdiag_inv,
+        )
+
+    return rhs

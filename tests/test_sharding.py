@@ -1,0 +1,133 @@
+"""Sharding tests on the 8-device fake CPU mesh.
+
+Covers the two scaling axes (SURVEY §2.2): environment/data parallelism
+(batch axis sharded with NamedSharding) and spatial/beam-axis parallelism
+(shard_map + ppermute halo exchange + CG mass solve), each checked for
+numerical equality against the unsharded program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+from continuum_robot_tpu.parallel import (
+    batched_rollout,
+    build_spatial_rhs,
+    make_mesh,
+    make_spatial_beam,
+    sweep_statistics,
+)
+from tests import helpers
+
+
+@pytest.fixture(scope="module")
+def model():
+    return DynamicEulerBernoulliBeam(helpers.linear_csv())
+
+
+def test_eight_fake_devices():
+    assert jax.device_count() == 8
+
+
+class TestBatchedRollout:
+    def test_unsharded_batch(self, model):
+        n = model.n_pos_states
+        x0 = np.zeros((16, 2 * n))
+        x0[:, n - 2] = np.linspace(1e-4, 2e-3, 16)
+        res = batched_rollout(model, x0, 0.01, 0.001, substeps=20)
+        ys = np.asarray(res.ys)
+        assert ys.shape == (11, 16, 2 * n)
+        assert np.all(np.isfinite(ys))
+
+    def test_mesh_sharded_equals_single_device(self, model):
+        n = model.n_pos_states
+        x0 = np.zeros((16, 2 * n))
+        x0[:, n - 2] = np.linspace(1e-4, 2e-3, 16)
+
+        res_plain = batched_rollout(model, x0, 0.01, 0.001, substeps=20)
+        mesh = make_mesh({"dp": 8})
+        res_shard = batched_rollout(
+            model, x0, 0.01, 0.001, substeps=20, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_shard.ys), np.asarray(res_plain.ys), rtol=1e-10
+        )
+
+    def test_sweep_statistics(self, model):
+        n = model.n_pos_states
+        x0 = np.zeros((8, 2 * n))
+        x0[:, n - 2] = 1e-3
+        res = batched_rollout(model, x0, 0.005, 0.001, substeps=10)
+        stats = sweep_statistics(res.ys)
+        assert float(stats["tip_abs_max"]) > 0
+        assert np.isfinite(float(stats["state_rms"]))
+
+
+class TestSpatialSharding:
+    @pytest.mark.parametrize("n_elements", [6, 16])
+    def test_spatial_rhs_matches_dense(self, n_elements):
+        """Halo-exchange RHS == unsharded RHS (8-way node sharding)."""
+        csv = helpers.write_beam_csv(["linear"] * n_elements)
+        model = DynamicEulerBernoulliBeam(csv)
+        mesh = make_mesh({"sp": 8})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        rhs_spatial = build_spatial_rhs(beam, cg_iters=40)
+
+        n = model.n_pos_states
+        rng = np.random.default_rng(0)
+        x_red = rng.normal(scale=1e-3, size=2 * n)
+
+        # reduced -> full node layout
+        free = model.beam_model.bc_info.free_dofs
+        n_full = model.beam_model.n_dofs_full
+        q_full = np.zeros(n_full)
+        v_full = np.zeros(n_full)
+        q_full[free] = x_red[:n]
+        v_full[free] = x_red[n:]
+        Np = beam.n_nodes
+        x_sp = np.zeros((2, Np, 3))
+        x_sp[0, : n_full // 3] = q_full.reshape(-1, 3)
+        x_sp[1, : n_full // 3] = v_full.reshape(-1, 3)
+
+        out = np.asarray(jax.jit(lambda x: rhs_spatial(0.0, x))(jnp.asarray(x_sp)))
+
+        rhs_dense = model.build_rhs()
+        dx_red = np.asarray(rhs_dense(0.0, x_red, None))
+
+        # Compare on the free DOFs.
+        dq = out[0, : n_full // 3].flatten()[free]
+        dv = out[1, : n_full // 3].flatten()[free]
+        scale = np.abs(dx_red).max()
+        np.testing.assert_allclose(dq, dx_red[:n], atol=1e-8 * scale)
+        np.testing.assert_allclose(dv, dx_red[n:], atol=1e-6 * scale)
+
+    def test_spatial_step_runs_on_2d_mesh(self):
+        """dp x sp mesh: batched envs of a node-sharded beam, one RK4 step."""
+        csv = helpers.write_beam_csv(["linear"] * 10)
+        model = DynamicEulerBernoulliBeam(csv)
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        rhs = build_spatial_rhs(beam, cg_iters=10)
+
+        def step(x):
+            k1 = rhs(0.0, x)
+            return x + 1e-6 * k1
+
+        vstep = jax.jit(jax.vmap(step))
+        x = jnp.zeros((4, 2, beam.n_nodes, 3)).at[:, 0, 5, 1].set(
+            jnp.linspace(1e-4, 4e-4, 4)
+        )
+        out = np.asarray(vstep(x))
+        assert out.shape == (4, 2, beam.n_nodes, 3)
+        assert np.all(np.isfinite(out))
+        assert not np.allclose(out[0], out[-1])
