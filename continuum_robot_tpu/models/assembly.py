@@ -88,9 +88,14 @@ def mass_block_tridiagonal(arrays: BeamArrays):
     )  # (E, 6, 6)
     n_el = Me.shape[-3]
     n_nodes = n_el + 1
-    diag = jnp.zeros((*Me.shape[:-3], n_nodes, 3, 3), dtype=Me.dtype)
-    diag = diag.at[..., :-1, :, :].add(Me[..., 0:3, 0:3])
-    diag = diag.at[..., 1:, :, :].add(Me[..., 3:6, 3:6])
+    if isinstance(Me, np.ndarray):  # host/setup path
+        diag = np.zeros((*Me.shape[:-3], n_nodes, 3, 3), dtype=Me.dtype)
+        diag[..., :-1, :, :] += Me[..., 0:3, 0:3]
+        diag[..., 1:, :, :] += Me[..., 3:6, 3:6]
+    else:
+        diag = jnp.zeros((*Me.shape[:-3], n_nodes, 3, 3), dtype=Me.dtype)
+        diag = diag.at[..., :-1, :, :].add(Me[..., 0:3, 0:3])
+        diag = diag.at[..., 1:, :, :].add(Me[..., 3:6, 3:6])
     off = Me[..., 0:3, 3:6]
     return diag, off
 

@@ -33,7 +33,7 @@ from .abstractions import (
 
 def default_dtype():
     """float64 when x64 is enabled (CPU golden tests), else float32 (TPU)."""
-    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
 
 
 @jax.tree_util.register_dataclass
@@ -45,14 +45,14 @@ class BeamArrays:
     (leading axes) for parameter sweeps via ``jax.vmap``.
     """
 
-    length: jax.Array
-    elastic_modulus: jax.Array
-    moment_inertia: jax.Array
-    density: jax.Array
-    cross_area: jax.Array
-    wetted_area: jax.Array
-    drag_coef: jax.Array
-    nonlinear_mask: jax.Array  # bool
+    length: object  # np.ndarray (host/setup) or jax.Array (traced sweeps)
+    elastic_modulus: object
+    moment_inertia: object
+    density: object
+    cross_area: object
+    wetted_area: object
+    drag_coef: object
+    nonlinear_mask: object  # bool array
 
     @property
     def n_elements(self) -> int:
@@ -80,16 +80,21 @@ def beam_arrays_from_dataframe(df: pd.DataFrame, dtype=None) -> BeamArrays:
 
     Optional fluid columns default to zero when absent (they are only read
     when fluid effects are enabled, matching ``dynamic_beam_model.py:89-90``).
+
+    Leaves are host NumPy arrays: setup-time math stays on the host (eager
+    device ops are expensive on the axon TPU backend) and jitted programs
+    close over them as baked-in constants. Batched parameter sweeps may
+    substitute jnp arrays (the kernels dispatch on input type).
     """
     dtype = dtype or default_dtype()
     n = len(df)
 
     def col(name):
         if name in df.columns:
-            return jnp.asarray(df[name].to_numpy(dtype=float), dtype=dtype)
-        return jnp.zeros((n,), dtype=dtype)
+            return np.asarray(df[name].to_numpy(dtype=float), dtype=dtype)
+        return np.zeros((n,), dtype=dtype)
 
-    nonlinear = jnp.asarray(
+    nonlinear = np.asarray(
         df["type"].str.lower().to_numpy() == ElementType.NONLINEAR.value
     )
     return BeamArrays(

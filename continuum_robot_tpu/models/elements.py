@@ -31,6 +31,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _ns(*args):
+    """Pick the array namespace: NumPy unless any argument is traced/jax.
+
+    Setup-time callers (model constructors, control design) pass host NumPy
+    and get NumPy back — critical on the axon TPU backend where every unique
+    eager op costs a compilation. Hot-path callers are inside jit and pass
+    tracers, getting jnp.
+    """
+    for a in args:
+        if isinstance(a, jax.Array) or isinstance(a, jax.core.Tracer):
+            return jnp
+    return np
 
 
 # ---------------------------------------------------------------------------
@@ -45,12 +60,13 @@ def linear_stiffness_matrix(length, elastic_modulus, moment_inertia, cross_area)
     ``phi = -w'`` rotation convention (``segments.py:32-62``). Inputs may be
     scalars or arrays of shape ``(...,)``; the result has shape ``(..., 6, 6)``.
     """
-    L = jnp.asarray(length)
-    EI = jnp.asarray(elastic_modulus) * jnp.asarray(moment_inertia)
-    EA = jnp.asarray(elastic_modulus) * jnp.asarray(cross_area)
-    L, EI, EA = jnp.broadcast_arrays(L, EI, EA)
+    xp = _ns(length, elastic_modulus, moment_inertia, cross_area)
+    L = xp.asarray(length)
+    EI = xp.asarray(elastic_modulus) * xp.asarray(moment_inertia)
+    EA = xp.asarray(elastic_modulus) * xp.asarray(cross_area)
+    L, EI, EA = xp.broadcast_arrays(L, EI, EA)
 
-    z = jnp.zeros_like(L)
+    z = xp.zeros_like(L)
     ka = EA / L
     kb = 12.0 * EI / L**3
     kc = 6.0 * EI / L**2
@@ -65,7 +81,7 @@ def linear_stiffness_matrix(length, elastic_modulus, moment_inertia, cross_area)
         [z, -kb, kc, z, kb, kc],
         [z, -kc, ke, z, kc, kd],
     ]
-    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+    return xp.stack([xp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
 def consistent_mass_matrix(length, density, cross_area):
@@ -74,11 +90,12 @@ def consistent_mass_matrix(length, density, cross_area):
     Identical for linear and nonlinear elements (``segments.py:64-78`` and
     ``segments.py:105-119``). Shape ``(..., 6, 6)``.
     """
-    L = jnp.asarray(length)
-    rhoAL = jnp.asarray(density) * jnp.asarray(cross_area) * L
-    L, rhoAL = jnp.broadcast_arrays(L, rhoAL)
+    xp = _ns(length, density, cross_area)
+    L = xp.asarray(length)
+    rhoAL = xp.asarray(density) * xp.asarray(cross_area) * L
+    L, rhoAL = xp.broadcast_arrays(L, rhoAL)
 
-    z = jnp.zeros_like(L)
+    z = xp.zeros_like(L)
     c = rhoAL / 420.0
     m140 = 140.0 * c
     m70 = 70.0 * c
@@ -97,7 +114,7 @@ def consistent_mass_matrix(length, density, cross_area):
         [z, m54, -m13L, z, m156, m22L],
         [z, m13L, -m3L2, z, m22L, m4L2],
     ]
-    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+    return xp.stack([xp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -119,10 +136,11 @@ def nonlinear_internal_force(q6, length, elastic_modulus, moment_inertia, cross_
     natural difference variables ``dw = w1-w2`` and ``du = u1-u2``. The
     identity ``f5 = -f3`` (true in the reference output) is exploited.
     """
-    q6 = jnp.asarray(q6)
-    L = jnp.asarray(length)
-    D = jnp.asarray(elastic_modulus) * jnp.asarray(moment_inertia)  # EI
-    A = jnp.asarray(elastic_modulus) * jnp.asarray(cross_area)  # EA
+    xp = _ns(q6, length, elastic_modulus, moment_inertia, cross_area)
+    q6 = xp.asarray(q6)
+    L = xp.asarray(length)
+    D = xp.asarray(elastic_modulus) * xp.asarray(moment_inertia)  # EI
+    A = xp.asarray(elastic_modulus) * xp.asarray(cross_area)  # EA
 
     u1 = q6[..., 0]
     w1 = q6[..., 1]
@@ -209,7 +227,7 @@ def nonlinear_internal_force(q6, length, elastic_modulus, moment_inertia, cross_
         - (9.0 / 70.0) * dw3 * invL2
     ) + D * ((2.0 * t1 + 4.0 * t2) * invL - 6.0 * dw * invL2)
 
-    return jnp.stack([f1, f3, f4, f2, f5, f6], axis=-1)
+    return xp.stack([f1, f3, f4, f2, f5, f6], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -305,8 +323,9 @@ def element_internal_force(
     whole element batch stays a single fused vector program under jit
     (hybrid dispatch strategy per SURVEY §7 step 2).
     """
+    xp = _ns(q6, length, elastic_modulus, moment_inertia, cross_area)
     K = linear_stiffness_matrix(length, elastic_modulus, moment_inertia, cross_area)
-    f_lin = jnp.einsum("...ij,...j->...i", K, q6)
+    f_lin = xp.einsum("...ij,...j->...i", K, q6)
     nl = (
         nonlinear_internal_force_consistent(
             q6, length, elastic_modulus, moment_inertia, cross_area
@@ -316,5 +335,5 @@ def element_internal_force(
             q6, length, elastic_modulus, moment_inertia, cross_area
         )
     )
-    mask = jnp.asarray(nonlinear_mask)[..., None]
-    return jnp.where(mask, nl, f_lin)
+    mask = xp.asarray(nonlinear_mask)[..., None]
+    return xp.where(mask, nl, f_lin)

@@ -61,9 +61,12 @@ def reduce_matrix_dense(arrays, free_dofs, use_consistent: bool) -> np.ndarray:
     """
     n_full = 3 * (arrays.n_elements + 1)
     q_zero = jnp.zeros(n_full)
-    kd, kl, ku = assembly.tangent_block_tridiagonal(
-        arrays, q_zero, use_consistent=use_consistent
-    )
+    # One jitted call (vs dozens of per-op compiles eagerly on the TPU tunnel).
+    kd, kl, ku = jax.jit(
+        lambda q: assembly.tangent_block_tridiagonal(
+            arrays, q, use_consistent=use_consistent
+        )
+    )(q_zero)
     kd, kl, ku = np.asarray(kd), np.asarray(kl), np.asarray(ku)
     n_nodes = kd.shape[0]
     K = np.zeros((n_full, n_full))
@@ -112,10 +115,11 @@ def make_newmark_operator(
     if forces_func is None:
         forces_func = model.force_registry.create_aggregated_function()
 
+    # Host NumPy setup; closed over as constants by the traced operators.
     m_diag, m_off = assembly.mass_block_tridiagonal(arrays)
-    m_lower = jnp.swapaxes(m_off, -1, -2)
+    m_lower = np.swapaxes(np.asarray(m_off), -1, -2)
     mm_diag, mm_lower, mm_upper = banded.btd_apply_bc(
-        m_diag, m_lower, m_off, jnp.asarray(mask_nodes)
+        np.asarray(m_diag), m_lower, np.asarray(m_off), mask_nodes
     )
 
     def pad(r):
@@ -160,9 +164,10 @@ def make_newmark_operator(
                 dense_inverses[float(c)] = np.linalg.inv(M_red + c * K_red)
         else:
             for c in cs:
-                # Computed eagerly once; closed over as device constants.
+                # One jitted computation per c; results are device constants.
                 prefactored[float(c)] = jax.tree_util.tree_map(
-                    jnp.asarray, factors_at(q_zero, c)
+                    jnp.asarray,
+                    jax.jit(lambda q, _c=c: factors_at(q, _c))(q_zero),
                 )
 
     def solve(q_red, c):

@@ -25,14 +25,23 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def inv33(m: jax.Array) -> jax.Array:
+def _ns(*args):
+    for a in args:
+        if isinstance(a, (jax.Array, jax.core.Tracer)):
+            return jnp
+    return np
+
+
+def inv33(m) -> jax.Array:
     """Explicit adjugate inverse of 3x3 blocks, batched over leading axes.
 
     Closed form is branch-free, fuses well, and differentiates cleanly —
     preferable to ``jnp.linalg.inv`` for tiny fixed-size blocks on TPU.
     """
+    xp = _ns(m)
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
@@ -48,11 +57,11 @@ def inv33(m: jax.Array) -> jax.Array:
     I = a * e - b * d
 
     det = a * A + b * B + c * C
-    adj = jnp.stack(
+    adj = xp.stack(
         [
-            jnp.stack([A, D, G], axis=-1),
-            jnp.stack([B, E, H], axis=-1),
-            jnp.stack([C, F, I], axis=-1),
+            xp.stack([A, D, G], axis=-1),
+            xp.stack([B, E, H], axis=-1),
+            xp.stack([C, F, I], axis=-1),
         ],
         axis=-2,
     )
@@ -157,9 +166,10 @@ def btd_apply_bc(diag, lower, upper, free_mask_nodes):
     shape equivalent of the reference's row/col deletion
     (``euler_bernoulli_beam.py:265``).
     """
-    m = free_mask_nodes.astype(diag.dtype)
+    xp = _ns(diag, lower, upper, free_mask_nodes)
+    m = xp.asarray(free_mask_nodes).astype(diag.dtype)
     diag = diag * m[..., :, :, None] * m[..., :, None, :]
-    eye = jnp.eye(3, dtype=diag.dtype)
+    eye = xp.eye(3, dtype=diag.dtype)
     diag = diag + (1.0 - m)[..., :, :, None] * eye  # unit pivot on constrained DOFs
     lower = lower * m[..., 1:, :, None] * m[..., :-1, None, :]
     upper = upper * m[..., :-1, :, None] * m[..., 1:, None, :]

@@ -56,9 +56,8 @@ def pad_arrays_for_shards(arrays: BeamArrays, n_shards: int):
     pad = n_pad_el - n_el
 
     def pad_field(x, value=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((pad,), value, dtype=x.dtype)], axis=0
-        )
+        x = np.asarray(x)
+        return np.concatenate([x, np.full((pad,), value, dtype=x.dtype)], axis=0)
 
     padded = BeamArrays(
         length=pad_field(arrays.length, 1.0),  # avoid 0/0 in kernels
@@ -68,8 +67,8 @@ def pad_arrays_for_shards(arrays: BeamArrays, n_shards: int):
         cross_area=pad_field(arrays.cross_area, 0.0),
         wetted_area=pad_field(arrays.wetted_area, 0.0),
         drag_coef=pad_field(arrays.drag_coef, 0.0),
-        nonlinear_mask=jnp.concatenate(
-            [arrays.nonlinear_mask, jnp.zeros((pad,), dtype=bool)]
+        nonlinear_mask=np.concatenate(
+            [np.asarray(arrays.nonlinear_mask), np.zeros((pad,), dtype=bool)]
         ),
     )
     return padded, n_pad_nodes
@@ -190,28 +189,28 @@ def build_spatial_rhs(
     """
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
     arrays = beam.arrays
-    mask = jnp.asarray(beam.free_mask, dtype=jnp.float32)
+    mask = np.asarray(beam.free_mask, dtype=np.float32)
 
     # Precompute shard-aligned mass bands (global, then sharded by shard_map).
     # The padded element list has Np elements -> Np+1 assembled nodes; node Np
     # is a phantom that only zero-property padding elements touch, so its
     # row/col are exactly zero and truncation to Np nodes is lossless.
     mdiag, moff = assembly.mass_block_tridiagonal(arrays)
-    mdiag = mdiag[: beam.n_nodes]
-    moff = moff[: beam.n_nodes - 1]
+    mdiag = np.asarray(mdiag)[: beam.n_nodes]
+    moff = np.asarray(moff)[: beam.n_nodes - 1]
     # Unit pivots on constrained/padding nodes.
     from ..ops import banded
 
-    mlow_band = jnp.swapaxes(moff, -1, -2)
+    mlow_band = np.swapaxes(moff, -1, -2)
     mdiag, mlow_band, mup_band = banded.btd_apply_bc(
-        mdiag, mlow_band, moff, jnp.asarray(beam.free_mask)
+        mdiag, mlow_band, moff, np.asarray(beam.free_mask)
     )
     Np = beam.n_nodes
     # Align bands per node: lower[i] couples node i with i-1 (zero for i=0),
     # upper[i] couples node i with i+1 (zero for i=Np-1).
-    zeros33 = jnp.zeros((1, 3, 3), dtype=mdiag.dtype)
-    mlow = jnp.concatenate([zeros33, mlow_band], axis=0)  # (Np, 3, 3)
-    mup = jnp.concatenate([mup_band, zeros33], axis=0)  # (Np, 3, 3)
+    zeros33 = np.zeros((1, 3, 3), dtype=mdiag.dtype)
+    mlow = np.concatenate([zeros33, mlow_band], axis=0)  # (Np, 3, 3)
+    mup = np.concatenate([mup_band, zeros33], axis=0)  # (Np, 3, 3)
     # Jacobi preconditioner: inverse of the 3x3 diagonal blocks.
     mdiag_inv = banded.inv33(mdiag)
 
