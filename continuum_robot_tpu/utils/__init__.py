@@ -1,0 +1,17 @@
+"""Utilities: profiling meters, numerical guards, checkpointing."""
+
+from .checks import divergence_flags, guard_rhs, init_health, step_with_guard
+from .checkpoint import load_checkpoint, save_checkpoint
+from .profiling import StepMeter, compile_time_breakdown, trace
+
+__all__ = [
+    "StepMeter",
+    "compile_time_breakdown",
+    "divergence_flags",
+    "guard_rhs",
+    "init_health",
+    "load_checkpoint",
+    "save_checkpoint",
+    "step_with_guard",
+    "trace",
+]
