@@ -86,6 +86,7 @@ def make_newmark_operator(
     beta: float = 0.25,
     use_modified_newton: bool = True,
     linear_solver: str = "btd",
+    extra_systems=None,
 ) -> integrators.NewmarkOperator:
     """Build the implicit-stepper operators for a dynamic beam model.
 
@@ -144,13 +145,13 @@ def make_newmark_operator(
 
     all_linear = not bool(np.any(np.asarray(arrays.nonlinear_mask)))
 
-    def factors_at(q_full, c):
+    def factors_at(q_full, c, a=1.0):
         kd, kl, ku = assembly.tangent_block_tridiagonal(
             arrays, q_full, use_consistent=use_consistent
         )
-        jd = mm_diag + c * kd
-        jl = mm_lower + c * kl
-        ju = mm_upper + c * ku
+        jd = a * mm_diag + c * kd
+        jl = a * mm_lower + c * kl
+        ju = a * mm_upper + c * ku
         jd, jl, ju = banded.btd_apply_bc(jd, jl, ju, jnp.asarray(mask_nodes))
         return banded.btd_factor(jd, jl, ju)
 
@@ -158,38 +159,38 @@ def make_newmark_operator(
     dense_inverses = {}
     if all_linear or use_modified_newton:
         q_zero = jnp.zeros(n_full, dtype=m_diag.dtype)
-        cs = [0.0]
+        # (mass_scale, stiffness_scale) systems to prefactor: plain mass
+        # solve + the Newmark effective Jacobian (+ generalized-alpha's if
+        # alpha coefficients are supplied via extra_systems).
+        cs = [(1.0, 0.0)]
         if dt is not None:
-            cs.append(beta * dt * dt)
+            cs.append((1.0, beta * dt * dt))
+        cs.extend(extra_systems or [])
         if linear_solver == "dense_inv":
             # Host float64 reduced-system inverses, applied as MXU matmuls.
             M_red = np.asarray(model.beam_model.M.toarray(), dtype=np.float64)
             K_red = reduce_matrix_dense(arrays, free, use_consistent)
-            for c in cs:
-                dense_inverses[float(c)] = np.linalg.inv(M_red + c * K_red)
-        elif linear_solver == "pallas":
-            for c in cs:
-                prefactored[float(c)] = jax.tree_util.tree_map(
-                    jnp.asarray,
-                    jax.jit(lambda q, _c=c: factors_at(q, _c))(q_zero),
+            for a, c in cs:
+                dense_inverses[(float(a), float(c))] = np.linalg.inv(
+                    a * M_red + c * K_red
                 )
         else:
-            for c in cs:
-                # One jitted computation per c; results are device constants.
-                prefactored[float(c)] = jax.tree_util.tree_map(
+            for a, c in cs:
+                # One jitted computation per system; device constants after.
+                prefactored[(float(a), float(c))] = jax.tree_util.tree_map(
                     jnp.asarray,
-                    jax.jit(lambda q, _c=c: factors_at(q, _c))(q_zero),
+                    jax.jit(lambda q, _c=c, _a=a: factors_at(q, _c, _a))(q_zero),
                 )
 
-    def solve(q_red, c):
-        c_key = float(c)
+    def solve(q_red, c, a=1.0):
+        key = (float(a), float(c))
 
         def do_solve(r_red):
-            if c_key in dense_inverses:
-                inv = jnp.asarray(dense_inverses[c_key], dtype=r_red.dtype)
+            if key in dense_inverses:
+                inv = jnp.asarray(dense_inverses[key], dtype=r_red.dtype)
                 return jnp.einsum("ij,...j->...i", inv, r_red)
-            if c_key in prefactored:
-                factors = prefactored[c_key]
+            if key in prefactored:
+                factors = prefactored[key]
                 if linear_solver == "pallas":
                     from ..ops.pallas import btd_solve_pallas
 
@@ -197,7 +198,7 @@ def make_newmark_operator(
                     x = btd_solve_pallas(factors, r_nodes)
                     return red(x.reshape(*r_red.shape[:-1], n_full))
             else:
-                factors = factors_at(pad(q_red), c)
+                factors = factors_at(pad(q_red), c, a)
             r_nodes = pad(r_red).reshape(*r_red.shape[:-1], n_nodes, 3)
             x = banded.btd_solve(factors, r_nodes)
             return red(x.reshape(*r_red.shape[:-1], n_full))
@@ -225,6 +226,7 @@ def simulate(
     substeps: int = 1,
     n_newton: int = 2,
     linear_solver: str = "btd",
+    rho_inf: float = 0.8,
     jit: bool = True,
 ) -> SimulationResult:
     """Run a complete rollout on device.
@@ -280,6 +282,26 @@ def simulate(
                 u=u,
                 n_newton=n_newton,
                 substeps=substeps,
+            )
+            return ts, jnp.concatenate([qs, vs], axis=-1), None
+
+    elif method == "generalized_alpha":
+        h = dt / substeps
+        am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+        af = rho_inf / (rho_inf + 1.0)
+        beta_ga = 0.25 * (1.0 - am + af) ** 2
+        op = make_newmark_operator(
+            model, forces_func=forces_func, dt=None,
+            linear_solver=linear_solver,
+            extra_systems=[(1.0 - am, (1.0 - af) * beta_ga * h * h)],
+        )
+        n = x0.shape[-1] // 2
+
+        def run(x0):
+            q0, v0 = x0[..., :n], x0[..., n:]
+            ts, qs, vs = integrators.integrate_generalized_alpha(
+                op, q0, v0, 0.0, dt, n_steps,
+                u=u, rho_inf=rho_inf, n_newton=n_newton, substeps=substeps,
             )
             return ts, jnp.concatenate([qs, vs], axis=-1), None
 

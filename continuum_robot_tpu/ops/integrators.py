@@ -276,6 +276,107 @@ def newmark_step(
     return q1, v1, a1
 
 
+def generalized_alpha_step(
+    op: NewmarkOperator,
+    t,
+    q,
+    v,
+    a,
+    dt,
+    u=None,
+    rho_inf: float = 0.8,
+    n_newton: int = 2,
+):
+    """One generalized-alpha (Chung-Hulbert) step.
+
+    Controllable high-frequency dissipation via the spectral radius at
+    infinity ``rho_inf`` in [0, 1]: 1 recovers undamped Newmark (average
+    acceleration), smaller values damp the spurious high modes a coarse dt
+    cannot resolve — the standard production choice for stiff structural
+    dynamics (second-order accurate for any rho_inf, unlike damped Newmark).
+
+    Balance at the shifted midpoints:
+        M a_{n+1-am} + k(q_{n+1-af}) = F(x_{n+1-af}, t_{n+1-af}) + u
+    with effective Jacobian ``(1-am) M + (1-af) beta dt^2 K_tan``.
+    """
+    am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+    af = rho_inf / (rho_inf + 1.0)
+    beta = 0.25 * (1.0 - am + af) ** 2
+    gamma = 0.5 - am + af
+
+    t_af = t + (1.0 - af) * dt
+    q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
+    v_pred = v + (1.0 - gamma) * dt * a
+
+    c = (1.0 - af) * beta * dt * dt
+    a_scale = 1.0 - am
+
+    def newton_body(i, a1):
+        q1 = q_pred + beta * dt * dt * a1
+        v1 = v_pred + gamma * dt * a1
+        q_af = (1.0 - af) * q1 + af * q
+        v_af = (1.0 - af) * v1 + af * v
+        a_am = (1.0 - am) * a1 + am * a
+        f_ext = 0.0
+        if op.external_force is not None:
+            x_af = jnp.concatenate([q_af, v_af], axis=-1)
+            f_ext = op.external_force(x_af, t_af)
+        r = op.mass_apply(a_am) + op.internal_force(q_af) - f_ext
+        if u is not None:
+            r = r - (u(t_af) if callable(u) else u)
+        da = op.solve(q_af, c, a_scale)(r)
+        return a1 - da
+
+    a1 = jax.lax.fori_loop(0, n_newton, newton_body, a)
+    q1 = q_pred + beta * dt * dt * a1
+    v1 = v_pred + gamma * dt * a1
+    return q1, v1, a1
+
+
+def integrate_generalized_alpha(
+    op: NewmarkOperator,
+    q0,
+    v0,
+    t0: float,
+    dt: float,
+    n_steps: int,
+    u=None,
+    rho_inf: float = 0.8,
+    n_newton: int = 2,
+    substeps: int = 1,
+):
+    """Generalized-alpha rollout via lax.scan; mirrors integrate_newmark."""
+    f0 = -op.internal_force(q0)
+    if op.external_force is not None:
+        f0 = f0 + op.external_force(jnp.concatenate([q0, v0], axis=-1), t0)
+    if u is not None:
+        f0 = f0 + (u(t0) if callable(u) else u)
+    a0 = op.solve(q0, 0.0)(f0)
+
+    h = dt / substeps
+
+    def outer(carry, i):
+        q, v, a = carry
+        t_frame = t0 + i * dt
+
+        def inner(carry, j):
+            q, v, a = carry
+            t = t_frame + j * h
+            q, v, a = generalized_alpha_step(
+                op, t, q, v, a, h, u, rho_inf=rho_inf, n_newton=n_newton
+            )
+            return (q, v, a), None
+
+        (q, v, a), _ = jax.lax.scan(inner, (q, v, a), jnp.arange(substeps))
+        return (q, v, a), (q, v)
+
+    (_, _, _), (qs, vs) = jax.lax.scan(outer, (q0, v0, a0), jnp.arange(n_steps))
+    ts = t0 + dt * jnp.arange(n_steps + 1)
+    qs = jnp.concatenate([q0[None], qs], axis=0)
+    vs = jnp.concatenate([v0[None], vs], axis=0)
+    return ts, qs, vs
+
+
 def integrate_newmark(
     op: NewmarkOperator,
     q0,

@@ -46,6 +46,10 @@ def design_lqr_controller(beam):
 
 def simulate_system(beam, controller, impulse_amplitude=0.1, t_final=0.5, dt=0.001):
     """Reference :87-130: impulse + optional feedback, tight-tol rollout."""
+    import jax
+
+    x64 = jax.config.jax_enable_x64
+    rtol, atol = (1e-8, 1e-10) if x64 else (1e-5, 1e-8)
     n = beam.n_pos_states
     x0 = np.zeros(2 * n)
     tip = jnp.zeros(n).at[-2].set(impulse_amplitude)
@@ -64,7 +68,7 @@ def simulate_system(beam, controller, impulse_amplitude=0.1, t_final=0.5, dt=0.0
 
     return simulate(
         beam, x0, t_final, dt, method="dopri5", u=disturbance,
-        forces_func=forces_func, rtol=1e-8, atol=1e-10,
+        forces_func=forces_func, rtol=rtol, atol=atol,
     )
 
 

@@ -134,6 +134,33 @@ class TestNewmarkOnBeam:
         tip_new = np.asarray(res.ys)[:, n - 2]
         assert np.abs(tip_new - tip_ref).max() / np.abs(tip_ref).max() < 2e-2
 
+    def test_generalized_alpha_accuracy_and_dissipation(self, beam):
+        """Gen-alpha tracks the tip like Newmark but damps spurious high modes."""
+        n = beam.n_pos_states
+        x0 = np.zeros(2 * n)
+        u = jnp.zeros(n).at[-2].set(0.05)
+        ref = simulate(beam, x0, 0.01, 0.001, method="dopri5", u=u,
+                       rtol=1e-11, atol=1e-13)
+        tip_ref = np.asarray(ref.ys)[:, n - 2]
+        res = simulate(beam, x0, 0.01, 0.001, method="generalized_alpha",
+                       u=u, substeps=100, rho_inf=0.8)
+        tip = np.asarray(res.ys)[:, n - 2]
+        assert np.abs(tip - tip_ref).max() / np.abs(tip_ref).max() < 1e-2
+
+        # At coarse dt the undamped Newmark keeps the (unresolvable, ~5-26
+        # kHz) axial modes ringing while gen-alpha with rho_inf=0.5
+        # annihilates them: seed an axial tip displacement (the linear beam
+        # decouples axial from bending) and compare late axial energy.
+        x0_ax = np.zeros(2 * n)
+        x0_ax[n - 3] = 1e-5  # axial tip displacement
+        res_nm = simulate(beam, x0_ax, 0.2, 0.001, method="newmark", substeps=1)
+        res_ga = simulate(beam, x0_ax, 0.2, 0.001, method="generalized_alpha",
+                          substeps=1, rho_inf=0.5)
+        u_idx = np.arange(0, n, 3)  # axial displacements
+        e_nm = float(np.sum(np.asarray(res_nm.ys)[-20:, u_idx] ** 2))
+        e_ga = float(np.sum(np.asarray(res_ga.ys)[-20:, u_idx] ** 2))
+        assert e_ga < 0.1 * e_nm
+
     def test_batched_rollout(self, beam):
         """The same newmark program runs a batch via vmap."""
         n = beam.n_pos_states
