@@ -1,0 +1,127 @@
+"""Parameter-sweep and differentiability tests.
+
+Covers the north-star capabilities with no reference counterpart: batched
+beam *configurations* as one compiled program, and gradients of trajectory
+losses w.r.t. physical parameters.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+from continuum_robot_tpu.models.simulate import simulate
+from continuum_robot_tpu.parallel.sweep import (
+    make_parametric_rhs,
+    override_arrays,
+    parametric_rollout,
+    tile_arrays,
+)
+from tests import helpers
+
+
+@pytest.fixture(scope="module")
+def model():
+    return DynamicEulerBernoulliBeam(helpers.linear_csv())
+
+
+class TestOverrides:
+    def test_tile_and_override(self, model):
+        arrays = model.beam_model.arrays
+        E = np.linspace(50e9, 100e9, 4)[:, None]
+        batch = override_arrays(arrays, elastic_modulus=E)
+        assert batch.elastic_modulus.shape == (4, 6)
+        np.testing.assert_allclose(np.asarray(batch.elastic_modulus[:, 0]), E[:, 0])
+        np.testing.assert_allclose(
+            np.asarray(batch.length), np.tile(np.asarray(arrays.length), (4, 1))
+        )
+
+    def test_unknown_field_rejected(self, model):
+        with pytest.raises(ValueError, match="no field"):
+            override_arrays(model.beam_model.arrays, youngs=np.ones((2, 1)))
+
+
+class TestParametricRhs:
+    def test_matches_fixed_model(self, model):
+        """Parametric RHS at the model's own arrays == the model's RHS."""
+        bc = model.beam_model.bc_info
+        rhs_param = make_parametric_rhs(bc)
+        rhs_fixed = model.build_rhs()
+        n = model.n_pos_states
+        x = np.random.default_rng(0).normal(scale=1e-3, size=2 * n)
+        arrays_j = jax.tree_util.tree_map(
+            jnp.asarray, model.beam_model.arrays
+        )
+        a = np.asarray(rhs_param(0.0, jnp.asarray(x), None, arrays_j))
+        b = np.asarray(rhs_fixed(0.0, jnp.asarray(x), None))
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10 * np.abs(b).max())
+
+    def test_sweep_changes_dynamics(self, model):
+        bc = model.beam_model.bc_info
+        arrays = model.beam_model.arrays
+        E = np.array([50e9, 100e9])[:, None]
+        batch = override_arrays(arrays, elastic_modulus=E)
+        n = model.n_pos_states
+        x0 = np.zeros((2, 2 * n))
+        x0[:, n - 2] = 1e-3
+        ts, ys = parametric_rollout(bc, batch, x0, 0.01, 0.001, substeps=20)
+        ys = np.asarray(ys)
+        assert ys.shape[1] == 2
+        assert np.all(np.isfinite(ys))
+        # Stiffer beam oscillates faster -> different trajectories.
+        assert not np.allclose(ys[:, 0], ys[:, 1])
+
+    def test_matches_single_env_simulate(self, model):
+        """One-env parametric rollout == the fixed-model RK4 rollout."""
+        bc = model.beam_model.bc_info
+        n = model.n_pos_states
+        x0 = np.zeros(2 * n)
+        x0[n - 2] = 1e-3
+        batch = tile_arrays(model.beam_model.arrays, 1)
+        ts, ys = parametric_rollout(bc, batch, x0[None], 0.005, 0.001, substeps=40)
+        res = simulate(model, x0, 0.005, 0.001, method="rk4", substeps=40)
+        np.testing.assert_allclose(
+            np.asarray(ys)[:, 0], np.asarray(res.ys), rtol=1e-7,
+            atol=1e-9 * np.abs(np.asarray(res.ys)).max(),
+        )
+
+
+class TestDifferentiability:
+    def test_gradient_wrt_elastic_modulus(self, model):
+        """d(loss)/dE through a full rollout: finite, matches finite diff."""
+        bc = model.beam_model.bc_info
+        arrays = model.beam_model.arrays
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(1e-3)
+
+        def loss(E_scalar):
+            batch = override_arrays(arrays, elastic_modulus=E_scalar[None, None])
+            ts, ys = parametric_rollout(bc, batch, x0[None], 0.002, 0.001,
+                                        substeps=20)
+            return jnp.sum(ys[-1, 0, :n] ** 2) * 1e6
+
+        E0 = jnp.asarray(75e9)
+        g = jax.grad(loss)(E0)
+        assert np.isfinite(float(g))
+        eps = 1e3  # relative 1.3e-8 step on 75e9
+        fd = (loss(E0 + eps) - loss(E0 - eps)) / (2 * eps)
+        assert float(g) == pytest.approx(float(fd), rel=2e-3)
+
+    def test_gradient_wrt_initial_state(self, model):
+        rhs = model.build_rhs()
+        n = model.n_pos_states
+
+        def loss(x0):
+            from continuum_robot_tpu.ops.integrators import integrate_fixed
+
+            ts, xs = integrate_fixed(rhs, x0, 0.0, 0.001, 3, substeps=20)
+            return jnp.sum(xs[-1] ** 2)
+
+        x0 = jnp.zeros(2 * n).at[n - 2].set(1e-3)
+        g = jax.grad(loss)(x0)
+        assert g.shape == x0.shape
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.abs(g).max()) > 0
