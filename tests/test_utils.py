@@ -1,0 +1,122 @@
+"""Tests for the aux subsystems: guards, checkpointing, profiling, metrics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+from continuum_robot_tpu.models.simulate import simulate
+from continuum_robot_tpu.utils import (
+    StepMeter,
+    divergence_flags,
+    guard_rhs,
+    init_health,
+    load_checkpoint,
+    save_checkpoint,
+    step_with_guard,
+)
+from continuum_robot_tpu.utils.metrics import make_energy_fns, run_metrics
+from tests import helpers
+
+
+@pytest.fixture(scope="module")
+def model():
+    return DynamicEulerBernoulliBeam(helpers.linear_csv())
+
+
+class TestDivergenceGuards:
+    def test_flags(self):
+        x = jnp.asarray([[1.0, 2.0], [jnp.nan, 0.0], [1e9, 0.0]])
+        flags = np.asarray(divergence_flags(x, limit=1e3))
+        np.testing.assert_array_equal(flags, [False, True, True])
+
+    def test_freeze_semantics(self):
+        """A diverged env keeps its last good state; healthy envs continue."""
+
+        def bad_step(x):
+            # env 1 explodes, others advance
+            out = x + 1.0
+            return out.at[1].set(jnp.inf)
+
+        guarded = step_with_guard(bad_step, limit=1e3)
+        x = jnp.zeros((3, 4))
+        health = init_health(x, batch_shape=(3,))
+        x1, health = guarded(x, health)
+        x2, health = guarded(x1, health)
+        np.testing.assert_array_equal(np.asarray(health.diverged), [False, True, False])
+        np.testing.assert_allclose(np.asarray(x2)[0], 2.0)
+        np.testing.assert_allclose(np.asarray(x2)[1], 0.0)  # frozen at init
+        assert np.all(np.isfinite(np.asarray(x2)))
+
+    def test_guard_rhs(self):
+        def rhs(t, x, u=None):
+            return x / x  # NaN at zero
+
+        g = guard_rhs(rhs)
+        out = np.asarray(g(0.0, jnp.zeros(4)))
+        np.testing.assert_allclose(out, 0.0)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        state = {"q": jnp.arange(6.0), "v": jnp.ones(6)}
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, state, t=0.25, rng_key=jnp.asarray([0, 1]),
+                        meta={"n_envs": 4})
+        restored, t, key, meta = load_checkpoint(path, treedef_like=state)
+        assert t == 0.25
+        np.testing.assert_allclose(np.asarray(restored["q"]), np.arange(6.0))
+        np.testing.assert_allclose(np.asarray(restored["v"]), 1.0)
+        assert int(meta["n_envs"]) == 4
+
+
+class TestStepMeter:
+    def test_measures(self):
+        meter = StepMeter(n_steps=10, n_envs=2)
+        fn = jax.jit(lambda x: x * 2)
+        meter.measure(fn, jnp.ones(16), repeats=3)
+        rep = meter.report()
+        assert rep["compile_s"] > 0 and rep["run_s"] > 0
+        assert rep["env_steps_per_sec"] == pytest.approx(
+            2 * 10 / rep["run_s"]
+        )
+
+
+class TestMetrics:
+    def test_energy_conservation_undamped(self, model):
+        """Undamped free vibration conserves energy to solver tolerance."""
+        n = model.n_pos_states
+        x0 = np.zeros(2 * n)
+        x0[n - 2] = 1e-4
+        res = simulate(model, x0, 0.05, 0.001, method="dopri5",
+                       rtol=1e-10, atol=1e-13)
+        m = run_metrics(model, res)
+        assert m["finite"]
+        assert abs(m["energy_drift_rel"]) < 1e-6
+        assert m["energy_initial"] > 0
+
+    def test_energy_decays_with_drag(self):
+        from continuum_robot_tpu.models import ForceParams
+
+        beam = DynamicEulerBernoulliBeam(
+            helpers.linear_csv(),
+            ForceParams(enable_fluid_effects=True, fluid_density=2000.0),
+        )
+        n = beam.n_pos_states
+        x0 = np.zeros(2 * n)
+        x0[n - 2] = 1e-3
+        res = simulate(beam, x0, 0.1, 0.001, method="dopri5",
+                       rtol=1e-8, atol=1e-11)
+        m = run_metrics(beam, res)
+        assert m["energy_drift_rel"] < -0.01  # drag removes energy
+
+    def test_kinetic_strain_shapes(self, model):
+        kinetic, strain = make_energy_fns(model)
+        n = model.n_pos_states
+        batch = jnp.ones((5, n)) * 1e-4
+        assert kinetic(batch).shape == (5,)
+        assert strain(batch).shape == (5,)
+        assert bool(jnp.all(kinetic(batch) > 0))
