@@ -158,13 +158,20 @@ def integrate_adaptive(
         scale = atol + rtol * jnp.maximum(jnp.abs(x_old), jnp.abs(x_new))
         return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
+    # dtype-aware closeness guard: 1e-14 would be below f32 epsilon and
+    # stall intervals at the step cap on the TPU fast path.
+    t_eps = 32.0 * float(jnp.finfo(dtype).eps)
+
     def advance_interval(carry, t_pair):
         x, dt_est, stats = carry
         t_start, t_end = t_pair[0], t_pair[1]
+        t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
 
         def cond(state):
             t, x, dt_est, n, acc, rej = state
-            return jnp.logical_and(t < t_end - 1e-14, n < max_steps_per_interval)
+            return jnp.logical_and(
+                t < t_end - t_close, n < max_steps_per_interval
+            )
 
         def body(state):
             t, x, dt_est, n, acc, rej = state

@@ -1,0 +1,90 @@
+"""Nonlinear large-deflection workload: implicit integration under big loads.
+
+The BASELINE config list includes "Nonlinear Euler-Bernoulli beam, large
+deflection, implicit time integration" (the regime the reference's sympy
+notebook derives its element for). This example drives the nonlinear
+6-segment cantilever with a ramped tip force far beyond the linear regime
+(tip deflection ~10% of length), integrates implicitly with generalized-alpha
+(full Newton on the block-tridiagonal tangent), and cross-checks the final
+state against the tight-tolerance explicit adaptive solution.
+
+It also reports the geometric-stiffening signature: the nonlinear beam's
+effective stiffness grows with deflection, so its static tip deflection is
+*smaller* than the linear prediction F L^3 / (3 EI).
+
+Usage: python examples/nonlinear_large_deflection.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from example_utilities import (
+    cleanup_temp_files,
+    create_beam_parameters,
+    get_material_properties,
+)
+
+from continuum_robot_tpu.models import DynamicEulerBernoulliBeam, ForceParams
+from continuum_robot_tpu.models.simulate import simulate
+
+
+def main():
+    _, nonlinear_file, _ = create_beam_parameters()
+    beam = DynamicEulerBernoulliBeam(
+        nonlinear_file,
+        ForceParams(enable_fluid_effects=True, fluid_density=1000.0),
+    )
+    n = beam.n_pos_states
+    props = get_material_properties()
+    L_total = props["length"] * 6
+    EI = props["E"] * props["MInertia"]
+
+    # Ramp to a force giving ~10% L linear tip deflection, then hold: the
+    # fluid drag damps transients toward the (nonlinear) static equilibrium.
+    F_tip = 0.10 * L_total * 3 * EI / L_total**3
+    ramp_t = 0.2
+    tip = jnp.zeros(n).at[-2].set(1.0)
+
+    def u(t):
+        return tip * F_tip * jnp.clip(t / ramp_t, 0.0, 1.0)
+
+    x0 = np.zeros(2 * n)
+
+    t0 = time.time()
+    res_imp = simulate(
+        beam, x0, 1.0, 0.001, method="generalized_alpha",
+        u=u, substeps=10, n_newton=3, rho_inf=0.7,
+    )
+    t_imp = time.time() - t0
+
+    t0 = time.time()
+    res_exp = simulate(
+        beam, x0, 1.0, 0.001, method="dopri5", u=u, rtol=1e-8, atol=1e-11,
+    )
+    t_exp = time.time() - t0
+
+    tip_imp = np.asarray(res_imp.ys)[:, n - 2]
+    tip_exp = np.asarray(res_exp.ys)[:, n - 2]
+
+    w_linear_static = F_tip * L_total**3 / (3 * EI)
+    print(f"tip force: {F_tip:.3f} N (linear static prediction "
+          f"{w_linear_static * 1e3:.1f} mm = 10% of length)")
+    print(f"implicit (gen-alpha, dt=1e-4, 3 Newton): final tip "
+          f"{tip_imp[-1] * 1e3:.3f} mm in {t_imp:.2f}s")
+    print(f"explicit (dopri5 rtol 1e-8):            final tip "
+          f"{tip_exp[-1] * 1e3:.3f} mm in {t_exp:.2f}s")
+    diff = abs(tip_imp[-1] - tip_exp[-1]) / abs(tip_exp[-1])
+    print(f"implicit vs explicit relative difference: {diff:.2e}")
+    stiffening = 1.0 - tip_exp[-1] / w_linear_static
+    print(f"geometric stiffening: nonlinear deflection is "
+          f"{stiffening * 100:.1f}% below the linear prediction")
+
+    cleanup_temp_files(nonlinear_file)
+
+
+if __name__ == "__main__":
+    main()
