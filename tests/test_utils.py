@@ -113,6 +113,32 @@ class TestMetrics:
         m = run_metrics(beam, res)
         assert m["energy_drift_rel"] < -0.01  # drag removes energy
 
+    def test_modal_analysis_matches_analytic(self):
+        """FEM natural frequencies vs the closed-form cantilever solution.
+
+        A 12-element mesh resolves the first three bending modes to <1%
+        (physics-sanity idiom, same bar as the reference's FFT comparison).
+        """
+        from continuum_robot_tpu.utils.modal import (
+            analytic_cantilever_frequencies,
+            modal_analysis,
+        )
+
+        beam12 = DynamicEulerBernoulliBeam(
+            helpers.linear_csv(n=12, length=helpers.LENGTH / 2)
+        )
+        freqs, modes = modal_analysis(beam12, n_modes=8)
+        # Bending modes interleave with axial ones; compare the lowest three
+        # against the analytic transverse spectrum.
+        analytic = analytic_cantilever_frequencies(
+            6 * helpers.LENGTH, helpers.E_MOD, helpers.M_INERTIA,
+            helpers.DENSITY, helpers.CROSS_AREA, n_modes=3,
+        )
+        for fa in analytic:
+            rel = np.abs(freqs - fa).min() / fa
+            assert rel < 0.01, f"mode at {fa:.2f} Hz off by {rel:.3%}"
+        assert modes.shape[0] == beam12.n_pos_states
+
     def test_kinetic_strain_shapes(self, model):
         kinetic, strain = make_energy_fns(model)
         n = model.n_pos_states
