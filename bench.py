@@ -40,20 +40,29 @@ DT = 1e-4
 
 def main():
     import jax
+
+    # TPU matmuls default to bfloat16 multiplication; the implicit solve
+    # needs real f32 (verified: bf16 accumulates to NaN within 400 steps).
+    jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
     import pandas as pd
 
     from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
     from continuum_robot_tpu.models.simulate import make_newmark_operator
-    from continuum_robot_tpu.ops.integrators import newmark_step
+    from continuum_robot_tpu.ops.integrators import generalized_alpha_step
 
-    L, E, r, rho = 0.25, 75e9, 0.005, 6450.0
+    # Element size matches the reference workload's segments (0.25/6 m,
+    # example_utilities.py:19-34): the 1000-element benchmark beam is a
+    # 41.7 m continuum. Shrinking the same 0.25 m beam to 1000 segments
+    # would be a degenerate mesh (0.25 mm elements, omega_max ~ 1e7 rad/s,
+    # 14 decades of dynamic range — unrepresentable in f32).
+    L_el, E, r, rho = 0.25 / 6, 75e9, 0.005, 6450.0
     I = np.pi * r**4 / 4
     A = np.pi * r**2
     n = N_ELEMENTS
     df = pd.DataFrame(
         {
-            "length": [L / n] * n,
+            "length": [L_el] * n,
             "elastic_modulus": [E] * n,
             "moment_inertia": [I] * n,
             "density": [rho] * n,
@@ -65,12 +74,24 @@ def main():
     model = DynamicEulerBernoulliBeam(df)
     n_red = model.n_pos_states
 
-    op = make_newmark_operator(model, dt=DT, linear_solver="dense_inv")
+    # Generalized-alpha (rho_inf = 0.8): at omega_max*dt ~ 1e3 the undamped
+    # Newmark keeps unit-circle high modes where f32 roundoff slowly
+    # destabilizes them; gen-alpha's spectral radius < 1 absorbs that.
+    RHO_INF = 0.8
+    am = (2.0 * RHO_INF - 1.0) / (RHO_INF + 1.0)
+    af = RHO_INF / (RHO_INF + 1.0)
+    beta_ga = 0.25 * (1.0 - am + af) ** 2
+    op = make_newmark_operator(
+        model, dt=None, linear_solver="dense_inv",
+        extra_systems=[(1.0 - am, (1.0 - af) * beta_ga * DT * DT)],
+    )
 
     def run(q, v, a, u):
         def body(carry, _):
             q, v, a = carry
-            q, v, a = newmark_step(op, 0.0, q, v, a, DT, u, n_newton=1)
+            q, v, a = generalized_alpha_step(
+                op, 0.0, q, v, a, DT, u, rho_inf=RHO_INF, n_newton=1
+            )
             return (q, v, a), None
 
         (q, v, a), _ = jax.lax.scan(body, (q, v, a), None, length=N_STEPS)
@@ -104,7 +125,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"implicit Newmark env-steps/sec/chip, {N_ELEMENTS}-element "
+                    f"implicit generalized-alpha env-steps/sec/chip, {N_ELEMENTS}-element "
                     f"beam, {N_ENVS} envs, f32"
                 ),
                 "value": round(env_steps_per_sec, 1),

@@ -34,8 +34,10 @@ def make_mass_inverse_apply(m_reduced: np.ndarray):
 
     def apply(f: jax.Array) -> jax.Array:
         # Constant-folded under jit; the eager fallback path pays a transfer.
+        # precision=HIGHEST: TPU matmuls otherwise multiply in bfloat16,
+        # which is not enough mantissa for stiffness-scale cancellations.
         m = jnp.asarray(m_inv, dtype=f.dtype)
-        return jnp.einsum("ij,...j->...i", m, f)
+        return jnp.einsum("ij,...j->...i", m, f, precision=jax.lax.Precision.HIGHEST)
 
     return apply, m_inv
 

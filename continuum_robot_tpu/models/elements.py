@@ -325,7 +325,11 @@ def element_internal_force(
     """
     xp = _ns(q6, length, elastic_modulus, moment_inertia, cross_area)
     K = linear_stiffness_matrix(length, elastic_modulus, moment_inertia, cross_area)
-    f_lin = xp.einsum("...ij,...j->...i", K, q6)
+    f_lin = (
+        xp.einsum("...ij,...j->...i", K, q6, precision=jax.lax.Precision.HIGHEST)
+        if xp is jnp
+        else xp.einsum("...ij,...j->...i", K, q6)
+    )
     nl = (
         nonlinear_internal_force_consistent(
             q6, length, elastic_modulus, moment_inertia, cross_area

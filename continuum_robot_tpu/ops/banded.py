@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _ns(*args):
     for a in args:
@@ -70,9 +72,9 @@ def inv33(m) -> jax.Array:
 
 def btd_matvec(diag, lower, upper, x):
     """``y = T x`` for block-tridiagonal ``T``; ``x``: ``(..., N, 3)``."""
-    y = jnp.einsum("...nij,...nj->...ni", diag, x)
-    y = y.at[..., 1:, :].add(jnp.einsum("...nij,...nj->...ni", lower, x[..., :-1, :]))
-    y = y.at[..., :-1, :].add(jnp.einsum("...nij,...nj->...ni", upper, x[..., 1:, :]))
+    y = jnp.einsum("...nij,...nj->...ni", diag, x, precision=_HI)
+    y = y.at[..., 1:, :].add(jnp.einsum("...nij,...nj->...ni", lower, x[..., :-1, :], precision=_HI))
+    y = y.at[..., :-1, :].add(jnp.einsum("...nij,...nj->...ni", upper, x[..., 1:, :], precision=_HI))
     return y
 
 
@@ -99,8 +101,8 @@ def btd_factor(diag, lower, upper):
     def step(carry, inputs):
         dinv_prev = carry
         a_i, c_im1, b_im1 = inputs
-        w = jnp.einsum("...ij,...jk->...ik", c_im1, dinv_prev)  # C D^{-1}
-        d_i = a_i - jnp.einsum("...ij,...jk->...ik", w, b_im1)
+        w = jnp.einsum("...ij,...jk->...ik", c_im1, dinv_prev, precision=_HI)  # C D^{-1}
+        d_i = a_i - jnp.einsum("...ij,...jk->...ik", w, b_im1, precision=_HI)
         dinv_i = inv33(d_i)
         return dinv_i, (dinv_i, w)
 
@@ -130,13 +132,13 @@ def btd_solve(factors, b):
     def fwd(carry, inputs):
         y_prev = carry
         b_i, w_i = inputs
-        y_i = b_i - jnp.einsum("...ij,...j->...i", w_i, y_prev)
+        y_i = b_i - jnp.einsum("...ij,...j->...i", w_i, y_prev, precision=_HI)
         return y_i, y_i
 
     y_last, ys = jax.lax.scan(fwd, y0, (b_f, lw_f))
     y = jnp.concatenate([y0[..., None, :], jnp.moveaxis(ys, 0, -2)], axis=-2)
 
-    xN = jnp.einsum("...ij,...j->...i", dinv[..., -1, :, :], y[..., -1, :])
+    xN = jnp.einsum("...ij,...j->...i", dinv[..., -1, :, :], y[..., -1, :], precision=_HI)
 
     y_rev = jnp.moveaxis(y[..., :-1, :], -2, 0)[::-1]
     dinv_rev = jnp.moveaxis(dinv[..., :-1, :, :], -3, 0)[::-1]
@@ -148,7 +150,8 @@ def btd_solve(factors, b):
         x_i = jnp.einsum(
             "...ij,...j->...i",
             dinv_i,
-            y_i - jnp.einsum("...ij,...j->...i", b_i, x_next),
+            y_i - jnp.einsum("...ij,...j->...i", b_i, x_next, precision=_HI),
+            precision=_HI,
         )
         return x_i, x_i
 
