@@ -85,7 +85,7 @@ def make_newmark_operator(
     dt: float = None,
     beta: float = 0.25,
     use_modified_newton: bool = True,
-    linear_solver: str = "btd",
+    linear_solver: str = None,
     extra_systems=None,
 ) -> integrators.NewmarkOperator:
     """Build the implicit-stepper operators for a dynamic beam model.
@@ -110,6 +110,16 @@ def make_newmark_operator(
       the dense inverse's O(N^2) matmul wastes 100x the FLOPs. Requires a
       leading batch axis on the solve inputs.
     """
+    if linear_solver is None:
+        # Platform default. On the TPU backend "dense_inv" is both the
+        # throughput choice (MXU matmuls) and — empirically — the SAFE one:
+        # the experimental axon/Mosaic backend miscompiles the fully-fused
+        # batched implicit step when every operator is the block-tridiagonal
+        # scan path (batched results diverge from single-env and from f64
+        # ground truth; any one dense component in the fusion fixes it).
+        # CPU lowers everything correctly; "btd" is memory-lean there.
+        linear_solver = "btd" if jax.default_backend() == "cpu" else "dense_inv"
+
     arrays = model.beam_model.arrays
     bc_info = model.beam_model.bc_info
     free = bc_info.free_dofs
@@ -258,7 +268,7 @@ def simulate(
     atol: float = 1e-10,
     substeps: int = 1,
     n_newton: int = 2,
-    linear_solver: str = "btd",
+    linear_solver: str = None,
     rho_inf: float = 0.8,
     jit: bool = True,
 ) -> SimulationResult:

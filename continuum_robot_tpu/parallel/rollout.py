@@ -29,12 +29,17 @@ def build_rollout_fn(
     forces_func: Optional[Callable] = None,
     substeps: int = 1,
     n_newton: int = 2,
-    linear_solver: str = "btd",
+    linear_solver: str = None,
+    rho_inf: float = 0.8,
 ) -> Callable:
     """Compile-ready single-env rollout ``x0 -> (ts, ys)``.
 
     vmap/shard over the leading axis of ``x0`` to batch it; the returned
     callable contains no Python-level control flow dependent on data.
+
+    For long f32 implicit rollouts prefer ``generalized_alpha``: undamped
+    Newmark keeps high modes exactly on the unit circle, where f32 roundoff
+    accumulates into divergence over thousands of steps.
     """
     n_steps = int(round(t_final / dt))
 
@@ -51,6 +56,27 @@ def build_rollout_fn(
             ts, qs, vs = integrators.integrate_newmark(
                 op, x0[..., :n], x0[..., n:], 0.0, dt, n_steps,
                 u=u, n_newton=n_newton, substeps=substeps,
+            )
+            return ts, jnp.concatenate([qs, vs], axis=-1)
+
+    elif method == "generalized_alpha":
+        from ..models.simulate import make_newmark_operator
+
+        h = dt / substeps
+        am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+        af = rho_inf / (rho_inf + 1.0)
+        beta_ga = 0.25 * (1.0 - am + af) ** 2
+        op = make_newmark_operator(
+            model, forces_func=forces_func, dt=None,
+            linear_solver=linear_solver,
+            extra_systems=[(1.0 - am, (1.0 - af) * beta_ga * h * h)],
+        )
+
+        def rollout(x0):
+            n = x0.shape[-1] // 2
+            ts, qs, vs = integrators.integrate_generalized_alpha(
+                op, x0[..., :n], x0[..., n:], 0.0, dt, n_steps,
+                u=u, rho_inf=rho_inf, n_newton=n_newton, substeps=substeps,
             )
             return ts, jnp.concatenate([qs, vs], axis=-1)
 

@@ -1,6 +1,12 @@
 """Utilities: profiling meters, numerical guards, checkpointing."""
 
-from .checks import divergence_flags, guard_rhs, init_health, step_with_guard
+from .checks import (
+    divergence_flags,
+    guard_rhs,
+    init_health,
+    step_with_guard,
+    verify_batch_consistency,
+)
 from .checkpoint import load_checkpoint, save_checkpoint
 from .profiling import StepMeter, compile_time_breakdown, trace
 
@@ -14,4 +20,5 @@ __all__ = [
     "save_checkpoint",
     "step_with_guard",
     "trace",
+    "verify_batch_consistency",
 ]

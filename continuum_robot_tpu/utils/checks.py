@@ -19,6 +19,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class HealthState(NamedTuple):
@@ -53,6 +54,37 @@ def step_with_guard(step_fn: Callable, limit: float = 1e3) -> Callable:
         return x_out, HealthState(diverged=diverged, max_abs=max_abs)
 
     return guarded
+
+
+def verify_batch_consistency(
+    step_fn: Callable, x_batch, rtol: float = 1e-4, n_check: int = 2
+) -> float:
+    """Cross-check a batched step against per-env execution of the same fn.
+
+    Returns the max relative deviation; raises RuntimeError above ``rtol``.
+    Exists because experimental backends can miscompile heavily-fused batched
+    programs while every component is individually correct (observed on the
+    axon TPU backend: the fully-fused block-tridiagonal implicit step gave
+    batched results diverging from single-env and float64 ground truth).
+    Run once after building a new rollout configuration on a new backend.
+    """
+    x_batch = jnp.asarray(x_batch)
+    out_b = jax.jit(step_fn)(x_batch)
+    single = jax.jit(step_fn)
+    worst = 0.0
+    idx = np.linspace(0, x_batch.shape[0] - 1, min(n_check, x_batch.shape[0]))
+    for k in idx.astype(int):
+        out_k = single(x_batch[k])
+        scale = float(jnp.abs(out_k).max()) or 1.0
+        dev = float(jnp.abs(out_b[k] - out_k).max()) / scale
+        worst = max(worst, dev)
+    if worst > rtol:
+        raise RuntimeError(
+            f"Batched execution deviates from per-env by {worst:.3e} "
+            f"(> {rtol:.1e}) — suspected backend miscompilation; switch the "
+            "implicit solver to 'dense_inv' or report the fusion."
+        )
+    return worst
 
 
 def guard_rhs(rhs: Callable) -> Callable:

@@ -49,7 +49,7 @@ def main():
     t0 = time.time()
     res = batched_rollout(
         beam, x0, t_final=0.25, dt=0.001,
-        method="newmark", substeps=20, mesh=mesh,
+        method="generalized_alpha", substeps=20, mesh=mesh,
     )
     stats = sweep_statistics(res.ys)
     tip_max = float(stats["tip_abs_max"])
@@ -66,7 +66,7 @@ def main():
     t0 = time.time()
     res2 = batched_rollout(
         beam, x0, t_final=0.25, dt=0.001,
-        method="newmark", substeps=20, mesh=mesh,
+        method="generalized_alpha", substeps=20, mesh=mesh,
     )
     jax.block_until_ready(res2.ys)
     wall2 = time.time() - t0
