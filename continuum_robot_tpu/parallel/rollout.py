@@ -128,10 +128,17 @@ def batched_rollout(
 
 
 def sweep_statistics(ys: jax.Array) -> dict:
-    """Cross-env summary stats (the ``psum`` workload of a parameter sweep)."""
-    tip = ys[..., -2]
+    """Cross-env summary stats (the ``psum`` workload of a parameter sweep).
+
+    ``ys`` layout is ``[..., q; v]``: the tip transverse displacement is
+    position index ``n-2`` (the last free node's w), NOT ``-2`` (which would
+    be the tip *velocity*).
+    """
+    n = ys.shape[-1] // 2
+    tip = ys[..., n - 2]
     return {
         "tip_abs_max": jnp.max(jnp.abs(tip)),
         "tip_mean_final": jnp.mean(tip[-1]),
+        "tip_vel_abs_max": jnp.max(jnp.abs(ys[..., -2])),
         "state_rms": jnp.sqrt(jnp.mean(ys**2)),
     }
