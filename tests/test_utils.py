@@ -60,6 +60,57 @@ class TestDivergenceGuards:
         np.testing.assert_allclose(out, 0.0)
 
 
+class TestBatchConsistency:
+    def test_passes_on_consistent_fn(self):
+        from continuum_robot_tpu.utils import verify_batch_consistency
+
+        dev = verify_batch_consistency(lambda x: x * 2 + 1, jnp.ones((4, 8)))
+        assert dev < 1e-7
+
+    def test_raises_on_inconsistent_fn(self):
+        from continuum_robot_tpu.utils import verify_batch_consistency
+
+        def bad(x):
+            # behaves differently for batched input (simulates a miscompile)
+            if x.ndim == 2:
+                return x * 3.0
+            return x * 2.0
+
+        with pytest.raises(RuntimeError, match="deviates"):
+            verify_batch_consistency(bad, jnp.ones((4, 8)))
+
+    def test_implicit_step_consistent_on_cpu(self):
+        """The full fused gen-alpha step: batch == per-env on this backend."""
+        from continuum_robot_tpu.models.simulate import make_newmark_operator
+        from continuum_robot_tpu.ops.integrators import generalized_alpha_step
+        from continuum_robot_tpu.utils import verify_batch_consistency
+        from continuum_robot_tpu.models import ForceParams
+
+        beam = DynamicEulerBernoulliBeam(
+            helpers.linear_csv(),
+            ForceParams(enable_fluid_effects=True, fluid_density=1000.0),
+        )
+        n = beam.n_pos_states
+        h = 5e-5
+        # No prefactored gen-alpha system -> the solve takes the full-Newton
+        # (state-dependent factorization) path, the heaviest fusion.
+        op = make_newmark_operator(beam, dt=None, linear_solver="btd")
+
+        def step(x):
+            q, v = x[..., :n], x[..., n : 2 * n],
+            a = x[..., 2 * n :]
+            q, v, a = generalized_alpha_step(
+                op, 0.0, q, v, a, h, None, rho_inf=0.8, n_newton=1
+            )
+            return jnp.concatenate([q, v, a], axis=-1)
+
+        x = jnp.zeros((4, 3 * n)).at[:, n - 2].set(
+            jnp.linspace(1e-4, 1e-3, 4)
+        )
+        dev = verify_batch_consistency(step, x, rtol=1e-6)
+        assert dev < 1e-6
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         state = {"q": jnp.arange(6.0), "v": jnp.ones(6)}
