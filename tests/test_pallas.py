@@ -49,3 +49,44 @@ class TestBtdSolvePallas:
                 np.linalg.solve(dense, rhs[k].flatten()),
                 rtol=1e-8, atol=1e-10,
             )
+
+
+class TestFusedRollout:
+    def test_matches_generalized_alpha_integrator(self):
+        """Fused kernel (interpret mode) == the reference stepper."""
+        import jax
+
+        from continuum_robot_tpu.models import (
+            DynamicEulerBernoulliBeam,
+            ForceParams,
+        )
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.ops.pallas.fused_rollout import fused_rollout
+        from tests import helpers
+
+        beam = DynamicEulerBernoulliBeam(
+            helpers.linear_csv(),
+            ForceParams(enable_fluid_effects=True, fluid_density=1000.0),
+        )
+        n = beam.n_pos_states
+        x0 = np.zeros((3, 2 * n))
+        x0[:, n - 2] = [1e-4, 5e-4, 1e-3]
+        u = np.zeros(n)
+        u[-2] = 0.05
+
+        ts, ys = fused_rollout(
+            beam, x0, t_final=0.02, dt=0.001, u=u, substeps=20,
+            tile=4, interpret=True,
+        )
+        ys = np.asarray(ys)
+
+        ref = simulate(
+            beam, x0[2], 0.02, 0.001, method="generalized_alpha",
+            u=jnp.asarray(u), substeps=20, rho_inf=0.8,
+        )
+        ref_ys = np.asarray(ref.ys)
+        scale = np.abs(ref_ys).max()
+        err = np.abs(ys[:, 2, :] - ref_ys).max() / scale
+        assert err < 1e-6, f"fused vs integrator: {err:.3e}"
+        assert np.all(np.isfinite(ys))
+        assert not np.allclose(ys[:, 0], ys[:, 2])
