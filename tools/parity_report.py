@@ -1,0 +1,162 @@
+"""One-command parity report: this framework vs the reference implementation.
+
+Runs on the CPU backend in float64 and prints a table of:
+
+1. element-kernel max relative errors (linear K/M, nonlinear f1..f6),
+2. full dynamic-system RHS errors on six force/element configurations,
+3. golden trajectory errors (on-device Dopri5 vs committed tight-tolerance
+   reference LSODA solutions),
+4. LQR gain error vs the scipy CARE oracle.
+
+Requires the reference checkout at /root/reference for (1)-(2); (3)-(4) use
+committed goldens only. Usage: python tools/parity_report.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import helpers  # noqa: E402
+
+REF = "/root/reference/src"
+HAVE_REF = os.path.isdir(REF)
+if HAVE_REF:
+    sys.path.insert(0, REF)
+
+ROWS = []
+
+
+def row(section, name, value, bar=None):
+    ok = "" if bar is None else ("  PASS" if value < bar else "  FAIL")
+    ROWS.append(f"{section:<22} {name:<42} {value:.3e}{ok}")
+
+
+def element_parity():
+    g = np.load(os.path.join(REPO, "tests", "goldens", "element_kernels.npz"))
+    from continuum_robot_tpu.models import elements
+
+    K = np.asarray(elements.linear_stiffness_matrix(
+        float(g["length"]), helpers.E_MOD, helpers.M_INERTIA, helpers.CROSS_AREA))
+    row("element kernels", "linear stiffness vs reference",
+        np.abs(K - g["K_linear"]).max() / np.abs(g["K_linear"]).max(), 1e-12)
+    M = np.asarray(elements.consistent_mass_matrix(
+        float(g["length"]), helpers.DENSITY, helpers.CROSS_AREA))
+    row("element kernels", "consistent mass vs reference",
+        np.abs(M - g["M_consistent"]).max() / np.abs(g["M_consistent"]).max(), 1e-12)
+    f = np.asarray(elements.nonlinear_internal_force(
+        g["q_states"], float(g["length"]), helpers.E_MOD, helpers.M_INERTIA,
+        helpers.CROSS_AREA))
+    row("element kernels", "nonlinear f1..f6 vs reference (256 states)",
+        np.abs(f - g["nonlinear_forces"]).max() / np.abs(g["nonlinear_forces"]).max(),
+        1e-9)
+
+
+def rhs_parity():
+    if not HAVE_REF:
+        ROWS.append("rhs parity          (skipped: /root/reference not present)")
+        return
+    from continuum_robot.models.dynamic_beam_model import (
+        DynamicEulerBernoulliBeam as RefDyn,
+    )
+    from continuum_robot.models.force_params import ForceParams as RefFP
+    from continuum_robot_tpu.models import (
+        DynamicEulerBernoulliBeam as NewDyn,
+        ForceParams as NewFP,
+    )
+
+    configs = [
+        ("linear", ["linear"] * 6, {}),
+        ("nonlinear", ["nonlinear"] * 6, {}),
+        ("mixed", ["linear"] * 3 + ["nonlinear"] * 3, {}),
+        ("linear+fluid", ["linear"] * 6,
+         {"enable_fluid_effects": True, "fluid_density": 1000.0}),
+        ("linear+gravity", ["linear"] * 6, {"enable_gravity_effects": True}),
+        ("nonlinear+both", ["nonlinear"] * 6,
+         {"enable_fluid_effects": True, "fluid_density": 1000.0,
+          "enable_gravity_effects": True}),
+    ]
+    rng = np.random.default_rng(42)
+    for name, types, fp in configs:
+        csv = helpers.write_beam_csv(types)
+        ref = RefDyn(csv, RefFP(**fp)); ref.create_system_func(); ref.create_input_func()
+        new = NewDyn(csv, NewFP(**fp)); new.create_system_func(); new.create_input_func()
+        n = ref.beam_model.M.shape[0]
+        x = rng.normal(scale=1e-3, size=2 * n)
+        u = rng.normal(scale=1e-2, size=n)
+        a = ref.get_dynamic_system()(0.5, x, u)
+        b = np.asarray(new.get_dynamic_system()(0.5, x, u))
+        row("full RHS", name, np.abs(b - a).max() / np.abs(a).max(), 1e-10)
+        os.unlink(csv)
+
+
+def trajectory_parity():
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam, ForceParams
+    from continuum_robot_tpu.models.simulate import simulate
+
+    data = np.load(os.path.join(REPO, "tests", "goldens", "trajectories.npz"))
+    with open(os.path.join(REPO, "tests", "goldens", "trajectories_meta.json")) as f:
+        meta = json.load(f)
+    configs = {
+        "linear": (["linear"] * 6, {}),
+        "nonlinear": (["nonlinear"] * 6, {}),
+        "mixed": (["linear"] * 3 + ["nonlinear"] * 3, {}),
+        "linear_fluid": (["linear"] * 6,
+                         {"enable_fluid_effects": True, "fluid_density": 1000.0}),
+        "linear_gravity": (["linear"] * 6, {"enable_gravity_effects": True}),
+        "nonlinear_fluid_gravity": (
+            ["nonlinear"] * 6,
+            {"enable_fluid_effects": True, "fluid_density": 1000.0,
+             "enable_gravity_effects": True}),
+    }
+    for name, (types, fp) in configs.items():
+        csv = helpers.write_beam_csv(types)
+        beam = DynamicEulerBernoulliBeam(csv, ForceParams(**fp))
+        n = beam.n_pos_states
+        u = helpers.tip_impulse(n, meta["impulse_amplitude"], meta["impulse_t_end"])
+        res = simulate(beam, np.zeros(2 * n), meta["t_final"], meta["dt"],
+                       method="dopri5", u=u, rtol=1e-10, atol=1e-12)
+        y_ref = data[f"{name}_y"]
+        y_new = np.asarray(res.ys).T[:, : y_ref.shape[1]]
+        row("trajectory (0.1s)", name,
+            np.abs(y_new - y_ref).max() / np.abs(y_ref).max(), 1e-5)
+        os.unlink(csv)
+
+
+def lqr_parity():
+    from continuum_robot_tpu.control import LinearQuadraticRegulator
+
+    g = np.load(os.path.join(REPO, "tests", "goldens", "lqr.npz"))
+    lqr = LinearQuadraticRegulator(g["K_beam"], g["M_beam"], g["Q"], g["R"])
+    K = lqr.compute_gain_matrix()
+    row("LQR", "gain vs scipy CARE oracle",
+        np.abs(K - g["K_gain"]).max() / np.abs(g["K_gain"]).max(), 1e-3)
+    row("LQR", "closed-loop max Re(eig) (must be < 0)",
+        float(np.real(lqr._E).max()), 0.0)
+
+
+if __name__ == "__main__":
+    element_parity()
+    rhs_parity()
+    trajectory_parity()
+    lqr_parity()
+    print("\nPARITY REPORT — continuum-robot-tpu vs reference")
+    print("=" * 86)
+    for r in ROWS:
+        print(r)
+    print("=" * 86)
+    n_fail = sum("FAIL" in r for r in ROWS)
+    print(f"{len(ROWS)} checks, {n_fail} failures")
+    sys.exit(1 if n_fail else 0)
