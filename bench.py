@@ -77,10 +77,12 @@ def main():
     model = DynamicEulerBernoulliBeam(df)
     n_red = model.n_pos_states
 
-    # Generalized-alpha (rho_inf = 0.8): at omega_max*dt ~ 1e3 the undamped
-    # Newmark keeps unit-circle high modes where f32 roundoff slowly
-    # destabilizes them; gen-alpha's spectral radius < 1 absorbs that.
-    RHO_INF = 0.8
+    # Generalized-alpha: at omega_max*dt ~ 1e3 the undamped Newmark keeps
+    # unit-circle high modes where f32 roundoff slowly destabilizes them;
+    # gen-alpha's spectral radius < 1 absorbs that. The reference-parity
+    # nonlinear element is non-variational (f != grad U — it can pump
+    # energy), so the nonlinear benchmark runs with stronger dissipation.
+    RHO_INF = 0.8 if BEAM_TYPE == "linear" else 0.5
     am = (2.0 * RHO_INF - 1.0) / (RHO_INF + 1.0)
     af = RHO_INF / (RHO_INF + 1.0)
     beta_ga = 0.25 * (1.0 - am + af) ** 2

@@ -292,14 +292,13 @@ def nonlinear_internal_force_consistent(
     — no hand-derived polynomials to maintain.
     """
 
-    def energy(q):
-        return element_strain_energy(
-            q, length, elastic_modulus, moment_inertia, cross_area
-        )
+    def energy_one(q, L, E, I, A):
+        return element_strain_energy(q, L, E, I, A)
 
-    flat = q6.reshape((-1, 6))
-    grads = jax.vmap(jax.grad(energy))(flat)
-    return grads.reshape(q6.shape)
+    grad_one = jax.grad(energy_one)
+    # Broadcast over any leading element/batch axes AND per-element params.
+    vec = jnp.vectorize(grad_one, signature="(k),(),(),(),()->(k)")
+    return vec(q6, length, elastic_modulus, moment_inertia, cross_area)
 
 
 # ---------------------------------------------------------------------------
