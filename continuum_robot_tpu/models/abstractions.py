@@ -22,7 +22,6 @@ from dataclasses import dataclass
 from enum import Enum
 from typing import Optional
 
-import numpy as np
 import pandas as pd
 
 

@@ -18,7 +18,6 @@ from dataclasses import dataclass, field
 from typing import List, Union
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 

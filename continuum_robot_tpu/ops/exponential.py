@@ -22,7 +22,7 @@ qualify). The facade checks and raises otherwise.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

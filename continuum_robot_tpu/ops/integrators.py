@@ -27,7 +27,6 @@ The callable contract is ``rhs(t, x, u) -> dx/dt`` (``models/dynamics.py``);
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -1,5 +1,11 @@
 """Pallas TPU kernels for the hot structured-linear-algebra ops."""
 
 from .btd_solve import btd_solve_pallas
+from .fused_rollout import drag_coefficient_vector, fused_gen_alpha_steps, fused_rollout
 
-__all__ = ["btd_solve_pallas"]
+__all__ = [
+    "btd_solve_pallas",
+    "drag_coefficient_vector",
+    "fused_gen_alpha_steps",
+    "fused_rollout",
+]

@@ -198,7 +198,7 @@ def fused_rollout(
     """
     import numpy as _np
 
-    from ...models.simulate import make_newmark_operator, reduce_matrix_dense
+    from ...models.simulate import reduce_matrix_dense
 
     arrays = model.beam_model.arrays
     if bool(_np.any(_np.asarray(arrays.nonlinear_mask))):
