@@ -57,22 +57,35 @@ def integrate_fixed(
     u=None,
     substeps: int = 1,
     step_fn: Callable = rk4_step,
+    remat: bool = False,
 ):
     """Fixed-step rollout: ``n_steps`` saved frames, ``substeps`` inner steps.
 
     Returns ``(ts (n_steps+1,), xs (n_steps+1, ...))`` including the initial
     state — the shape contract of ``solve_ivp(t_eval=...)`` outputs.
+
+    ``remat``: rematerialize each output frame under reverse-mode autodiff
+    (``jax.checkpoint``). Differentiating a rollout otherwise stores every
+    substep's intermediates; with remat the backward pass stores one state
+    per frame and recomputes the substeps — the standard FLOPs-for-HBM trade
+    for gradient-based design/identification over long horizons.
     """
     h = dt / substeps
 
     def outer(x, i):
         t_frame = t0 + i * dt
 
-        def inner(x, j):
-            t = t_frame + j * h
-            return step_fn(rhs, t, x, h, u), None
+        def advance(x):
+            def inner(x, j):
+                t = t_frame + j * h
+                return step_fn(rhs, t, x, h, u), None
 
-        x, _ = jax.lax.scan(inner, x, jnp.arange(substeps))
+            x, _ = jax.lax.scan(inner, x, jnp.arange(substeps))
+            return x
+
+        if remat:
+            advance = jax.checkpoint(advance)
+        x = advance(x)
         return x, x
 
     _, xs = jax.lax.scan(outer, x0, jnp.arange(n_steps))

@@ -42,6 +42,25 @@ class TestRK4:
         assert 3.5 < order < 4.5
 
 
+class TestRematRollout:
+    def test_remat_gradient_matches_plain(self):
+        """jax.checkpoint path: identical values and gradients, less memory."""
+
+        def loss(x0, remat):
+            ts, xs = integrators.integrate_fixed(
+                oscillator_rhs, x0, 0.0, 0.1, 5, substeps=10, remat=remat
+            )
+            return jnp.sum(xs[-1] ** 2)
+
+        x0 = jnp.array([1.0, 0.0])
+        v_plain, g_plain = jax.value_and_grad(lambda x: loss(x, False))(x0)
+        v_remat, g_remat = jax.value_and_grad(lambda x: loss(x, True))(x0)
+        np.testing.assert_allclose(float(v_plain), float(v_remat), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(g_plain), np.asarray(g_remat), rtol=1e-10
+        )
+
+
 class TestDopri5:
     def test_accuracy_and_stats(self):
         t_eval = jnp.linspace(0.0, 1.0, 11)
