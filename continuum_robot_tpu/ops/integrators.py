@@ -164,7 +164,14 @@ def integrate_adaptive(
     """
     t_eval = jnp.asarray(t_eval)
     dtype = x0.dtype
-    inf = jnp.asarray(jnp.inf, dtype)
+
+    # Floor the tolerances at the working precision: tolerances below ~eps
+    # are unreachable, so the controller rejects forever and the while_loop
+    # spins at the step cap (observed killing the remote TPU worker via its
+    # watchdog). 50*eps ~ 6e-6 in f32, 1e-14 in f64.
+    eps = float(jnp.finfo(dtype).eps)
+    rtol = max(float(rtol), 50.0 * eps)
+    atol = max(float(atol), 50.0 * eps * 1e-3)
 
     def err_norm(err, x_new, x_old):
         scale = atol + rtol * jnp.maximum(jnp.abs(x_old), jnp.abs(x_new))

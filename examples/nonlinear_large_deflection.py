@@ -61,9 +61,13 @@ def main():
     )
     t_imp = time.time() - t0
 
+    import jax
+
+    x64 = jax.config.jax_enable_x64
+    rtol, atol = (1e-8, 1e-11) if x64 else (1e-5, 1e-8)
     t0 = time.time()
     res_exp = simulate(
-        beam, x0, 1.0, 0.001, method="dopri5", u=u, rtol=1e-8, atol=1e-11,
+        beam, x0, 1.0, 0.001, method="dopri5", u=u, rtol=rtol, atol=atol,
     )
     t_exp = time.time() - t0
 
