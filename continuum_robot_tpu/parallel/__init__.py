@@ -2,7 +2,13 @@
 
 from .mesh import batch_sharding, make_mesh, replicated
 from .rollout import batched_rollout, build_rollout_fn, sweep_statistics
-from .spatial import SpatialBeam, build_spatial_rhs, make_spatial_beam
+from .spatial import (
+    SpatialBeam,
+    build_spatial_rhs,
+    make_spatial_beam,
+    reduced_to_node_layout,
+    spatial_rollout,
+)
 
 __all__ = [
     "SpatialBeam",
@@ -12,6 +18,8 @@ __all__ = [
     "build_spatial_rhs",
     "make_mesh",
     "make_spatial_beam",
+    "reduced_to_node_layout",
+    "spatial_rollout",
     "replicated",
     "sweep_statistics",
 ]

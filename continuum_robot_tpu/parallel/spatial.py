@@ -284,3 +284,63 @@ def build_spatial_rhs(
         )
 
     return rhs
+
+
+def spatial_rollout(
+    beam: SpatialBeam,
+    x0,
+    t_final: float,
+    dt: float,
+    u=None,
+    substeps: int = 1,
+    cg_iters: int = 16,
+    use_consistent: bool = False,
+):
+    """RK4 rollout of a node-sharded beam: the full CP-analogue pipeline.
+
+    ``x0``: ``(2, Np, 3)`` node-layout state (optionally with a leading env
+    batch for a dp x sp mesh); ``u``: ``(Np, 3)`` force layout or a traceable
+    callable of t. Per step: 4 RHS evaluations, each costing 2 halo
+    ppermutes + CG's (2 ppermutes + 2 psums) x iters over the ``sp`` axis.
+    Returns ``(ts, xs (frames+1, ..., 2, Np, 3))``.
+    """
+    from ..ops import integrators
+
+    rhs = build_spatial_rhs(beam, cg_iters=cg_iters, use_consistent=use_consistent)
+    n_steps = int(round(t_final / dt))
+
+    def run(x0):
+        return integrators.integrate_fixed(
+            rhs, x0, 0.0, dt, n_steps, u=u, substeps=substeps
+        )
+
+    x0 = jnp.asarray(x0)
+    if x0.ndim == 4:  # leading env batch -> vmap over dp
+        ts, xs = jax.vmap(run, out_axes=(None, 1))(x0)
+    else:
+        ts, xs = run(x0)
+    return ts, xs
+
+
+def reduced_to_node_layout(model, x_red, n_nodes_padded: int):
+    """Convert reduced ``[q; v]`` states to the spatial ``(2, Np, 3)`` layout."""
+    bc = model.beam_model.bc_info
+    free = np.asarray(bc.free_dofs)
+    n = len(free)
+    n_full = bc.n_dofs_full
+    x_red = jnp.asarray(x_red)
+    q = jnp.zeros((*x_red.shape[:-1], n_full), x_red.dtype).at[..., free].set(
+        x_red[..., :n]
+    )
+    v = jnp.zeros((*x_red.shape[:-1], n_full), x_red.dtype).at[..., free].set(
+        x_red[..., n:]
+    )
+    Np = n_nodes_padded
+    out = jnp.zeros((*x_red.shape[:-1], 2, Np, 3), x_red.dtype)
+    out = out.at[..., 0, : n_full // 3, :].set(
+        q.reshape(*x_red.shape[:-1], n_full // 3, 3)
+    )
+    out = out.at[..., 1, : n_full // 3, :].set(
+        v.reshape(*x_red.shape[:-1], n_full // 3, 3)
+    )
+    return out

@@ -131,3 +131,39 @@ class TestSpatialSharding:
         assert out.shape == (4, 2, beam.n_nodes, 3)
         assert np.all(np.isfinite(out))
         assert not np.allclose(out[0], out[-1])
+
+
+class TestSpatialRollout:
+    def test_sharded_rollout_matches_reduced(self):
+        """Full spatially-sharded RK4 rollout == the reduced-coordinate one."""
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import (
+            reduced_to_node_layout,
+            spatial_rollout,
+        )
+
+        csv = helpers.write_beam_csv(["linear"] * 10)
+        model = DynamicEulerBernoulliBeam(csv)
+        n = model.n_pos_states
+        x0 = np.zeros(2 * n)
+        x0[n - 2] = 1e-4
+
+        mesh = make_mesh({"sp": 8})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        x0_sp = reduced_to_node_layout(model, x0, beam.n_nodes)
+        ts, xs = spatial_rollout(beam, x0_sp, 0.002, 0.001, substeps=40,
+                                 cg_iters=40)
+        xs = np.asarray(xs)
+
+        res = simulate(model, x0, 0.002, 0.001, method="rk4", substeps=40)
+        ys = np.asarray(res.ys)
+
+        free = model.beam_model.bc_info.free_dofs
+        n_full = model.beam_model.n_dofs_full
+        q_sp = xs[:, 0, : n_full // 3, :].reshape(xs.shape[0], n_full)[:, free]
+        scale = np.abs(ys[:, :n]).max()
+        np.testing.assert_allclose(q_sp, ys[:, :n], atol=5e-7 * scale)
