@@ -167,3 +167,13 @@ class TestSpatialRollout:
         q_sp = xs[:, 0, : n_full // 3, :].reshape(xs.shape[0], n_full)[:, free]
         scale = np.abs(ys[:, :n]).max()
         np.testing.assert_allclose(q_sp, ys[:, :n], atol=5e-7 * scale)
+
+
+class TestMeshHelpers:
+    def test_make_mesh_validates_device_count(self):
+        with pytest.raises(ValueError, match="need"):
+            make_mesh({"dp": 3, "sp": 5})  # 15 != 8 fake devices
+
+    def test_named_axes(self):
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        assert mesh.shape["dp"] == 2 and mesh.shape["sp"] == 4
