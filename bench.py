@@ -36,6 +36,9 @@ N_ELEMENTS = int(os.environ.get("BENCH_ELEMENTS", 1000))
 N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
 N_STEPS = int(os.environ.get("BENCH_STEPS", 200))
 BEAM_TYPE = os.environ.get("BENCH_TYPE", "linear")  # linear | nonlinear
+# "highest" = true f32 (default, parity-grade); "high" = 3-pass bf16, ~1.9x
+# faster at a measured ~1.4%/400-step trajectory drift (sweep-grade).
+PRECISION = os.environ.get("BENCH_PRECISION", "highest")
 DT = 1e-4
 # Reference nonlinear RHS: 129.2 ms/eval (7.7 evals/s), same host/date.
 REF_EVALS_PER_SEC_NONLINEAR = 7.7
@@ -89,9 +92,14 @@ def main():
     # Nonlinear beams use modified Newton (zero-state tangent prefactored
     # as a dense inverse) with the exact vectorized element force in the
     # residual; 2 corrections/step.
+    prec = (
+        jax.lax.Precision.HIGH if PRECISION == "high"
+        else jax.lax.Precision.HIGHEST
+    )
     op = make_newmark_operator(
         model, dt=None, linear_solver="dense_inv",
         extra_systems=[(1.0 - am, (1.0 - af) * beta_ga * DT * DT)],
+        matmul_precision=prec,
     )
     n_newton = 1 if BEAM_TYPE == "linear" else 2
 
@@ -136,7 +144,7 @@ def main():
             {
                 "metric": (
                     f"implicit generalized-alpha env-steps/sec/chip, {N_ELEMENTS}-element {BEAM_TYPE} "
-                    f"beam, {N_ENVS} envs, f32"
+                    f"beam, {N_ENVS} envs, f32/{PRECISION}"
                 ),
                 "value": round(env_steps_per_sec, 1),
                 "unit": "env_steps/s",

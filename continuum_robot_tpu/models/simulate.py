@@ -87,6 +87,7 @@ def make_newmark_operator(
     use_modified_newton: bool = True,
     linear_solver: str = None,
     extra_systems=None,
+    matmul_precision=None,
 ) -> integrators.NewmarkOperator:
     """Build the implicit-stepper operators for a dynamic beam model.
 
@@ -109,6 +110,12 @@ def make_newmark_operator(
       whole recursion in VMEM. Best for long beams x large batches, where
       the dense inverse's O(N^2) matmul wastes 100x the FLOPs. Requires a
       leading batch axis on the solve inputs.
+
+    ``matmul_precision``: MXU precision for the dense_inv contractions.
+    Default HIGHEST (true f32, 6-pass). ``jax.lax.Precision.HIGH`` (3-pass
+    bfloat16) runs the implicit step ~1.9x faster on v5e at a measured
+    ~1.4%/400-step trajectory drift — a throughput/accuracy dial for large
+    statistical sweeps, NOT for parity work.
     """
     if linear_solver is None:
         # Platform default. On the TPU backend "dense_inv" is both the
@@ -146,6 +153,9 @@ def make_newmark_operator(
 
     all_linear = not bool(np.any(np.asarray(arrays.nonlinear_mask)))
 
+    if matmul_precision is None:
+        matmul_precision = jax.lax.Precision.HIGHEST
+
     if linear_solver == "dense_inv":
         # MXU path: the TPU lowers small-block (N, 3, 3) einsums ~50x below
         # dense-matmul throughput (measured: 193 ms vs 3.6 ms at N=1000,
@@ -156,7 +166,7 @@ def make_newmark_operator(
         def mass_apply(a_red):
             m = jnp.asarray(M_red_dense, dtype=a_red.dtype)
             return jnp.einsum(
-                "ij,...j->...i", m, a_red, precision=jax.lax.Precision.HIGHEST
+                "ij,...j->...i", m, a_red, precision=matmul_precision
             )
 
     else:
@@ -177,7 +187,7 @@ def make_newmark_operator(
         def internal_force(q_red):
             k = jnp.asarray(K_red_dense, dtype=q_red.dtype)
             return jnp.einsum(
-                "ij,...j->...i", k, q_red, precision=jax.lax.Precision.HIGHEST
+                "ij,...j->...i", k, q_red, precision=matmul_precision
             )
 
     else:
@@ -229,8 +239,7 @@ def make_newmark_operator(
             if key in dense_inverses:
                 inv = jnp.asarray(dense_inverses[key], dtype=r_red.dtype)
                 return jnp.einsum(
-                    "ij,...j->...i", inv, r_red,
-                    precision=jax.lax.Precision.HIGHEST,
+                    "ij,...j->...i", inv, r_red, precision=matmul_precision
                 )
             if key in prefactored:
                 factors = prefactored[key]
