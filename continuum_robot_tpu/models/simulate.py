@@ -110,6 +110,11 @@ def make_newmark_operator(
       whole recursion in VMEM. Best for long beams x large batches, where
       the dense inverse's O(N^2) matmul wastes 100x the FLOPs. Requires a
       leading batch axis on the solve inputs.
+    * ``"cr"`` — block cyclic reduction (``ops/banded.btd_cr_*``): O(N log N)
+      work at O(log N) depth. The latency choice for a SINGLE (or few) long
+      beam(s), where the Thomas scan serializes N thin steps and the dense
+      inverse burns O(N^2) memory; each CR level is one vectorized op over
+      the whole remaining chain.
 
     ``matmul_precision``: MXU precision for the dense_inv contractions.
     Default HIGHEST (true f32, 6-pass). ``jax.lax.Precision.HIGH`` (3-pass
@@ -203,6 +208,8 @@ def make_newmark_operator(
         jl = a * mm_lower + c * kl
         ju = a * mm_upper + c * ku
         jd, jl, ju = banded.btd_apply_bc(jd, jl, ju, jnp.asarray(mask_nodes))
+        if linear_solver == "cr":
+            return banded.btd_cr_factor(jd, jl, ju)
         return banded.btd_factor(jd, jl, ju)
 
     prefactored = {}
@@ -252,7 +259,10 @@ def make_newmark_operator(
             else:
                 factors = factors_at(pad(q_red), c, a)
             r_nodes = pad(r_red).reshape(*r_red.shape[:-1], n_nodes, 3)
-            x = banded.btd_solve(factors, r_nodes)
+            solve_fn = (
+                banded.btd_cr_solve if linear_solver == "cr" else banded.btd_solve
+            )
+            x = solve_fn(factors, r_nodes)
             return red(x.reshape(*r_red.shape[:-1], n_full))
 
         return do_solve

@@ -124,3 +124,113 @@ class TestMassSolveViaBC:
         x_red = np.linalg.solve(M_red, f_red)
         np.testing.assert_allclose(x_full[free], x_red, rtol=1e-9)
         np.testing.assert_allclose(x_full[~mask.flatten()], 0.0, atol=1e-12)
+
+
+class TestCyclicReduction:
+    """Log-depth block cyclic reduction (``btd_cr_factor``/``btd_cr_solve``)."""
+
+    @pytest.mark.parametrize("n_nodes", [1, 2, 3, 4, 7, 8, 9, 33])
+    @pytest.mark.parametrize("sym", [True, False])
+    def test_vs_dense(self, n_nodes, sym):
+        rng = np.random.default_rng(10 + n_nodes)
+        diag, lower, upper, dense = random_btd(rng, n_nodes, sym=sym)
+        b = rng.normal(size=(n_nodes, 3))
+        factors = banded.btd_cr_factor(
+            jnp.asarray(diag), jnp.asarray(lower), jnp.asarray(upper)
+        )
+        x = np.asarray(banded.btd_cr_solve(factors, jnp.asarray(b)))
+        np.testing.assert_allclose(
+            x.flatten(), np.linalg.solve(dense, b.flatten()), rtol=1e-8, atol=1e-11
+        )
+
+    def test_matches_thomas(self):
+        rng = np.random.default_rng(11)
+        diag, lower, upper, _ = random_btd(rng, 12)
+        b = rng.normal(size=(5, 12, 3))
+        d, l, u = jnp.asarray(diag), jnp.asarray(lower), jnp.asarray(upper)
+        x_cr = np.asarray(banded.btd_cr_solve(banded.btd_cr_factor(d, l, u), b))
+        x_th = np.asarray(banded.btd_solve(banded.btd_factor(d, l, u), b))
+        np.testing.assert_allclose(x_cr, x_th, rtol=1e-8, atol=1e-11)
+
+    def test_batched_operator(self):
+        """Factor/solve broadcast over a leading batch of distinct matrices."""
+        rng = np.random.default_rng(12)
+        mats = [random_btd(rng, 9) for _ in range(3)]
+        diags = jnp.asarray(np.stack([m[0] for m in mats]))
+        lowers = jnp.asarray(np.stack([m[1] for m in mats]))
+        uppers = jnp.asarray(np.stack([m[2] for m in mats]))
+        bs = rng.normal(size=(3, 9, 3))
+        x = np.asarray(
+            banded.btd_cr_solve(
+                banded.btd_cr_factor(diags, lowers, uppers), jnp.asarray(bs)
+            )
+        )
+        for k in range(3):
+            np.testing.assert_allclose(
+                x[k].flatten(),
+                np.linalg.solve(mats[k][3], bs[k].flatten()),
+                rtol=1e-8, atol=1e-11,
+            )
+
+    def test_differentiable(self):
+        rng = np.random.default_rng(13)
+        diag, lower, upper, dense = random_btd(rng, 6)
+        b = rng.normal(size=(6, 3))
+
+        def loss(d):
+            f = banded.btd_cr_factor(d, jnp.asarray(lower), jnp.asarray(upper))
+            return jnp.sum(banded.btd_cr_solve(f, jnp.asarray(b)) ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(diag))
+        assert bool(jnp.all(jnp.isfinite(g)))
+        # Check one entry against finite differences.
+        eps = 1e-6
+        dp = diag.copy(); dp[2, 1, 1] += eps
+        dm = diag.copy(); dm[2, 1, 1] -= eps
+        fd = (loss(jnp.asarray(dp)) - loss(jnp.asarray(dm))) / (2 * eps)
+        np.testing.assert_allclose(float(g[2, 1, 1]), float(fd), rtol=1e-4)
+
+    def test_bc_masked_solve(self):
+        """CR through a unit-pivot BC-masked beam operator == reduced solve."""
+        arrays = beam_arrays_from_dataframe(make_df(["linear"] * 5))
+        diag, off = assembly.mass_block_tridiagonal(arrays)
+        lower = jnp.swapaxes(off, -1, -2)
+        n_nodes = 6
+        mask = np.ones((n_nodes, 3), dtype=bool)
+        mask[0] = False
+
+        md, ml, mu = banded.btd_apply_bc(diag, lower, off, jnp.asarray(mask))
+        factors = banded.btd_cr_factor(md, ml, mu)
+
+        M_dense = assembly.dense_mass_matrix(arrays)
+        free = np.where(mask.flatten())[0]
+        rng = np.random.default_rng(14)
+        f_red = rng.normal(size=len(free))
+        f_full = np.zeros(3 * n_nodes)
+        f_full[free] = f_red
+
+        x_full = np.asarray(
+            banded.btd_cr_solve(factors, jnp.asarray(f_full.reshape(n_nodes, 3)))
+        ).flatten()
+        x_red = np.linalg.solve(M_dense[np.ix_(free, free)], f_red)
+        np.testing.assert_allclose(x_full[free], x_red, rtol=1e-8)
+        np.testing.assert_allclose(x_full[~mask.flatten()], 0.0, atol=1e-12)
+
+    def test_newmark_rollout_matches_btd(self):
+        """Full implicit rollout with linear_solver='cr' == 'btd' path."""
+        from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+        from continuum_robot_tpu.models.simulate import simulate
+
+        df = make_df(["linear"] * 6)
+        df["boundary_condition"] = ["FIXED"] + ["NONE"] * 5
+        model = DynamicEulerBernoulliBeam(df)
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(1e-3)
+        r_btd = simulate(model, x0, 0.01, 1e-4, method="newmark",
+                         linear_solver="btd")
+        r_cr = simulate(model, x0, 0.01, 1e-4, method="newmark",
+                        linear_solver="cr")
+        scale = float(jnp.abs(r_btd.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(r_cr.ys), np.asarray(r_btd.ys), atol=1e-10 * scale
+        )
