@@ -16,15 +16,36 @@ from ..ops import care
 
 
 class LinearQuadraticRegulator:
-    """LQR for linear beam systems built from stiffness/mass matrices."""
+    """LQR for linear beam systems built from stiffness/mass matrices.
 
-    def __init__(self, K_beam, M_beam, Q, R):
+    ``input_dofs`` (optional): indices of the *actuated* position DOFs. The
+    reference always assumes a force actuator on every free DOF
+    (``B = [0; M^-1]``, ``linear_quadratic_regulator.py:119-146``), which is
+    physically unrealizable for a continuum robot with a few tendons/coils.
+    With ``input_dofs`` the input matrix becomes ``B = [0; M^-1 S]`` where
+    ``S`` selects the actuated columns, and ``R`` must be m x m for m
+    actuators.
+    """
+
+    def __init__(self, K_beam, M_beam, Q, R, input_dofs=None):
         K_beam = np.asarray(K_beam)
         M_beam = np.asarray(M_beam)
         Q = np.asarray(Q)
         R = np.asarray(R)
         self._validate_beam_matrices(K_beam, M_beam)
         self._validate_weighting_matrices(Q, R)
+        if input_dofs is not None:
+            input_dofs = np.atleast_1d(np.asarray(input_dofs, dtype=int))
+            n = K_beam.shape[0]
+            if input_dofs.ndim != 1 or len(input_dofs) == 0:
+                raise ValueError("input_dofs must be a non-empty 1D index array")
+            if np.any(input_dofs < 0) or np.any(input_dofs >= n):
+                raise ValueError(
+                    f"input_dofs indices must lie in [0, {n}) (got {input_dofs})"
+                )
+            if len(np.unique(input_dofs)) != len(input_dofs):
+                raise ValueError("input_dofs indices must be unique")
+        self.input_dofs = input_dofs
 
         self.K_beam = K_beam
         self.M_beam = M_beam
@@ -81,17 +102,24 @@ class LinearQuadraticRegulator:
         return A
 
     def get_B(self) -> np.ndarray:
-        """``B = [0; M^-1]`` — full actuation (parity: ``:119-146``)."""
+        """``B = [0; M^-1]`` — full actuation (parity: ``:119-146``) — or
+        ``[0; M^-1 S]`` for the actuated-subset columns when ``input_dofs``
+        is set."""
         if self._B is not None:
             return self._B
         M = self.M_beam
         n = M.shape[0]
-        B = np.zeros((2 * n, n))
         try:
             M_inv = np.linalg.inv(M)
-            B[n:, :] = M_inv
         except np.linalg.LinAlgError:
             raise ValueError("Mass matrix is singular and cannot be inverted")
+        if self.input_dofs is None:
+            B = np.zeros((2 * n, n))
+            B[n:, :] = M_inv
+        else:
+            m = len(self.input_dofs)
+            B = np.zeros((2 * n, m))
+            B[n:, :] = M_inv[:, self.input_dofs]
         self._B = B
         return B
 

@@ -127,13 +127,23 @@ def solve_care(
 def solve_care_numpy(
     A, B, Q, R, max_iters: int = 100, tol: float = 1e-13
 ) -> "CareResult":
-    """Float64 host implementation of the same sign-function algorithm.
+    """Float64 host implementation for the design-time path.
 
     Control design is a setup-time operation; on accelerators without native
     float64 (TPU default f32), the Hamiltonian of a stiff beam (condition
     ~1e9) is out of f32 range, so the design path runs this host twin. The
     jittable :func:`solve_care` remains the on-device/differentiable path for
     x64-enabled backends (validated against scipy in the test suite).
+
+    Strategy: the same sign-function iteration as the device solver, then —
+    when the result stabilizes the closed loop — Kleinman-Newton polish via
+    Bartels-Stewart Lyapunov solves (each step is exact in the Lyapunov
+    sense and quadratically convergent). For low-rank actuation (a few
+    tendons on an undamped beam) the Hamiltonian's eigenvalues can hug the
+    imaginary axis and the plain sign iteration stalls; if it fails to
+    deliver a stabilizing P we fall back to SciPy's QZ-based CARE (the
+    reference itself delegates design to slycot/LAPACK on the host,
+    ``linear_quadratic_regulator.py:180``) and polish that the same way.
     """
     import numpy as np
 
@@ -144,6 +154,34 @@ def solve_care_numpy(
     n = A.shape[-1]
     G = B @ np.linalg.solve(R, B.T)
     H = np.block([[A, -G], [-Q, -A.T]])
+
+    def residual(P):
+        return np.linalg.norm(A.T @ P + P @ A - P @ G @ P + Q)
+
+    def is_stabilizing(P):
+        return bool(
+            np.all(np.isfinite(P))
+            and np.all(np.real(np.linalg.eigvals(A - G @ P)) < 0)
+        )
+
+    def kleinman_polish(P, steps=10):
+        """Newton iteration P_{k+1} solves the exact Lyapunov equation
+        ``Acl' X + X Acl = -(Q + P G P)`` with ``Acl = A - G P``."""
+        from scipy.linalg import solve_continuous_lyapunov
+
+        best, best_res = P, residual(P)
+        for _ in range(steps):
+            Acl = A - G @ P
+            X = solve_continuous_lyapunov(Acl.T, -(Q + P @ G @ P))
+            P = 0.5 * (X + X.T)
+            r = residual(P)
+            if not (np.all(np.isfinite(P)) and is_stabilizing(P)):
+                break
+            if r < best_res:
+                best, best_res = P, r
+            if r >= best_res * 0.99:  # converged / no longer improving
+                break
+        return best, best_res
 
     Z = H
     k = 0
@@ -166,8 +204,56 @@ def solve_care_numpy(
     # giving ~300x better K accuracy than lstsq on stiff beam Hamiltonians.
     P = np.linalg.solve(W.T @ W, W.T @ rhs)
     P = 0.5 * (P + P.T)
-    res = np.linalg.norm(A.T @ P + P @ A - P @ G @ P + Q)
+
+    if is_stabilizing(P):
+        P, res = kleinman_polish(P)
+    else:
+        try:
+            from scipy.linalg import solve_continuous_are
+
+            P_qz = solve_continuous_are(A, B, Q, R)
+            P_qz = 0.5 * (P_qz + P_qz.T)
+            if is_stabilizing(P_qz):
+                P, res = kleinman_polish(P_qz)
+            else:
+                res = residual(P)
+        except Exception:
+            res = residual(P)
+
     return CareResult(P=P, iterations=np.asarray(k), residual=np.asarray(res))
+
+
+def lqe_gain(A, C, V, W, **kwargs):
+    """Kalman-Bucy estimator gain from the dual (filter) CARE.
+
+    Solves ``A P + P A' - P C' W^-1 C P + V = 0`` — the steady-state
+    covariance equation of the continuous Kalman filter with process noise
+    ``V`` (PSD) and measurement noise ``W`` (PD) — by duality: it is the
+    control CARE for ``(A', C')``, so the same on-device sign-function solver
+    applies. Returns ``(L, P, result)`` with ``L = P C' W^-1`` such that the
+    observer error dynamics ``A - L C`` are stable.
+
+    The reference has no estimation layer (SURVEY §2: its only controller is
+    full-state LQR, ``control/linear_quadratic_regulator.py``); this is the
+    output-feedback extension. Jittable and differentiable; vmap over leading
+    axes to batch estimator design.
+    """
+    result = solve_care(A.T, C.T, V, W, **kwargs)
+    L = jnp.linalg.solve(W, C @ result.P).T
+    return L, result.P, result
+
+
+def lqe_gain_numpy(A, C, V, W, **kwargs):
+    """Float64 host twin of :func:`lqe_gain` (design-time path; see
+    :func:`solve_care_numpy` for why stiff beams need f64 here)."""
+    import numpy as np
+
+    A = np.asarray(A, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    result = solve_care_numpy(A.T, C.T, V, W, **kwargs)
+    P = np.asarray(result.P)
+    L = np.linalg.solve(np.asarray(W, dtype=np.float64), C @ P).T
+    return L, P, result
 
 
 def lqr_gain(A, B, Q, R, **kwargs):

@@ -246,3 +246,260 @@ class TestClosedLoop:
         tip_ol = np.abs(np.asarray(res_ol.ys)[-10:, n - 2]).max()
         assert np.all(np.isfinite(np.asarray(res_cl.ys)))
         assert tip_cl < tip_ol  # control damps the oscillation
+
+
+# ---------------------------------------------------------------------------
+# Actuator-subset LQR, Kalman-Bucy estimation (LQE), and LQG
+# ---------------------------------------------------------------------------
+
+
+def _small_beam_matrices(n_segments=3):
+    beam = EulerBernoulliBeam(make_df(["linear"] * n_segments))
+    beam.apply_boundary_conditions({0: BoundaryConditionType.FIXED})
+    return beam.get_stiffness_matrix(), beam.get_mass_matrix()
+
+
+class TestActuatorSubsetLQR:
+    def test_input_dofs_validation(self):
+        Kb, Mb = _small_beam_matrices()
+        nf = Kb.shape[0]
+        Q = np.eye(2 * nf)
+        with pytest.raises(ValueError, match="lie in"):
+            LinearQuadraticRegulator(Kb, Mb, Q, np.eye(1), input_dofs=[nf])
+        with pytest.raises(ValueError, match="unique"):
+            LinearQuadraticRegulator(Kb, Mb, Q, np.eye(2), input_dofs=[1, 1])
+        with pytest.raises(ValueError, match="non-empty"):
+            LinearQuadraticRegulator(Kb, Mb, Q, np.eye(1), input_dofs=[])
+
+    def test_subset_B_structure(self):
+        Kb, Mb = _small_beam_matrices()
+        nf = Kb.shape[0]
+        act = [nf - 3, nf - 2]
+        lqr = LinearQuadraticRegulator(
+            Kb, Mb, np.eye(2 * nf), np.eye(2), input_dofs=act
+        )
+        B = lqr.get_B()
+        assert B.shape == (2 * nf, 2)
+        np.testing.assert_allclose(B[:nf], 0.0)
+        np.testing.assert_allclose(B[nf:], np.linalg.inv(Mb)[:, act])
+
+    def test_subset_gain_stabilizes(self):
+        """Tip axial+transverse actuation must stabilize the closed loop.
+
+        (Transverse-only subsets are structurally non-stabilizable: the
+        linear element decouples axial and bending, leaving the axial modes
+        undamped on the imaginary axis.)
+        """
+        Kb, Mb = _small_beam_matrices()
+        nf = Kb.shape[0]
+        Q = np.diag([100.0] * nf + [10.0] * nf)
+        act = [nf - 3, nf - 2]
+        lqr = LinearQuadraticRegulator(
+            Kb, Mb, Q, 1e-6 * np.eye(2), input_dofs=act
+        )
+        K = lqr.compute_gain_matrix()
+        assert K.shape == (2, 2 * nf)
+        ev = np.linalg.eigvals(lqr.get_A() - lqr.get_B() @ K)
+        assert np.max(np.real(ev)) < 0
+
+    def test_full_set_matches_default(self):
+        """input_dofs covering every DOF reproduces the reference B."""
+        Kb, Mb = _small_beam_matrices()
+        nf = Kb.shape[0]
+        lqr_def = LinearQuadraticRegulator(Kb, Mb, np.eye(2 * nf), np.eye(nf))
+        lqr_all = LinearQuadraticRegulator(
+            Kb, Mb, np.eye(2 * nf), np.eye(nf), input_dofs=np.arange(nf)
+        )
+        np.testing.assert_allclose(lqr_all.get_B(), lqr_def.get_B())
+
+
+class TestOutputMatrix:
+    def test_selection(self):
+        from continuum_robot_tpu.control import output_matrix
+
+        C = output_matrix(6, [1, 4])
+        assert C.shape == (2, 6)
+        x = np.arange(6.0)
+        np.testing.assert_allclose(C @ x, [1.0, 4.0])
+
+    def test_validation(self):
+        from continuum_robot_tpu.control import output_matrix
+
+        with pytest.raises(ValueError, match="lie in"):
+            output_matrix(4, [4])
+        with pytest.raises(ValueError, match="unique"):
+            output_matrix(4, [1, 1])
+        with pytest.raises(ValueError, match="non-empty"):
+            output_matrix(4, [])
+
+
+class TestLQE:
+    def _design(self):
+        from continuum_robot_tpu.control import (
+            LinearQuadraticEstimator,
+            output_matrix,
+        )
+
+        Kb, Mb = _small_beam_matrices()
+        nf = Kb.shape[0]
+        meas = [nf - 3, nf - 2, nf + nf - 3, nf + nf - 2]
+        C = output_matrix(2 * nf, meas)
+        lqe = LinearQuadraticEstimator(
+            Kb, Mb, C, 1e-2 * np.eye(2 * nf), 1e-8 * np.eye(len(meas))
+        )
+        return lqe, nf
+
+    def test_validation_contracts(self):
+        from continuum_robot_tpu.control import (
+            LinearQuadraticEstimator,
+            output_matrix,
+        )
+
+        Kb, Mb = _small_beam_matrices()
+        nf = Kb.shape[0]
+        C = output_matrix(2 * nf, [0])
+        with pytest.raises(ValueError, match="C matrix"):
+            LinearQuadraticEstimator(
+                Kb, Mb, np.eye(3), np.eye(2 * nf), np.eye(1)
+            )
+        with pytest.raises(ValueError, match="V matrix must be positive"):
+            LinearQuadraticEstimator(
+                Kb, Mb, C, -np.eye(2 * nf), np.eye(1)
+            )
+        with pytest.raises(ValueError, match="W matrix must be positive"):
+            LinearQuadraticEstimator(
+                Kb, Mb, C, np.eye(2 * nf), np.zeros((1, 1))
+            )
+        with pytest.raises(ValueError, match="W matrix dimension"):
+            LinearQuadraticEstimator(
+                Kb, Mb, C, np.eye(2 * nf), np.eye(2)
+            )
+
+    def test_estimator_error_dynamics_stable(self):
+        lqe, nf = self._design()
+        L = lqe.compute_gain_matrix()
+        assert L.shape == (2 * nf, 4)
+        ev = np.linalg.eigvals(lqe.get_A() - L @ lqe.C)
+        assert np.max(np.real(ev)) < 0
+
+    def test_dual_care_matches_scipy(self):
+        from scipy.linalg import solve_continuous_are
+
+        lqe, nf = self._design()
+        lqe.compute_gain_matrix()
+        A, C, V, W = lqe.get_A(), lqe.C, lqe.V, lqe.W
+        P_ref = solve_continuous_are(A.T, C.T, V, W)
+        np.testing.assert_allclose(
+            lqe._P, P_ref, rtol=1e-5, atol=1e-8 * np.linalg.norm(P_ref)
+        )
+
+    def test_device_lqe_gain_matches_host(self):
+        """Jittable on-device lqe_gain == float64 host twin (x64 CPU)."""
+        import jax.numpy as jnp
+
+        from continuum_robot_tpu.ops.care import lqe_gain, lqe_gain_numpy
+
+        # A well-scaled synthetic system (the stiff beam needs the host
+        # path's polishing; the device solver contract is scale-reasonable
+        # systems — same contract as solve_care).
+        rng = np.random.default_rng(7)
+        n, p = 6, 2
+        A = rng.normal(size=(n, n)) - 3.0 * np.eye(n)
+        C = rng.normal(size=(p, n))
+        V = np.eye(n)
+        W = np.eye(p)
+        L_host, P_host, _ = lqe_gain_numpy(A, C, V, W)
+        L_dev, P_dev, res = lqe_gain(
+            jnp.asarray(A), jnp.asarray(C), jnp.asarray(V), jnp.asarray(W)
+        )
+        np.testing.assert_allclose(np.asarray(L_dev), L_host, rtol=1e-6, atol=1e-9)
+        assert float(res.residual) < 1e-8 * max(np.linalg.norm(V), 1.0)
+
+
+class TestLQG:
+    def _design(self):
+        from continuum_robot_tpu.control import (
+            LinearQuadraticEstimator,
+            LinearQuadraticGaussian,
+            output_matrix,
+        )
+
+        Kb, Mb = _small_beam_matrices()
+        nf = Kb.shape[0]
+        Q = np.diag([100.0] * nf + [10.0] * nf)
+        lqr = LinearQuadraticRegulator(
+            Kb, Mb, Q, 1e-6 * np.eye(2), input_dofs=[nf - 3, nf - 2]
+        )
+        meas = [nf - 3, nf - 2, nf + nf - 3, nf + nf - 2]
+        C = output_matrix(2 * nf, meas)
+        lqe = LinearQuadraticEstimator(
+            Kb, Mb, C, 1e-2 * np.eye(2 * nf), 1e-8 * np.eye(len(meas))
+        )
+        return LinearQuadraticGaussian(lqr, lqe), nf
+
+    def test_mismatched_plant_raises(self):
+        from continuum_robot_tpu.control import (
+            LinearQuadraticEstimator,
+            LinearQuadraticGaussian,
+            output_matrix,
+        )
+
+        Kb, Mb = _small_beam_matrices(3)
+        Kb2, Mb2 = _small_beam_matrices(4)
+        nf, nf2 = Kb.shape[0], Kb2.shape[0]
+        lqr = LinearQuadraticRegulator(
+            Kb, Mb, np.eye(2 * nf), np.eye(nf)
+        )
+        lqe = LinearQuadraticEstimator(
+            Kb2, Mb2, output_matrix(2 * nf2, [0]),
+            np.eye(2 * nf2), np.eye(1),
+        )
+        with pytest.raises(ValueError, match="same beam"):
+            LinearQuadraticGaussian(lqr, lqe)
+
+    def test_separation_principle(self):
+        """eig(augmented) == eig(A - BK) U eig(A - LC), and all stable."""
+        lqg, nf = self._design()
+        ev_aug = np.sort_complex(np.linalg.eigvals(lqg.augmented_matrix()))
+        ev_sep = np.sort_complex(
+            np.concatenate(
+                [
+                    np.linalg.eigvals(lqg.A - lqg.B @ lqg.K),
+                    np.linalg.eigvals(lqg.A - lqg.L @ lqg.C),
+                ]
+            )
+        )
+        scale = np.max(np.abs(ev_sep))
+        assert np.max(np.abs(ev_aug - ev_sep)) < 1e-6 * scale
+        assert np.max(np.real(ev_aug)) < 0
+
+    def test_control_convention(self):
+        """u = K (r - x_hat), matching FullStateLinear."""
+        import jax.numpy as jnp
+
+        lqg, nf = self._design()
+        x_hat = jnp.asarray(np.random.default_rng(0).normal(size=2 * nf))
+        r = jnp.asarray(np.random.default_rng(1).normal(size=2 * nf))
+        u = np.asarray(lqg.control(x_hat, r))
+        np.testing.assert_allclose(
+            u, lqg.K @ (np.asarray(r) - np.asarray(x_hat)), rtol=1e-6
+        )
+        u0 = np.asarray(lqg.control(x_hat))
+        np.testing.assert_allclose(u0, -lqg.K @ np.asarray(x_hat), rtol=1e-6)
+
+    def test_closed_loop_rollout(self):
+        """Exact ZOH rollout: estimator converges, plant regulates, finite."""
+        import jax
+        import jax.numpy as jnp
+
+        lqg, nf = self._design()
+        prop = lqg.make_closed_loop_propagator(1e-3, dtype=jnp.float64)
+        z0 = jnp.zeros(4 * nf).at[nf - 2].set(1e-3)  # plant hit, observer cold
+        zs = jax.jit(prop)(z0, jnp.zeros((1000, 2 * nf)))
+        assert bool(jnp.all(jnp.isfinite(zs)))
+        x = np.asarray(zs[:, : 2 * nf])
+        e = x - np.asarray(zs[:, 2 * nf :])
+        # Observer locks on: error drops by >= 2 orders of magnitude.
+        assert np.linalg.norm(e[-1]) < 1e-2 * np.linalg.norm(e[0])
+        # Plant is being regulated toward zero.
+        assert np.abs(x[-1, nf - 2]) < 0.5 * np.abs(x[0, nf - 2])
