@@ -503,3 +503,125 @@ class TestLQG:
         assert np.linalg.norm(e[-1]) < 1e-2 * np.linalg.norm(e[0])
         # Plant is being regulated toward zero.
         assert np.abs(x[-1, nf - 2]) < 0.5 * np.abs(x[0, nf - 2])
+
+
+class TestEKF:
+    """Discrete EKF for nonlinear beams (``control/ekf.py``)."""
+
+    def _nonlinear_model(self, n=2):
+        import pandas as pd
+
+        df = make_df(["nonlinear"] * n)
+        df["boundary_condition"] = ["FIXED"] + ["NONE"] * (n - 1)
+        return DynamicEulerBernoulliBeam(df)
+
+    def _truth(self, model, x0, step, T):
+        import jax
+
+        def body(c, _):
+            c2 = step(c)
+            return c2, c2
+
+        _, xs = jax.jit(
+            lambda x: jax.lax.scan(body, x, None, length=T)
+        )(x0)
+        return xs
+
+    def test_tracks_nonlinear_truth_from_cold_start(self):
+        import jax
+        import jax.numpy as jnp
+
+        from continuum_robot_tpu.control import (
+            make_discrete_step,
+            make_ekf,
+            output_matrix,
+            run_ekf,
+        )
+
+        model = self._nonlinear_model()
+        nf = model.n_pos_states
+        dt, T = 2e-5, 150
+        step = make_discrete_step(model, dt, substeps=2)
+        x0 = jnp.zeros(2 * nf).at[nf - 2].set(5e-4)
+        xs_true = self._truth(model, x0, step, T)
+
+        meas = [nf - 2, 2 * nf - 2]  # tip displacement + velocity
+        C = output_matrix(2 * nf, meas)
+        ys = np.asarray(xs_true) @ C.T  # noise-free measurements
+        ekf = make_ekf(step, C, 1e-12 * np.eye(2 * nf), 1e-12 * np.eye(2))
+        (_, _), est = jax.jit(
+            lambda y: run_ekf(ekf, jnp.zeros(2 * nf), 1e-6 * jnp.eye(2 * nf), y)
+        )(jnp.asarray(ys))
+
+        est = np.asarray(est)
+        assert np.all(np.isfinite(est))
+        err = np.linalg.norm(est - np.asarray(xs_true), axis=1)
+        scale = np.linalg.norm(np.asarray(xs_true), axis=1)
+        # Tracks the true nonlinear trajectory to <1% after convergence.
+        assert np.all(err[T // 3 :] < 1e-2 * scale[T // 3 :])
+
+        # And beats dead reckoning from the wrong (zero) initial state by
+        # a wide margin: the open-loop prediction stays at zero.
+        dead = self._truth(model, jnp.zeros(2 * nf), step, T)
+        err_dead = np.linalg.norm(np.asarray(dead) - np.asarray(xs_true), axis=1)
+        assert err[-1] < 0.1 * err_dead[-1]
+
+    def test_covariance_stays_symmetric_psd(self):
+        import jax
+        import jax.numpy as jnp
+
+        from continuum_robot_tpu.control import (
+            EKFState,
+            make_discrete_step,
+            make_ekf,
+            output_matrix,
+        )
+
+        model = self._nonlinear_model()
+        nf = model.n_pos_states
+        step = make_discrete_step(model, 2e-5)
+        C = output_matrix(2 * nf, [nf - 2])
+        ekf = make_ekf(step, C, 1e-10 * np.eye(2 * nf), 1e-10 * np.eye(1))
+        state = EKFState(
+            jnp.zeros(2 * nf).at[nf - 2].set(1e-4), 1e-8 * jnp.eye(2 * nf)
+        )
+        upd = jax.jit(lambda s, y: ekf(s, y, None))
+        for k in range(5):
+            state, _ = upd(state, jnp.asarray([1e-4]))
+        P = np.asarray(state.P)
+        np.testing.assert_allclose(P, P.T, atol=1e-18)
+        assert np.min(np.linalg.eigvalsh(P)) > -1e-15
+
+    def test_nonlinear_measurement_callable(self):
+        """h(x) callable path: measure the squared tip displacement."""
+        import jax
+        import jax.numpy as jnp
+
+        from continuum_robot_tpu.control import (
+            make_discrete_step,
+            make_ekf,
+            run_ekf,
+        )
+
+        model = self._nonlinear_model()
+        nf = model.n_pos_states
+        dt, T = 2e-5, 100
+        step = make_discrete_step(model, dt)
+        x0 = jnp.zeros(2 * nf).at[nf - 2].set(5e-4)
+        xs_true = self._truth(model, x0, step, T)
+
+        def h(x):
+            # Quadratic sensor + a linear velocity channel (keeps the
+            # deflection sign observable).
+            return jnp.stack([x[nf - 2] ** 2 * 1e3, x[2 * nf - 2]])
+
+        ys = jax.vmap(h)(xs_true)
+        ekf = make_ekf(step, h, 1e-12 * np.eye(2 * nf), 1e-14 * np.eye(2))
+        x_init = jnp.zeros(2 * nf).at[nf - 2].set(4e-4)  # warm-ish start
+        (_, _), est = jax.jit(
+            lambda y: run_ekf(ekf, x_init, 1e-8 * jnp.eye(2 * nf), y)
+        )(ys)
+        est = np.asarray(est)
+        assert np.all(np.isfinite(est))
+        err_tip = np.abs(est[:, nf - 2] - np.asarray(xs_true)[:, nf - 2])
+        assert err_tip[-1] < 0.05 * np.abs(np.asarray(xs_true)[-1, nf - 2]) + 1e-9
