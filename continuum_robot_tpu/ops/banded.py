@@ -192,6 +192,13 @@ def btd_cr_factor(diag, lower, upper):
     batch axes and is differentiable. The chain is zero-padded to ``2^L - 1``
     nodes with identity pivots (padding decouples exactly).
 
+    Measured envelope (TPU v5e, f32): at N=1001/B=1 CR solves in 1.45 ms vs
+    2.97 ms Thomas and 3.14 ms dense-inverse; at N=8193/B=1 it is 1.66 ms vs
+    15.2 ms Thomas (9x). CAVEAT: batched RHS at large N (B>1, N >~ 4096)
+    hits a pathological axon/Mosaic lowering (~300 ms regardless of B) —
+    use the Thomas scan, the Pallas kernel, or the dense inverse for
+    batched solves; CR is the single-/few-env long-beam path.
+
     Returns an opaque factor pytree for :func:`btd_cr_solve`.
     """
     N = diag.shape[-3]

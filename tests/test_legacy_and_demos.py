@@ -123,3 +123,49 @@ class TestExpmGravityAsConstantInput:
         ys = np.asarray(res.ys)
         err = np.abs(xs - ys).max() / np.abs(ys).max()
         assert err < 1e-8
+
+
+class TestSystemIdentification:
+    def test_gradient_recovers_modulus_direction(self):
+        """The sysid example's loss gradient points toward the true E, and a
+        few Adam steps reduce both loss and parameter error."""
+        import jax
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "examples"),
+        )
+        import system_identification as sysid
+
+        model = sysid.build_model()
+        tip_trace = sysid.make_tip_trace_fn(model)
+        y_obs = tip_trace(jnp.log(jnp.asarray(sysid.TRUE_E)))
+        scale = float(jnp.abs(y_obs).max())
+
+        def loss(log_E):
+            return jnp.mean(((tip_trace(log_E) - y_obs) / scale) ** 2)
+
+        vg = jax.jit(jax.value_and_grad(loss))
+
+        # Underestimate -> negative gradient (increase E); overestimate ->
+        # positive gradient.
+        _, g_lo = vg(jnp.log(jnp.asarray(0.7 * sysid.TRUE_E)))
+        _, g_hi = vg(jnp.log(jnp.asarray(1.3 * sysid.TRUE_E)))
+        assert float(g_lo) < 0 < float(g_hi)
+
+        import optax
+
+        opt = optax.adam(5e-2)
+        log_E = jnp.log(jnp.asarray(0.7 * sysid.TRUE_E))
+        state = opt.init(log_E)
+        v0, _ = vg(log_E)
+        for _ in range(20):
+            v, g = vg(log_E)
+            updates, state = opt.update(g, state)
+            log_E = optax.apply_updates(log_E, updates)
+        v1, _ = vg(log_E)
+        assert float(v1) < float(v0)
+        err0 = abs(0.7 * sysid.TRUE_E - sysid.TRUE_E)
+        err1 = abs(float(jnp.exp(log_E)) - sysid.TRUE_E)
+        assert err1 < err0
