@@ -195,3 +195,109 @@ class TestNewmarkOnBeam:
         assert np.all(np.isfinite(ys))
         # different initial conditions -> different trajectories
         assert not np.allclose(ys[0], ys[-1])
+
+
+class TestModalGenAlpha:
+    """Modal-superposition generalized-alpha (``make_modal_genalpha``)."""
+
+    def _model(self, n=8):
+        return DynamicEulerBernoulliBeam(helpers.linear_csv(n))
+
+    def test_matches_dense_generalized_alpha(self):
+        """Identical recurrence, diagonalized: trajectories match the dense
+        operator path to roundoff (f64)."""
+        from continuum_robot_tpu.models.simulate import (
+            make_modal_genalpha,
+            make_newmark_operator,
+        )
+
+        model = self._model()
+        nf = model.n_pos_states
+        DT, RHO, NS, B = 1e-4, 0.8, 100, 3
+        am = (2 * RHO - 1) / (RHO + 1)
+        af = RHO / (RHO + 1)
+        beta = 0.25 * (1 - am + af) ** 2
+        op = make_newmark_operator(
+            model, dt=None,
+            extra_systems=[(1.0 - am, (1.0 - af) * beta * DT * DT)],
+        )
+        rng = np.random.default_rng(0)
+        q0 = jnp.asarray(rng.normal(scale=1e-6, size=(B, nf)))
+        v0 = jnp.zeros((B, nf))
+        u = jnp.zeros(nf).at[-2].set(0.1)
+        a0 = op.solve(q0, 0.0)(u - op.internal_force(q0))
+
+        def run(q, v, a):
+            def body(c, _):
+                q, v, a = c
+                q, v, a = integrators.generalized_alpha_step(
+                    op, 0.0, q, v, a, DT, u, rho_inf=RHO, n_newton=1
+                )
+                return (q, v, a), None
+
+            (q, v, a), _ = jax.lax.scan(body, (q, v, a), None, length=NS)
+            return q, v
+
+        qd, vd = jax.jit(run)(q0, v0, a0)
+
+        ms = make_modal_genalpha(model, DT, rho_inf=RHO)
+        eta, etad = ms.to_modal(q0, v0)
+        e1, ed1, _ = jax.jit(
+            lambda e, ed: ms.rollout(e, ed, ms.project_force(u), NS)
+        )(eta, etad)
+        qm, vm = ms.from_modal(e1, ed1)
+
+        scale = float(jnp.abs(qd).max())
+        np.testing.assert_allclose(np.asarray(qm), np.asarray(qd), atol=1e-9 * scale)
+        vscale = float(jnp.abs(vd).max()) + 1e-30
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(vd), atol=1e-8 * vscale)
+
+    def test_roundtrip_projection(self):
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        model = self._model()
+        nf = model.n_pos_states
+        ms = make_modal_genalpha(model, 1e-4)
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=nf))
+        v = jnp.asarray(rng.normal(size=nf))
+        eta, etad = ms.to_modal(q, v)
+        q2, v2 = ms.from_modal(eta, etad)
+        np.testing.assert_allclose(np.asarray(q2), np.asarray(q), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v), rtol=1e-8)
+
+    def test_rejects_nonlinear_and_forces(self):
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+        from continuum_robot_tpu.models import ForceParams
+
+        nl = DynamicEulerBernoulliBeam(helpers.nonlinear_csv())
+        with pytest.raises(ValueError, match="linear"):
+            make_modal_genalpha(nl, 1e-4)
+
+        fl = DynamicEulerBernoulliBeam(
+            helpers.linear_csv(), ForceParams(enable_gravity_effects=True)
+        )
+        with pytest.raises(ValueError, match="forces"):
+            make_modal_genalpha(fl, 1e-4)
+
+    def test_truncated_basis(self):
+        """n_modes keeps the dominant dynamics: tip trajectory of a
+        low-mode excitation is reproduced by a truncated basis."""
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        model = self._model()
+        nf = model.n_pos_states
+        DT, NS = 1e-4, 200
+        full = make_modal_genalpha(model, DT)
+        # Excite only the lowest mode.
+        q0 = jnp.asarray(full.Phi[:, 0] * 1e-6)
+        v0 = jnp.zeros(nf)
+        trunc = make_modal_genalpha(model, DT, n_modes=4)
+        out = {}
+        for name, ms in [("full", full), ("trunc", trunc)]:
+            eta, etad = ms.to_modal(q0, v0)
+            e1, ed1, _ = ms.rollout(eta, etad, None, NS)
+            q1, _ = ms.from_modal(e1, ed1)
+            out[name] = np.asarray(q1)
+        scale = np.abs(out["full"]).max()
+        np.testing.assert_allclose(out["trunc"], out["full"], atol=1e-6 * scale)
