@@ -319,31 +319,31 @@ class ModalGenAlpha:
         PhiT = jnp.asarray(self.Phi.T, dtype=jnp.asarray(u).dtype)
         return jnp.einsum("mn,...n->...m", PhiT, u)
 
-    def rollout(self, eta, etad, u_modal, n_steps: int):
-        """Scan ``n_steps`` generalized-alpha steps in modal coordinates.
-
-        ``eta``/``etad``: ``(..., m)`` modal amplitudes/velocities;
-        ``u_modal``: constant modal force ``(m,)`` (or ``(..., m)``) or None.
-        Returns final ``(eta, etad, etadd)``.
-        """
+    def _pieces(self, dtype, u_modal):
+        """Per-mode step coefficients + (t -> modal force) accessor."""
         dt = self.dt
         am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
         af = self.rho_inf / (self.rho_inf + 1.0)
         beta = 0.25 * (1.0 - am + af) ** 2
         gamma = 0.5 - am + af
-
-        dtype = jnp.asarray(eta).dtype
         lam = jnp.asarray(self.lam, dtype=dtype)
         # Effective-Jacobian inverse per mode, exact in f64 then cast.
         winv = jnp.asarray(
             1.0 / ((1.0 - am) + (1.0 - af) * beta * dt * dt * self.lam),
             dtype=dtype,
         )
-        u_m = 0.0 if u_modal is None else jnp.asarray(u_modal, dtype=dtype)
 
-        etadd = (u_m - lam * eta) * jnp.asarray(1.0, dtype)  # mass = I
+        if u_modal is None:
+            u_at = lambda t: jnp.asarray(0.0, dtype)  # noqa: E731
+        elif callable(u_modal):
+            u_at = lambda t: jnp.asarray(u_modal(t), dtype)  # noqa: E731
+        else:
+            u_const = jnp.asarray(u_modal, dtype=dtype)
+            u_at = lambda t: u_const  # noqa: E731
 
-        def step(carry, _):
+        t_af_off = (1.0 - af) * dt
+
+        def step(carry, t):
             q, v, a = carry
             q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
             v_pred = v + (1.0 - gamma) * dt * a
@@ -351,16 +351,67 @@ class ModalGenAlpha:
             q1 = q_pred + beta * dt * dt * a
             q_af = (1.0 - af) * q1 + af * q
             a_am = a  # (1-am) a1 + am a with a1 = a
-            r = a_am + lam * q_af - u_m
+            r = a_am + lam * q_af - u_at(t + t_af_off)
             a1 = a - winv * r
             q1 = q_pred + beta * dt * dt * a1
             v1 = v_pred + gamma * dt * a1
             return (q1, v1, a1), None
 
-        (eta, etad, etadd), _ = jax.lax.scan(
-            step, (eta, etad, etadd), None, length=n_steps
-        )
+        return lam, u_at, step
+
+    def initial_accel(self, eta, u_modal, t0=0.0):
+        dtype = jnp.asarray(eta).dtype
+        lam, u_at, _ = self._pieces(dtype, u_modal)
+        return u_at(t0) - lam * eta  # modal mass = I
+
+    def rollout(self, eta, etad, u_modal, n_steps: int, t0: float = 0.0):
+        """Scan ``n_steps`` generalized-alpha steps in modal coordinates.
+
+        ``eta``/``etad``: ``(..., m)`` modal amplitudes/velocities;
+        ``u_modal``: constant modal force ``(m,)``/``(..., m)``, a traceable
+        callable ``t -> modal force``, or None. Returns final
+        ``(eta, etad, etadd)``.
+        """
+        dtype = jnp.asarray(eta).dtype
+        _, _, step = self._pieces(dtype, u_modal)
+        etadd = self.initial_accel(eta, u_modal, t0)
+        ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
+        (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
         return eta, etad, etadd
+
+    def rollout_frames(
+        self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
+        t0: float = 0.0,
+    ):
+        """Frame-collecting rollout: ``substeps`` inner steps per frame.
+
+        Returns ``(ts (F+1,), etas (F+1, ..., m), etads (F+1, ..., m))``
+        including the initial state — the ``solve_ivp(t_eval=...)`` contract.
+        """
+        dtype = jnp.asarray(eta).dtype
+        _, _, step = self._pieces(dtype, u_modal)
+        etadd = self.initial_accel(eta, u_modal, t0)
+        h = self.dt
+
+        def frame(carry, i):
+            t_frame = t0 + (i * substeps) * h
+
+            def inner(c, j):
+                return step(c, t_frame + j * h)
+
+            carry, _ = jax.lax.scan(
+                inner, carry, jnp.arange(substeps, dtype=dtype)
+            )
+            q, v, a = carry
+            return carry, (q, v)
+
+        _, (etas, etads) = jax.lax.scan(
+            frame, (eta, etad, etadd), jnp.arange(n_frames)
+        )
+        ts = t0 + (h * substeps) * jnp.arange(n_frames + 1)
+        etas = jnp.concatenate([eta[None], etas], axis=0)
+        etads = jnp.concatenate([etad[None], etads], axis=0)
+        return ts, etas, etads
 
 
 def make_modal_genalpha(
@@ -487,6 +538,30 @@ def simulate(
                 op, q0, v0, 0.0, dt, n_steps,
                 u=u, rho_inf=rho_inf, n_newton=n_newton, substeps=substeps,
             )
+            return ts, jnp.concatenate([qs, vs], axis=-1), None
+
+    elif method == "modal":
+        if forces_func is not None:
+            raise ValueError(
+                "method='modal' cannot include state-dependent forces; "
+                "use 'newmark'/'generalized_alpha' for those"
+            )
+        ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
+        n = x0.shape[-1] // 2
+        if u is None:
+            u_modal = None
+        elif callable(u):
+            u_modal = lambda t: ms.project_force(u(t))  # noqa: E731
+        else:
+            u_modal = ms.project_force(jnp.asarray(u))
+
+        def run(x0):
+            q0, v0 = x0[..., :n], x0[..., n:]
+            eta, etad = ms.to_modal(q0, v0)
+            ts, etas, etads = ms.rollout_frames(
+                eta, etad, u_modal, n_steps, substeps=substeps
+            )
+            qs, vs = ms.from_modal(etas, etads)
             return ts, jnp.concatenate([qs, vs], axis=-1), None
 
     else:

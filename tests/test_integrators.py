@@ -301,3 +301,37 @@ class TestModalGenAlpha:
             out[name] = np.asarray(q1)
         scale = np.abs(out["full"]).max()
         np.testing.assert_allclose(out["trunc"], out["full"], atol=1e-6 * scale)
+
+    def test_simulate_method_modal(self):
+        """simulate(method='modal') == generalized_alpha for linear beams,
+        including time-dependent inputs and batched initial states."""
+        model = self._model(6)
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(1e-3)
+        u = jnp.zeros(n).at[-2].set(0.05)
+
+        def ut(t):
+            return jnp.where(t < 0.005, u, jnp.zeros_like(u))
+
+        for u_case in (u, ut):
+            r_ga = simulate(model, x0, 0.02, 1e-3,
+                            method="generalized_alpha", u=u_case, substeps=10)
+            r_mo = simulate(model, x0, 0.02, 1e-3,
+                            method="modal", u=u_case, substeps=10)
+            scale = float(jnp.abs(r_ga.ys).max())
+            np.testing.assert_allclose(
+                np.asarray(r_mo.ys), np.asarray(r_ga.ys), atol=1e-9 * scale
+            )
+            np.testing.assert_allclose(np.asarray(r_mo.ts), np.asarray(r_ga.ts))
+
+        x0b = jnp.stack([x0, 2 * x0])
+        r_b = simulate(model, x0b, 0.01, 1e-3, method="modal", u=u, substeps=5)
+        assert r_b.ys.shape == (11, 2, 2 * n)
+        assert bool(jnp.all(jnp.isfinite(r_b.ys)))
+
+    def test_simulate_modal_rejects_forces_func(self):
+        model = self._model(4)
+        n = model.n_pos_states
+        with pytest.raises(ValueError, match="state-dependent"):
+            simulate(model, jnp.zeros(2 * n), 0.01, 1e-3, method="modal",
+                     forces_func=lambda x, t: x[..., :n])
