@@ -39,24 +39,32 @@ BEAM_TYPE = os.environ.get("BENCH_TYPE", "linear")  # linear | nonlinear
 # "highest" = true f32 (default, parity-grade); "high" = 3-pass bf16, ~1.9x
 # faster at a measured ~1.4%/400-step trajectory drift (sweep-grade).
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")
-# Stepping engine for the linear benchmark: "modal" runs the identical
-# generalized-alpha recurrence diagonalized in the mass-orthonormal modal
-# basis (models/simulate.make_modal_genalpha) — exact modal superposition,
-# not an approximation; measured 10.5x the dense-operator path at this
-# workload with 4.2e-4 relative f32 trajectory agreement over 400 steps.
-# "dense" forces the general-operator path (always used for nonlinear).
-ENGINE = os.environ.get("BENCH_ENGINE", "modal" if BEAM_TYPE == "linear" else "dense")
+# Stepping engine for the linear benchmark:
+#   "modal_pallas" (default) — the generalized-alpha recurrence diagonalized
+#     in the mass-orthonormal modal basis, run as a fused Pallas kernel with
+#     the modal state resident in VMEM across all steps (bit-identical to
+#     "modal" on hardware; 46x the dense path).
+#   "modal" — the same diagonalized recurrence via XLA (one HBM roundtrip
+#     per step; 10.5x dense). Exact modal superposition either way — the
+#     same recurrence, not an approximation: 4.2e-4 relative f32 agreement
+#     with "dense" over 400 steps.
+#   "dense" — the general-operator path (always used for nonlinear).
+ENGINE = os.environ.get(
+    "BENCH_ENGINE", "modal_pallas" if BEAM_TYPE == "linear" else "dense"
+)
 DT = 1e-4
 # Reference nonlinear RHS: 129.2 ms/eval (7.7 evals/s), same host/date.
 REF_EVALS_PER_SEC_NONLINEAR = 7.7
 
 
-def run_modal(jax, jnp, model, n_red):
+def run_modal(jax, jnp, model, n_red, use_pallas=True):
     """Linear benchmark on the modal generalized-alpha engine.
 
     Identical recurrence to the dense path, diagonalized per mode: the
-    per-step work is ~15 elementwise ops on (envs, modes) arrays (HBM-
-    bandwidth-bound) instead of three (3N x 3N) @ (3N x envs) matmuls.
+    per-step work is ~10 elementwise ops on (envs, modes) arrays instead of
+    three (3N x 3N) @ (3N x envs) matmuls. With ``use_pallas`` the whole
+    span runs as one fused kernel with the modal state resident in VMEM
+    (bit-identical results; HBM touched once per span instead of per step).
     """
     import time as _time
 
@@ -72,24 +80,35 @@ def run_modal(jax, jnp, model, n_red):
 
     eta, etad = jax.jit(ms.to_modal)(q, v)
     u_m = ms.project_force(u)
-    roll = jax.jit(lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS))
+    if use_pallas:
 
+        def roll(e, ed):
+            return ms.rollout_pallas(e, ed, u_m, N_STEPS)
+
+    else:
+        roll = jax.jit(lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS))
+
+    # Sync via a scalar host read: on the axon backend block_until_ready()
+    # does NOT await Pallas custom-call completion (measured: it reports
+    # ~1 ms for a 2000-step kernel whose true device time is ~250 ms), so
+    # every timing here forces a value to the host instead.
     e1, ed1, _ = roll(eta, etad)
-    e1.block_until_ready()
+    float(jnp.sum(e1))
     t0 = _time.time()
     e2, ed2, _ = roll(e1, ed1)
-    e2.block_until_ready()
+    float(jnp.sum(e2))
     wall = _time.time() - t0
 
     q2, _ = jax.jit(ms.from_modal)(e2, ed2)
     assert bool(jnp.all(jnp.isfinite(q2))), "non-finite states in benchmark"
 
     env_steps_per_sec = N_STEPS * N_ENVS / wall
+    engine = "fused-Pallas modal" if use_pallas else "modal"
     print(
         json.dumps(
             {
                 "metric": (
-                    f"implicit generalized-alpha (modal superposition) env-steps/sec/chip, "
+                    f"implicit generalized-alpha ({engine} superposition) env-steps/sec/chip, "
                     f"{N_ELEMENTS}-element linear beam, {N_ENVS} envs, f32"
                 ),
                 "value": round(env_steps_per_sec, 1),
@@ -136,8 +155,8 @@ def main():
     model = DynamicEulerBernoulliBeam(df)
     n_red = model.n_pos_states
 
-    if ENGINE == "modal" and BEAM_TYPE == "linear":
-        return run_modal(jax, jnp, model, n_red)
+    if ENGINE in ("modal", "modal_pallas") and BEAM_TYPE == "linear":
+        return run_modal(jax, jnp, model, n_red, use_pallas=(ENGINE == "modal_pallas"))
 
     # Generalized-alpha: at omega_max*dt ~ 1e3 the undamped Newmark keeps
     # unit-circle high modes where f32 roundoff slowly destabilizes them;
@@ -182,13 +201,15 @@ def main():
     u = jnp.zeros(n_red, dtype).at[-2].set(0.1)
     a = op.solve(q, 0.0)(u - op.internal_force(q))
 
-    # Warm-up / compile.
+    # Warm-up / compile. Sync via scalar host reads (see run_modal: on this
+    # backend block_until_ready does not await Pallas custom calls; plain
+    # XLA executables measure identically either way, verified).
     q1, v1, a1 = run(q, v, a, u)
-    q1.block_until_ready()
+    float(jnp.sum(q1))
 
     t0 = time.time()
     q2, v2, a2 = run(q1, v1, a1, u)
-    q2.block_until_ready()
+    float(jnp.sum(q2))
     wall = time.time() - t0
 
     assert bool(jnp.all(jnp.isfinite(q2))), "non-finite states in benchmark"

@@ -379,6 +379,37 @@ class ModalGenAlpha:
         (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
         return eta, etad, etadd
 
+    def rollout_pallas(
+        self, eta, etad, u_modal, n_steps: int, t0: float = 0.0,
+        tile: int = 512, mode_tile: int = 256, interpret: bool = False,
+    ):
+        """Fused-kernel rollout: all ``n_steps`` run with the modal state
+        resident in VMEM (``ops/pallas/modal_rollout.py``), touching HBM once
+        per call instead of once per step. Constant ``u_modal`` only; same
+        arithmetic as :meth:`rollout`.
+
+        ``eta``/``etad``: ``(B, m)``. Returns final ``(eta, etad, etadd)``.
+        """
+        from ..ops.pallas.modal_rollout import fused_modal_steps
+
+        dt = self.dt
+        am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
+        af = self.rho_inf / (self.rho_inf + 1.0)
+        beta = 0.25 * (1.0 - am + af) ** 2
+        winv64 = 1.0 / (
+            (1.0 - am) + (1.0 - af) * beta * dt * dt * np.asarray(self.lam)
+        )
+        dtype = jnp.asarray(eta).dtype
+        # etadd=None: the consistent initial acceleration is computed inside
+        # the jitted kernel wrapper (eager ops cost a tunnel round trip each
+        # on the axon backend).
+        return fused_modal_steps(
+            jnp.asarray(self.lam, dtype), jnp.asarray(winv64, dtype),
+            u_modal, eta, etad, None, steps=n_steps, h=dt,
+            rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
+            interpret=interpret,
+        )
+
     def rollout_frames(
         self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
         t0: float = 0.0,

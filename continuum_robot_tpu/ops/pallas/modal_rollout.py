@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: fused modal generalized-alpha rollout.
+
+The XLA modal engine (``models/simulate.ModalGenAlpha``) is HBM-bound: every
+step re-reads and re-writes the ``(envs, modes)`` state arrays (~300 MB of
+traffic per step at the benchmark scale). This kernel runs S steps with the
+modal state *resident in VMEM*: HBM is touched once per invocation (load
+states, store states), and the per-step work — ~10 elementwise FMAs per
+mode-env element — runs out of VMEM on the VPU.
+
+Because the modal recurrence is independent per mode, the grid tiles BOTH
+axes: modes on sublanes (``mode_tile`` per cell, 8-aligned), env batch on
+lanes (``tile`` per cell, 128-aligned). Each grid cell carries its
+``(mode_tile, tile)`` state block through all S steps in VMEM — a few MB per
+cell regardless of problem size. Per-mode scalar coefficients (``lam``, the
+effective-Jacobian inverse ``winv`` — computed in float64 by the caller, see
+``ModalGenAlpha.rollout_pallas`` — and the modal force) are ``(mode_tile,
+1)`` columns broadcast across lanes. Padded modes carry ``lam = 0, u = 0``
+with zero state and stay exactly zero through the recurrence.
+
+Numerically identical (same arithmetic, same order) to
+``ModalGenAlpha.rollout`` with a constant input; validated in
+``tests/test_pallas.py`` and on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(steps: int, h: float, rho_inf: float):
+    am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+    af = rho_inf / (rho_inf + 1.0)
+    beta = 0.25 * (1.0 - am + af) ** 2
+    gamma = 0.5 - am + af
+    bh2 = beta * h * h
+
+    def kernel(
+        lam_ref, winv_ref, u_ref, q_ref, v_ref, a_ref,
+        qo_ref, vo_ref, ao_ref,
+    ):
+        """One (mode_tile, env_tile) cell: S fused modal gen-alpha steps."""
+        lam = lam_ref[:, :]
+        winv = winv_ref[:, :]
+        u = u_ref[:, :]
+
+        def step(_, qva):
+            q, v, a = qva
+            q_pred = q + h * v + (0.5 - beta) * h * h * a
+            v_pred = v + (1.0 - gamma) * h * a
+            # One Newton from a1 = a (exact for the linear modal system):
+            # a_am = (1-am) a1 + am a = a.
+            q_af = (1.0 - af) * (q_pred + bh2 * a) + af * q
+            r = a + lam * q_af - u
+            a1 = a - winv * r
+            return (q_pred + bh2 * a1, v_pred + gamma * h * a1, a1)
+
+        q, v, a = jax.lax.fori_loop(
+            0, steps, step, (q_ref[:, :], v_ref[:, :], a_ref[:, :])
+        )
+        qo_ref[:, :] = q
+        vo_ref[:, :] = v
+        ao_ref[:, :] = a
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "h", "rho_inf", "tile", "mode_tile", "interpret"),
+)
+def fused_modal_steps(
+    lam,
+    winv,
+    u_modal,
+    eta,
+    etad,
+    etadd=None,
+    steps: int = 1,
+    h: float = 1e-4,
+    rho_inf: float = 0.8,
+    tile: int = 512,
+    mode_tile: int = 256,
+    interpret: bool = False,
+):
+    """Advance modal ``(eta, etad, etadd)`` by ``steps`` fused gen-α steps.
+
+    Args:
+      lam: ``(m,)`` modal eigenvalues.
+      winv: ``(m,)`` effective-Jacobian inverses
+        ``1 / ((1-am) + (1-af) beta h^2 lam)`` — compute in float64 on the
+        host for parity with the XLA modal engine.
+      u_modal: ``(m,)`` constant modal force, or None.
+      eta, etad, etadd: ``(B, m)`` modal states; pass ``etadd=None`` to
+        compute the consistent initial acceleration ``u - lam * eta`` here
+        (inside the jit — an eager computation would cost a host-tunnel
+        round trip per call on the axon backend).
+      steps, h, rho_inf: stepper configuration (static).
+      tile / mode_tile: env lanes (128-aligned) / mode sublanes (8-aligned)
+        per grid cell; VMEM per cell ~ 9 * mode_tile * tile * 4 B, doubled
+        by grid double-buffering — (512, 256) measures fastest on v5e
+        (25.5M env-steps/s at 3000 modes x 4096 envs; larger cells OOM the
+        16 MB VMEM).
+
+    Returns the advanced ``(B, m)`` state triple.
+    """
+    B, m = eta.shape
+    dtype = eta.dtype
+    if etadd is None:
+        u_row = 0.0 if u_modal is None else jnp.asarray(u_modal, dtype)
+        etadd = u_row - jnp.asarray(lam, dtype) * eta
+    m_p = -(-m // mode_tile) * mode_tile
+    Bp = -(-B // tile) * tile
+
+    def pad_state(s):
+        # (B, m) -> (m_p, Bp), modes on sublanes.
+        s = s.T
+        s = jnp.pad(s, ((0, m_p - m), (0, Bp - B)))
+        return s
+
+    def pad_col(v):
+        return (
+            jnp.zeros((m_p, 1), dtype).at[:m, 0].set(jnp.asarray(v, dtype))
+        )
+
+    u_col = jnp.zeros((m_p, 1), dtype) if u_modal is None else pad_col(u_modal)
+
+    kernel = _make_kernel(int(steps), float(h), float(rho_inf))
+    grid = (m_p // mode_tile, Bp // tile)
+    col_spec = pl.BlockSpec(
+        (mode_tile, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec(
+        (mode_tile, tile), lambda i, b: (i, b), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
+    qo, vo, ao = pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape, out_shape),
+        grid=grid,
+        in_specs=[col_spec, col_spec, col_spec,
+                  state_spec, state_spec, state_spec],
+        out_specs=(state_spec, state_spec, state_spec),
+        interpret=interpret,
+    )(
+        pad_col(lam), pad_col(winv), u_col,
+        pad_state(eta), pad_state(etad), pad_state(etadd),
+    )
+    return (
+        qo[:m, :B].T,
+        vo[:m, :B].T,
+        ao[:m, :B].T,
+    )

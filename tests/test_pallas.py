@@ -90,3 +90,44 @@ class TestFusedRollout:
         assert err < 1e-6, f"fused vs integrator: {err:.3e}"
         assert np.all(np.isfinite(ys))
         assert not np.allclose(ys[:, 0], ys[:, 2])
+
+
+class TestFusedModalRollout:
+    """Fused modal gen-alpha kernel (``ops/pallas/modal_rollout.py``)."""
+
+    def _setup(self, n_seg=10, B=5):
+        from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+        from tests import helpers
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(n_seg))
+        n = model.n_pos_states
+        ms = make_modal_genalpha(model, 1e-4, rho_inf=0.8)
+        rng = np.random.default_rng(0)
+        q0 = jnp.asarray(rng.normal(scale=1e-6, size=(B, n)))
+        v0 = jnp.zeros((B, n))
+        u = jnp.zeros(n).at[-2].set(0.1)
+        eta, etad = ms.to_modal(q0, v0)
+        return ms, eta, etad, ms.project_force(u)
+
+    def test_matches_xla_modal_rollout(self):
+        ms, eta, etad, u_m = self._setup()
+        e1, ed1, ea1 = ms.rollout(eta, etad, u_m, 50)
+        e2, ed2, ea2 = ms.rollout_pallas(
+            eta, etad, u_m, 50, tile=128, mode_tile=16, interpret=True
+        )
+        for a, b in [(e1, e2), (ed1, ed2), (ea1, ea2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-12 * scale
+            )
+
+    def test_zero_force_and_padding(self):
+        """None force; B and m not multiples of the tile sizes."""
+        ms, eta, etad, _ = self._setup(n_seg=7, B=3)
+        e1, ed1, _ = ms.rollout(eta, etad, None, 30)
+        e2, ed2, _ = ms.rollout_pallas(
+            eta, etad, None, 30, tile=128, mode_tile=8, interpret=True
+        )
+        scale = float(jnp.abs(e1).max()) + 1e-30
+        np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-12 * scale)
