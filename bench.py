@@ -34,7 +34,10 @@ REF_EVALS_PER_SEC = 17.4
 
 N_ELEMENTS = int(os.environ.get("BENCH_ELEMENTS", 1000))
 N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
-N_STEPS = int(os.environ.get("BENCH_STEPS", 200))
+# 2000 steps = a 0.2 s span at dt=1e-4 (the reference's sims run 1 s
+# horizons, example_utilities.py:20-21); long spans amortize the one-time
+# modal layout transforms the way real rollouts do.
+N_STEPS = int(os.environ.get("BENCH_STEPS", 2000))
 BEAM_TYPE = os.environ.get("BENCH_TYPE", "linear")  # linear | nonlinear
 # "highest" = true f32 (default, parity-grade); "high" = 3-pass bf16, ~1.9x
 # faster at a measured ~1.4%/400-step trajectory drift (sweep-grade).
