@@ -55,6 +55,31 @@ class TestBatchedRollout:
             np.asarray(res_shard.ys), np.asarray(res_plain.ys), rtol=1e-10
         )
 
+    def test_modal_engine_sharded(self, model):
+        """Modal-engine batched rollout shards over dp and matches both the
+        unsharded modal run and the generalized-alpha operator path."""
+        n = model.n_pos_states
+        x0 = np.zeros((16, 2 * n))
+        x0[:, n - 2] = np.linspace(1e-4, 2e-3, 16)
+
+        res_ga = batched_rollout(
+            model, x0, 0.01, 0.001, substeps=10, method="generalized_alpha"
+        )
+        res_modal = batched_rollout(
+            model, x0, 0.01, 0.001, substeps=10, method="modal"
+        )
+        mesh = make_mesh({"dp": 8})
+        res_shard = batched_rollout(
+            model, x0, 0.01, 0.001, substeps=10, method="modal", mesh=mesh
+        )
+        scale = float(np.abs(np.asarray(res_ga.ys)).max())
+        np.testing.assert_allclose(
+            np.asarray(res_modal.ys), np.asarray(res_ga.ys), atol=1e-9 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_shard.ys), np.asarray(res_modal.ys), rtol=1e-10
+        )
+
     def test_sweep_statistics(self, model):
         n = model.n_pos_states
         x0 = np.zeros((8, 2 * n))
