@@ -410,6 +410,35 @@ class ModalGenAlpha:
             interpret=interpret,
         )
 
+    def rollout_frames_pallas(
+        self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
+        tile: int = 512, mode_tile: int = 256, interpret: bool = False,
+    ):
+        """Frame-collecting fused-kernel rollout (constant ``u_modal`` only).
+
+        One fused-kernel invocation per frame with the state carried in the
+        kernel's native layout; transposes paid once per span. Same frame
+        contract as :meth:`rollout_frames` (initial state included).
+        """
+        from ..ops.pallas.modal_rollout import fused_modal_frames
+
+        dt = self.dt
+        am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
+        af = self.rho_inf / (self.rho_inf + 1.0)
+        beta = 0.25 * (1.0 - am + af) ** 2
+        winv64 = 1.0 / (
+            (1.0 - am) + (1.0 - af) * beta * dt * dt * np.asarray(self.lam)
+        )
+        dtype = jnp.asarray(eta).dtype
+        etas, etads = fused_modal_frames(
+            jnp.asarray(self.lam, dtype), jnp.asarray(winv64, dtype),
+            u_modal, eta, etad, n_frames=n_frames, substeps=substeps,
+            h=dt, rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
+            interpret=interpret,
+        )
+        ts = (dt * substeps) * jnp.arange(n_frames + 1)
+        return ts, etas, etads
+
     def rollout_frames(
         self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
         t0: float = 0.0,

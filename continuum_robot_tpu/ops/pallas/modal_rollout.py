@@ -155,3 +155,90 @@ def fused_modal_steps(
         vo[:m, :B].T,
         ao[:m, :B].T,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_frames", "substeps", "h", "rho_inf", "tile", "mode_tile",
+        "interpret",
+    ),
+)
+def fused_modal_frames(
+    lam,
+    winv,
+    u_modal,
+    eta,
+    etad,
+    n_frames: int = 1,
+    substeps: int = 1,
+    h: float = 1e-4,
+    rho_inf: float = 0.8,
+    tile: int = 512,
+    mode_tile: int = 256,
+    interpret: bool = False,
+):
+    """Frame-collecting fused rollout: trajectories at fused-kernel speed.
+
+    The span is an XLA ``lax.scan`` over ``n_frames`` invocations of the
+    fused kernel (``substeps`` steps each), with the modal state carried in
+    the kernel's native ``(modes, envs)`` layout — the layout transposes are
+    paid once per span, not once per frame.
+
+    Returns ``(etas, etads)`` of shape ``(n_frames + 1, B, m)`` including
+    the initial state (the ``solve_ivp(t_eval=...)`` frame contract).
+    Memory: frames materialize in HBM — ``2 * (F+1) * B * m * 4`` bytes;
+    size the batch accordingly (see docs/design.md "Memory budget").
+    """
+    B, m = eta.shape
+    dtype = eta.dtype
+    m_p = -(-m // mode_tile) * mode_tile
+    Bp = -(-B // tile) * tile
+
+    def pad_state(s):
+        return jnp.pad(s.T, ((0, m_p - m), (0, Bp - B)))
+
+    def pad_col(v):
+        return jnp.zeros((m_p, 1), dtype).at[:m, 0].set(jnp.asarray(v, dtype))
+
+    u_col = jnp.zeros((m_p, 1), dtype) if u_modal is None else pad_col(u_modal)
+    lam_col = pad_col(lam)
+    winv_col = pad_col(winv)
+
+    u_row = 0.0 if u_modal is None else jnp.asarray(u_modal, dtype)
+    etadd = u_row - jnp.asarray(lam, dtype) * eta
+
+    q0, v0, a0 = pad_state(eta), pad_state(etad), pad_state(etadd)
+
+    kernel = _make_kernel(int(substeps), float(h), float(rho_inf))
+    grid = (m_p // mode_tile, Bp // tile)
+    col_spec = pl.BlockSpec(
+        (mode_tile, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec(
+        (mode_tile, tile), lambda i, b: (i, b), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
+    call = functools.partial(
+        pl.pallas_call,
+        kernel,
+        out_shape=(out_shape, out_shape, out_shape),
+        grid=grid,
+        in_specs=[col_spec, col_spec, col_spec,
+                  state_spec, state_spec, state_spec],
+        out_specs=(state_spec, state_spec, state_spec),
+        interpret=interpret,
+    )
+
+    def frame(carry, _):
+        q, v, a = carry
+        q, v, a = call()(lam_col, winv_col, u_col, q, v, a)
+        return (q, v, a), (q, v)
+
+    _, (qs, vs) = jax.lax.scan(frame, (q0, v0, a0), None, length=n_frames)
+
+    def unpack(s0, ss):
+        ss = jnp.concatenate([s0[None], ss], axis=0)  # (F+1, m_p, Bp)
+        return jnp.swapaxes(ss[:, :m, :B], 1, 2)  # (F+1, B, m)
+
+    return unpack(q0, qs), unpack(v0, vs)

@@ -131,3 +131,18 @@ class TestFusedModalRollout:
         )
         scale = float(jnp.abs(e1).max()) + 1e-30
         np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-12 * scale)
+
+    def test_frame_collection_matches_xla_frames(self):
+        ms, eta, etad, u_m = self._setup(n_seg=8, B=4)
+        ts1, e1, ed1 = ms.rollout_frames(eta, etad, u_m, 12, substeps=5)
+        ts2, e2, ed2 = ms.rollout_frames_pallas(
+            eta, etad, u_m, 12, substeps=5, tile=128, mode_tile=8,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ts2), np.asarray(ts1))
+        for a, b in [(e1, e2), (ed1, ed2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-12 * scale
+            )
+        assert e2.shape == (13, 4, eta.shape[-1])
