@@ -98,8 +98,11 @@ def make_ekf(
         dtype = x_hat.dtype
 
         # Predict: linearize the actual transition at the current estimate.
-        F = jax.jacfwd(lambda x: step_fn(x, u))(x_hat)
-        x_pred = step_fn(x_hat, u)
+        # jax.linearize shares the primal evaluation with the Jacobian
+        # (jacfwd + a separate primal call would run the transition twice).
+        x_pred, jvp_fn = jax.linearize(lambda x: step_fn(x, u), x_hat)
+        n = x_hat.shape[-1]
+        F = jax.vmap(jvp_fn)(jnp.eye(n, dtype=x_hat.dtype)).T
         P_pred = F @ P @ F.T + V.astype(dtype)
 
         # Measurement linearization.
@@ -115,7 +118,6 @@ def make_ekf(
         K = jnp.linalg.solve(S, H @ P_pred).T
         x_new = x_pred + K @ (jnp.asarray(y) - y_pred)
 
-        n = x_hat.shape[-1]
         eye = jnp.eye(n, dtype=dtype)
         if joseph:
             IKH = eye - K @ H

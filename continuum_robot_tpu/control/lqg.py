@@ -98,17 +98,11 @@ class LinearQuadraticEstimator:
         self._P = None
 
     def get_A(self) -> np.ndarray:
-        if self._A is not None:
-            return self._A
-        n = self.M_beam.shape[0]
-        A = np.zeros((2 * n, 2 * n))
-        A[:n, n:] = np.eye(n)
-        try:
-            A[n:, :n] = -np.linalg.solve(self.M_beam, self.K_beam)
-        except np.linalg.LinAlgError:
-            raise ValueError("Mass matrix is singular and cannot be inverted")
-        self._A = A
-        return A
+        if self._A is None:
+            from .lqr import beam_state_matrix
+
+            self._A = beam_state_matrix(self.K_beam, self.M_beam)
+        return self._A
 
     def compute_gain_matrix(self) -> np.ndarray:
         """Estimator gain ``L = P C' W^-1`` via the dual CARE (cached)."""
@@ -226,9 +220,10 @@ class LinearQuadraticGaussian:
         place closed-loop poles far beyond any explicit stepper's stability
         limit (the same trick as ``ops/exponential.make_expm_propagator``).
 
-        Returns ``propagate(z0, r_frames) -> (frames+1, ..., 4n)`` over the
-        augmented state ``z = [x; x_hat]``; ``r_frames`` has shape
-        ``(frames, 2n)`` (per-frame reference, ZOH) or ``(2n,)`` broadcast.
+        Returns ``propagate(z0, r_frames, n_frames=None) -> (frames+1, ...,
+        4n)`` over the augmented state ``z = [x; x_hat]``; ``r_frames`` has
+        shape ``(frames, 2n)`` (per-frame reference, ZOH) or ``(2n,)`` — a
+        constant reference, which then requires ``n_frames``.
         """
         import jax
         import jax.numpy as jnp
@@ -244,11 +239,18 @@ class LinearQuadraticGaussian:
         Phi = jnp.asarray(Phi_np, dtype=dtype)
         Gamma = jnp.asarray(Gamma_np, dtype=dtype)
 
-        def propagate(z0, r_frames):
+        def propagate(z0, r_frames, n_frames=None):
             z0 = jnp.asarray(z0, dtype=dtype)
             r_frames = jnp.asarray(r_frames, dtype=dtype)
             if r_frames.ndim == 1:
-                r_frames = jnp.broadcast_to(r_frames, (1, *r_frames.shape))
+                if n_frames is None:
+                    raise ValueError(
+                        "a constant (2n,) reference needs n_frames to set "
+                        "the rollout length"
+                    )
+                r_frames = jnp.broadcast_to(
+                    r_frames, (n_frames, *r_frames.shape)
+                )
 
             def step(z, r_k):
                 z_next = jnp.einsum("ij,...j->...i", Phi, z) + jnp.einsum(

@@ -15,6 +15,21 @@ import numpy as np
 from ..ops import care
 
 
+def beam_state_matrix(K_beam, M_beam) -> np.ndarray:
+    """``A = [[0, I], [-M^-1 K, 0]]`` — the shared plant construction of the
+    LQR (parity: ``linear_quadratic_regulator.py:84-117``) and LQE classes."""
+    n = M_beam.shape[0]
+    A = np.zeros((2 * n, 2 * n))
+    A[:n, n:] = np.eye(n)
+    try:
+        # Explicit inverse (not solve) to match the reference's arithmetic
+        # (linear_quadratic_regulator.py:106-110) bit-for-bit in goldens.
+        A[n:, :n] = -np.linalg.inv(M_beam) @ K_beam
+    except np.linalg.LinAlgError:
+        raise ValueError("Mass matrix is singular and cannot be inverted")
+    return A
+
+
 class LinearQuadraticRegulator:
     """LQR for linear beam systems built from stiffness/mass matrices.
 
@@ -87,19 +102,9 @@ class LinearQuadraticRegulator:
 
     def get_A(self) -> np.ndarray:
         """``A = [[0, I], [-M^-1 K, 0]]`` (parity: ``:84-117``)."""
-        if self._A is not None:
-            return self._A
-        M, K = self.M_beam, self.K_beam
-        n = M.shape[0]
-        A = np.zeros((2 * n, 2 * n))
-        A[:n, n:] = np.eye(n)
-        try:
-            M_inv = np.linalg.inv(M)
-            A[n:, :n] = -M_inv @ K
-        except np.linalg.LinAlgError:
-            raise ValueError("Mass matrix is singular and cannot be inverted")
-        self._A = A
-        return A
+        if self._A is None:
+            self._A = beam_state_matrix(self.K_beam, self.M_beam)
+        return self._A
 
     def get_B(self) -> np.ndarray:
         """``B = [0; M^-1]`` — full actuation (parity: ``:119-146``) — or

@@ -319,6 +319,24 @@ class ModalGenAlpha:
         PhiT = jnp.asarray(self.Phi.T, dtype=jnp.asarray(u).dtype)
         return jnp.einsum("mn,...n->...m", PhiT, u)
 
+    def project_force_host(self, u) -> np.ndarray:
+        """Host-NumPy force projection for setup-time constants.
+
+        Eager device ops at setup cost a tunnel round trip each on the axon
+        backend (CLAUDE.md); constant inputs project here instead.
+        """
+        return self.Phi.T @ np.asarray(jax.device_get(u), np.float64)
+
+    def winv64(self) -> np.ndarray:
+        """Per-mode effective-Jacobian inverses in float64 (host)."""
+        am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
+        af = self.rho_inf / (self.rho_inf + 1.0)
+        beta = 0.25 * (1.0 - am + af) ** 2
+        return 1.0 / (
+            (1.0 - am)
+            + (1.0 - af) * beta * self.dt * self.dt * np.asarray(self.lam)
+        )
+
     def _pieces(self, dtype, u_modal):
         """Per-mode step coefficients + (t -> modal force) accessor."""
         dt = self.dt
@@ -392,20 +410,13 @@ class ModalGenAlpha:
         """
         from ..ops.pallas.modal_rollout import fused_modal_steps
 
-        dt = self.dt
-        am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
-        af = self.rho_inf / (self.rho_inf + 1.0)
-        beta = 0.25 * (1.0 - am + af) ** 2
-        winv64 = 1.0 / (
-            (1.0 - am) + (1.0 - af) * beta * dt * dt * np.asarray(self.lam)
-        )
         dtype = jnp.asarray(eta).dtype
         # etadd=None: the consistent initial acceleration is computed inside
         # the jitted kernel wrapper (eager ops cost a tunnel round trip each
         # on the axon backend).
         return fused_modal_steps(
-            jnp.asarray(self.lam, dtype), jnp.asarray(winv64, dtype),
-            u_modal, eta, etad, None, steps=n_steps, h=dt,
+            jnp.asarray(self.lam, dtype), jnp.asarray(self.winv64(), dtype),
+            u_modal, eta, etad, None, steps=n_steps, h=self.dt,
             rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
             interpret=interpret,
         )
@@ -422,21 +433,14 @@ class ModalGenAlpha:
         """
         from ..ops.pallas.modal_rollout import fused_modal_frames
 
-        dt = self.dt
-        am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
-        af = self.rho_inf / (self.rho_inf + 1.0)
-        beta = 0.25 * (1.0 - am + af) ** 2
-        winv64 = 1.0 / (
-            (1.0 - am) + (1.0 - af) * beta * dt * dt * np.asarray(self.lam)
-        )
         dtype = jnp.asarray(eta).dtype
         etas, etads = fused_modal_frames(
-            jnp.asarray(self.lam, dtype), jnp.asarray(winv64, dtype),
+            jnp.asarray(self.lam, dtype), jnp.asarray(self.winv64(), dtype),
             u_modal, eta, etad, n_frames=n_frames, substeps=substeps,
-            h=dt, rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
+            h=self.dt, rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
             interpret=interpret,
         )
-        ts = (dt * substeps) * jnp.arange(n_frames + 1)
+        ts = (self.dt * substeps) * jnp.arange(n_frames + 1)
         return ts, etas, etads
 
     def rollout_frames(
@@ -506,6 +510,47 @@ def make_modal_genalpha(
     return ModalGenAlpha(
         Phi=Phi, PhiTM=Phi.T @ M, lam=lam, rho_inf=rho_inf, dt=dt
     )
+
+
+def make_modal_rollout_fn(
+    model,
+    dt: float,
+    n_steps: int,
+    substeps: int = 1,
+    rho_inf: float = 0.8,
+    u=None,
+    forces_func=None,
+):
+    """Frame-collecting modal rollout closure ``x0 -> (ts, ys)``.
+
+    Shared by :func:`simulate` (method="modal") and the batched/sharded
+    driver (``parallel/rollout.py``). Constant inputs project to modal
+    coordinates on the host (no eager device ops at setup); traceable
+    callables project inside the step.
+    """
+    if forces_func is not None:
+        raise ValueError(
+            "method='modal' cannot include state-dependent forces; "
+            "use 'newmark'/'generalized_alpha' for those"
+        )
+    ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
+    if u is None:
+        u_modal = None
+    elif callable(u):
+        u_modal = lambda t: ms.project_force(u(t))  # noqa: E731
+    else:
+        u_modal = ms.project_force_host(u)
+
+    def rollout(x0):
+        n = x0.shape[-1] // 2
+        eta, etad = ms.to_modal(x0[..., :n], x0[..., n:])
+        ts, etas, etads = ms.rollout_frames(
+            eta, etad, u_modal, n_steps, substeps=substeps
+        )
+        qs, vs = ms.from_modal(etas, etads)
+        return ts, jnp.concatenate([qs, vs], axis=-1)
+
+    return rollout
 
 
 def simulate(
@@ -601,28 +646,14 @@ def simulate(
             return ts, jnp.concatenate([qs, vs], axis=-1), None
 
     elif method == "modal":
-        if forces_func is not None:
-            raise ValueError(
-                "method='modal' cannot include state-dependent forces; "
-                "use 'newmark'/'generalized_alpha' for those"
-            )
-        ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
-        n = x0.shape[-1] // 2
-        if u is None:
-            u_modal = None
-        elif callable(u):
-            u_modal = lambda t: ms.project_force(u(t))  # noqa: E731
-        else:
-            u_modal = ms.project_force(jnp.asarray(u))
+        rollout = make_modal_rollout_fn(
+            model, dt, n_steps, substeps=substeps, rho_inf=rho_inf,
+            u=u, forces_func=forces_func,
+        )
 
         def run(x0):
-            q0, v0 = x0[..., :n], x0[..., n:]
-            eta, etad = ms.to_modal(q0, v0)
-            ts, etas, etads = ms.rollout_frames(
-                eta, etad, u_modal, n_steps, substeps=substeps
-            )
-            qs, vs = ms.from_modal(etas, etads)
-            return ts, jnp.concatenate([qs, vs], axis=-1), None
+            ts, ys = rollout(x0)
+            return ts, ys, None
 
     else:
         raise ValueError(f"Unknown method: {method}")

@@ -170,6 +170,7 @@ def solve_care_numpy(
         from scipy.linalg import solve_continuous_lyapunov
 
         best, best_res = P, residual(P)
+        prev_res = best_res
         for _ in range(steps):
             Acl = A - G @ P
             X = solve_continuous_lyapunov(Acl.T, -(Q + P @ G @ P))
@@ -179,8 +180,9 @@ def solve_care_numpy(
                 break
             if r < best_res:
                 best, best_res = P, r
-            if r >= best_res * 0.99:  # converged / no longer improving
+            if r >= prev_res * 0.99:  # converged / no longer improving
                 break
+            prev_res = r
         return best, best_res
 
     Z = H

@@ -81,28 +81,12 @@ def build_rollout_fn(
             return ts, jnp.concatenate([qs, vs], axis=-1)
 
     elif method == "modal":
-        from ..models.simulate import make_modal_genalpha
+        from ..models.simulate import make_modal_rollout_fn
 
-        if forces_func is not None:
-            raise ValueError(
-                "method='modal' cannot include state-dependent forces"
-            )
-        ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
-        if u is None:
-            u_modal = None
-        elif callable(u):
-            u_modal = lambda t: ms.project_force(u(t))  # noqa: E731
-        else:
-            u_modal = ms.project_force(jnp.asarray(u))
-
-        def rollout(x0):
-            n = x0.shape[-1] // 2
-            eta, etad = ms.to_modal(x0[..., :n], x0[..., n:])
-            ts, etas, etads = ms.rollout_frames(
-                eta, etad, u_modal, n_steps, substeps=substeps
-            )
-            qs, vs = ms.from_modal(etas, etads)
-            return ts, jnp.concatenate([qs, vs], axis=-1)
+        rollout = make_modal_rollout_fn(
+            model, dt, n_steps, substeps=substeps, rho_inf=rho_inf,
+            u=u, forces_func=forces_func,
+        )
 
     else:
         rhs = model.build_rhs(forces_func)

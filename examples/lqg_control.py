@@ -40,11 +40,11 @@ from example_utilities import cleanup_temp_files, create_beam_parameters
 
 
 def build_plant():
-    linear_file, _, _ = create_beam_parameters()
-    beam = DynamicEulerBernoulliBeam(linear_file)
+    files = create_beam_parameters()  # (linear, nonlinear, mixed) CSVs
+    beam = DynamicEulerBernoulliBeam(files[0])
     K_beam = beam.beam_model.get_stiffness_matrix()
     M_beam = beam.beam_model.get_mass_matrix()
-    cleanup_temp_files(linear_file)
+    cleanup_temp_files(*files)
     return K_beam, M_beam
 
 
