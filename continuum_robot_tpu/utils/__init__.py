@@ -8,12 +8,13 @@ from .checks import (
     verify_batch_consistency,
 )
 from .checkpoint import load_checkpoint, save_checkpoint
-from .profiling import StepMeter, compile_time_breakdown, trace
+from .profiling import StepMeter, compile_time_breakdown, force_completion, trace
 
 __all__ = [
     "StepMeter",
     "compile_time_breakdown",
     "divergence_flags",
+    "force_completion",
     "guard_rhs",
     "init_health",
     "load_checkpoint",

@@ -20,6 +20,22 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
+
+
+def force_completion(out):
+    """Synchronize by pulling a scalar reduction of every leaf to the host.
+
+    The correct way to end a timed region on this TPU stack:
+    ``block_until_ready()`` does NOT await Pallas custom-call completion on
+    the axon backend (it reported ~1 ms for a fused kernel whose true device
+    time is ~250 ms — see docs/design.md pitfall 6), while a host transfer
+    cannot complete before the producing computation does.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if isinstance(leaf, jax.Array):
+            float(jnp.sum(jnp.abs(leaf[..., :1])))
+    return out
 
 
 @dataclasses.dataclass
@@ -32,14 +48,19 @@ class StepMeter:
     run_time: Optional[float] = None
 
     def measure(self, fn: Callable, *args, repeats: int = 1):
-        """Time ``fn(*args)`` once cold (compile) and ``repeats`` warm."""
+        """Time ``fn(*args)`` once cold (compile) and ``repeats`` warm.
+
+        Synchronizes with :func:`force_completion` (host scalar reads), not
+        ``block_until_ready`` — the latter returns early for Pallas custom
+        calls on the axon backend.
+        """
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        out = force_completion(fn(*args))
         self.compile_time = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         for _ in range(repeats):
-            out = jax.block_until_ready(fn(*args))
+            out = force_completion(fn(*args))
         self.run_time = (time.perf_counter() - t0) / repeats
         return out
 

@@ -68,9 +68,29 @@ def main():
         beam, x0, t_final=0.25, dt=0.001,
         method="generalized_alpha", substeps=20, mesh=mesh,
     )
-    jax.block_until_ready(res2.ys)
+    # Scalar host read, not block_until_ready: the latter does not await
+    # Pallas custom calls on this backend (docs/design.md pitfall 6).
+    float(jnp.sum(res2.ys[-1]))
     wall2 = time.time() - t0
     print(f"steady-state: {env_steps / wall2:,.0f} env-steps/s")
+
+    # The modal engine runs the identical gen-alpha recurrence diagonalized
+    # per mode — the fast path for all-linear sweeps. It excludes state-
+    # dependent forces, so compare on the dry (no-drag) beam.
+    beam_dry = DynamicEulerBernoulliBeam(linear_file)
+    res3 = batched_rollout(
+        beam_dry, x0, t_final=0.25, dt=0.001,
+        method="modal", substeps=20, mesh=mesh,
+    )
+    float(jnp.sum(res3.ys[-1]))
+    t0 = time.time()
+    res3 = batched_rollout(
+        beam_dry, x0, t_final=0.25, dt=0.001,
+        method="modal", substeps=20, mesh=mesh,
+    )
+    float(jnp.sum(res3.ys[-1]))
+    wall3 = time.time() - t0
+    print(f"modal engine (dry beam): {env_steps / wall3:,.0f} env-steps/s")
 
     cleanup_temp_files(linear_file)
 
