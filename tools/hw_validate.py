@@ -1,0 +1,229 @@
+"""Hardware validation: one command to qualify a TPU backend.
+
+Runs every kernel-level cross-check that has caught a real backend bug on
+this project (SURVEY-era findings are in docs/design.md "Backend pitfalls"),
+printing one PASS/FAIL line per check and exiting nonzero on any failure.
+Run it when bringing up a new chip generation, libtpu, or JAX version:
+
+    python tools/hw_validate.py            # on the TPU
+    JAX_PLATFORMS=cpu python tools/hw_validate.py   # CPU smoke (interpret)
+
+Checks:
+  1. batch-consistency of the default implicit step (fusion-miscompile
+     guard, design.md pitfall 4);
+  2. Pallas block-tridiagonal solve == XLA Thomas solve;
+  3. fused-Pallas modal steps == XLA modal engine (bit-level expected);
+  4. fused-Pallas modal frames == XLA modal frames;
+  5. fused small-beam rollout == generalized-alpha integrator;
+  6. cyclic-reduction solve == Thomas solve;
+  7. sync-method probe: flags when ``block_until_ready`` returns far sooner
+     than a host read for a Pallas kernel (design.md pitfall 6) — WARN, not
+     FAIL, since timings (not results) are what it corrupts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _honor_platform_env():
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+FAILURES = []
+
+
+def report(name: str, ok: bool, detail: str):
+    tag = "PASS" if ok else "FAIL"
+    print(f"[{tag}] {name}: {detail}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def build_model(n_elements: int, kind: str = "linear"):
+    import pandas as pd
+
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+
+    L_el, E, r, rho = 0.25 / 6, 75e9, 0.005, 6450.0
+    I = np.pi * r**4 / 4
+    A = np.pi * r**2
+    df = pd.DataFrame(
+        {
+            "length": [L_el] * n_elements,
+            "elastic_modulus": [E] * n_elements,
+            "moment_inertia": [I] * n_elements,
+            "density": [rho] * n_elements,
+            "cross_area": [A] * n_elements,
+            "type": [kind] * n_elements,
+            "boundary_condition": ["FIXED"] + ["NONE"] * (n_elements - 1),
+        }
+    )
+    return DynamicEulerBernoulliBeam(df)
+
+
+def main():
+    _honor_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() != "cpu"
+    interpret = not on_tpu
+    print(f"backend: {jax.default_backend()} ({jax.devices()[0]})")
+    jax.config.update("jax_default_matmul_precision", "float32")
+
+    from continuum_robot_tpu.models.simulate import (
+        make_modal_genalpha,
+        make_newmark_operator,
+    )
+    from continuum_robot_tpu.ops import banded
+    from continuum_robot_tpu.ops.integrators import generalized_alpha_step
+    from continuum_robot_tpu.ops.pallas import btd_solve_pallas, fused_rollout
+    from continuum_robot_tpu.utils.checks import verify_batch_consistency
+
+    rng = np.random.default_rng(0)
+    B_small = 64 if on_tpu else 8
+    N = 200 if on_tpu else 40
+
+    # ---- shared fixtures -------------------------------------------------
+    model = build_model(N)
+    nf = model.n_pos_states
+    DT, RHO = 1e-4, 0.8
+    q0 = jnp.asarray(rng.normal(scale=1e-6, size=(B_small, nf)), jnp.float32)
+    v0 = jnp.zeros((B_small, nf), jnp.float32)
+    u = jnp.zeros(nf, jnp.float32).at[-2].set(0.1)
+
+    # 1. batch consistency of the default implicit step
+    am = (2 * RHO - 1) / (RHO + 1)
+    af = RHO / (RHO + 1)
+    beta = 0.25 * (1 - am + af) ** 2
+    op = make_newmark_operator(
+        model, dt=None, extra_systems=[(1.0 - am, (1.0 - af) * beta * DT * DT)]
+    )
+    a0 = op.solve(q0, 0.0)(u - op.internal_force(q0))
+
+    def step(x):
+        q, v, a = x[..., :nf], x[..., nf : 2 * nf], x[..., 2 * nf :]
+        q, v, a = generalized_alpha_step(
+            op, 0.0, q, v, a, DT, u, rho_inf=RHO, n_newton=1
+        )
+        return jnp.concatenate([q, v, a], axis=-1)
+
+    try:
+        dev = verify_batch_consistency(
+            step, jnp.concatenate([q0, v0, a0], axis=-1)
+        )
+        report("batch-consistency (implicit step)", True, f"max dev {dev:.2e}")
+    except RuntimeError as e:
+        report("batch-consistency (implicit step)", False, str(e))
+
+    # 2. Pallas btd solve vs XLA Thomas
+    d = rng.normal(size=(N + 1, 3, 3)).astype(np.float32)
+    d = d + np.swapaxes(d, -1, -2) + 10 * np.eye(3, dtype=np.float32)
+    up = (0.3 * rng.normal(size=(N, 3, 3))).astype(np.float32)
+    lo = np.swapaxes(up, -1, -2).copy()
+    f = jax.jit(banded.btd_factor)(jnp.asarray(d), jnp.asarray(lo), jnp.asarray(up))
+    b = jnp.asarray(rng.normal(size=(B_small, N + 1, 3)).astype(np.float32))
+    x_pal = btd_solve_pallas(f, b, interpret=interpret)
+    x_xla = jax.jit(lambda r: banded.btd_solve(f, r))(b)
+    dev = float(jnp.abs(x_pal - x_xla).max() / jnp.abs(x_xla).max())
+    report("pallas btd_solve vs XLA Thomas", dev < 1e-5, f"rel dev {dev:.2e}")
+
+    # 3./4. fused modal kernels vs XLA modal engine
+    ms = make_modal_genalpha(model, DT, rho_inf=RHO)
+    eta, etad = jax.jit(ms.to_modal)(q0, v0)
+    u_m = ms.project_force_host(u)
+    NS = 100
+    e_x, ed_x, _ = jax.jit(lambda a_, b_: ms.rollout(a_, b_, u_m, NS))(eta, etad)
+    e_p, ed_p, _ = ms.rollout_pallas(
+        eta, etad, u_m, NS, tile=128, mode_tile=8 if interpret else 256,
+        interpret=interpret,
+    )
+    dev = float(jnp.abs(e_p - e_x).max() / jnp.abs(e_x).max())
+    report("fused modal steps vs XLA modal", dev < 1e-6, f"rel dev {dev:.2e}")
+
+    tsx, ex_f, _ = jax.jit(
+        lambda a_, b_: ms.rollout_frames(a_, b_, u_m, 10, substeps=10)
+    )(eta, etad)
+    tsp, ep_f, _ = ms.rollout_frames_pallas(
+        eta, etad, u_m, 10, substeps=10, tile=128,
+        mode_tile=8 if interpret else 256, interpret=interpret,
+    )
+    dev = float(jnp.abs(ep_f - ex_f).max() / jnp.abs(ex_f).max())
+    report("fused modal frames vs XLA frames", dev < 1e-6, f"rel dev {dev:.2e}")
+
+    # 5. fused small-beam rollout vs integrator
+    small = build_model(6)
+    ns = small.n_pos_states
+    x0s = jnp.zeros((B_small, 2 * ns), jnp.float32).at[:, ns - 2].set(1e-3)
+    ts, ys = fused_rollout(
+        small, x0s, t_final=0.01, dt=1e-3, substeps=10, interpret=interpret
+    )
+    from continuum_robot_tpu.models.simulate import simulate
+
+    res = simulate(
+        small, x0s, 0.01, 1e-3, method="generalized_alpha", substeps=10
+    )
+    y_ref = res.ys  # (frames+1, B, 2n) — same layout as fused_rollout's ys
+    dev = float(jnp.abs(ys - y_ref).max() / jnp.abs(y_ref).max())
+    report("fused small-beam rollout vs integrator", dev < 1e-4,
+           f"rel dev {dev:.2e}")
+
+    # 6. cyclic reduction vs Thomas
+    f_cr = jax.jit(banded.btd_cr_factor)(
+        jnp.asarray(d), jnp.asarray(lo), jnp.asarray(up)
+    )
+    x_cr = jax.jit(lambda r: banded.btd_cr_solve(f_cr, r))(b)
+    dev = float(jnp.abs(x_cr - x_xla).max() / jnp.abs(x_xla).max())
+    report("cyclic-reduction solve vs Thomas", dev < 1e-4, f"rel dev {dev:.2e}")
+
+    # 7. sync probe (WARN only): does block_until_ready track a host read?
+    # Needs enough device work to stand clear of the ~30 ms call overhead:
+    # ~20k steps x 2k envs here is ~0.5 s of true kernel time.
+    if on_tpu:
+        B_probe, NS_probe = 2048, 20000
+        eta_p = jnp.asarray(
+            rng.normal(scale=1e-6, size=(B_probe, nf)), jnp.float32
+        )
+        etad_p = jnp.zeros((B_probe, nf), jnp.float32)
+        e1, _, _ = ms.rollout_pallas(eta_p, etad_p, u_m, NS_probe)
+        float(jnp.sum(e1))  # warm
+        t0 = time.time()
+        e1, _, _ = ms.rollout_pallas(eta_p, etad_p, u_m, NS_probe)
+        e1.block_until_ready()
+        t_block = time.time() - t0
+        t0 = time.time()
+        e1, _, _ = ms.rollout_pallas(eta_p, etad_p, u_m, NS_probe)
+        float(jnp.sum(e1))
+        t_host = time.time() - t0
+        lying = t_host > 5 * t_block and t_host > 0.01
+        tag = "WARN" if lying else "OK  "
+        print(
+            f"[{tag}] block_until_ready probe: block={t_block*1e3:.1f} ms, "
+            f"host-read={t_host*1e3:.1f} ms"
+            + (" — block_until_ready is NOT awaiting Pallas custom calls; "
+               "never use it for timing" if lying else "")
+        )
+
+    print()
+    if FAILURES:
+        print(f"{len(FAILURES)} check(s) FAILED: {', '.join(FAILURES)}")
+        sys.exit(1)
+    print("all hardware checks passed")
+
+
+if __name__ == "__main__":
+    main()
