@@ -9,6 +9,14 @@ from .spatial import (
     reduced_to_node_layout,
     spatial_rollout,
 )
+from .sweep import (
+    make_parametric_rhs,
+    make_traced_genalpha_operator,
+    override_arrays,
+    parametric_genalpha_rollout,
+    parametric_rollout,
+    tile_arrays,
+)
 
 __all__ = [
     "SpatialBeam",
@@ -17,9 +25,15 @@ __all__ = [
     "build_rollout_fn",
     "build_spatial_rhs",
     "make_mesh",
+    "make_parametric_rhs",
     "make_spatial_beam",
+    "make_traced_genalpha_operator",
+    "override_arrays",
+    "parametric_genalpha_rollout",
+    "parametric_rollout",
     "reduced_to_node_layout",
-    "spatial_rollout",
     "replicated",
+    "spatial_rollout",
     "sweep_statistics",
+    "tile_arrays",
 ]
