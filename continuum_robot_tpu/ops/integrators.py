@@ -370,8 +370,15 @@ def integrate_generalized_alpha(
     rho_inf: float = 0.8,
     n_newton: int = 2,
     substeps: int = 1,
+    remat: bool = False,
 ):
-    """Generalized-alpha rollout via lax.scan; mirrors integrate_newmark."""
+    """Generalized-alpha rollout via lax.scan; mirrors integrate_newmark.
+
+    ``remat``: rematerialize each output frame under reverse-mode autodiff
+    (one stored state per frame instead of per substep/Newton iterate) —
+    the implicit-path twin of ``integrate_fixed(remat=True)``, for
+    differentiating long stiff rollouts (``parametric_genalpha_rollout``).
+    """
     f0 = -op.internal_force(q0)
     if op.external_force is not None:
         f0 = f0 + op.external_force(jnp.concatenate([q0, v0], axis=-1), t0)
@@ -385,15 +392,21 @@ def integrate_generalized_alpha(
         q, v, a = carry
         t_frame = t0 + i * dt
 
-        def inner(carry, j):
-            q, v, a = carry
-            t = t_frame + j * h
-            q, v, a = generalized_alpha_step(
-                op, t, q, v, a, h, u, rho_inf=rho_inf, n_newton=n_newton
-            )
-            return (q, v, a), None
+        def advance(qva):
+            def inner(carry, j):
+                q, v, a = carry
+                t = t_frame + j * h
+                q, v, a = generalized_alpha_step(
+                    op, t, q, v, a, h, u, rho_inf=rho_inf, n_newton=n_newton
+                )
+                return (q, v, a), None
 
-        (q, v, a), _ = jax.lax.scan(inner, (q, v, a), jnp.arange(substeps))
+            out, _ = jax.lax.scan(inner, qva, jnp.arange(substeps))
+            return out
+
+        if remat:
+            advance = jax.checkpoint(advance)
+        q, v, a = advance((q, v, a))
         return (q, v, a), (q, v)
 
     (_, _, _), (qs, vs) = jax.lax.scan(outer, (q0, v0, a0), jnp.arange(n_steps))

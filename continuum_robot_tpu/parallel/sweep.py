@@ -258,14 +258,16 @@ def parametric_genalpha_rollout(
     n_newton: int = 2,
     use_consistent: bool = False,
     modified_newton: bool = True,
+    remat: bool = False,
 ):
     """Batched *implicit* rollout, differentiable in the beam parameters.
 
     The stiff-configuration counterpart of :func:`parametric_rollout`:
     unconditionally stable generalized-alpha stepping whose whole pipeline
     (assembly, BC masking, factorization, solves) is traced, so
-    ``jax.grad`` flows into every ``BeamArrays`` field. Returns
-    ``(ts, ys (frames, envs, state))``.
+    ``jax.grad`` flows into every ``BeamArrays`` field. ``remat`` stores one
+    state per frame under reverse-mode autodiff (long-horizon gradients).
+    Returns ``(ts, ys (frames, envs, state))``.
     """
     n_steps = int(round(t_final / dt))
 
@@ -279,6 +281,7 @@ def parametric_genalpha_rollout(
         ts, qs, vs = integrators.integrate_generalized_alpha(
             op, x0[..., :n], x0[..., n:], 0.0, dt, n_steps,
             u=u, rho_inf=rho_inf, n_newton=n_newton, substeps=substeps,
+            remat=remat,
         )
         return ts, jnp.concatenate([qs, vs], axis=-1)
 

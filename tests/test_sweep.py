@@ -204,3 +204,26 @@ class TestParametricImplicit:
         # Stiffer beams ring back faster: trajectories must differ.
         assert float(jnp.abs(ys[:, 0] - ys[:, 1]).max()) > 0
         assert float(jnp.abs(ys[:, 1] - ys[:, 2]).max()) > 0
+
+    def test_remat_gradient_matches(self):
+        """Gradient checkpointing changes memory, not values."""
+        from continuum_robot_tpu.parallel.sweep import (
+            override_arrays,
+            parametric_genalpha_rollout,
+        )
+
+        m, bc, arrays = self._setup()
+        n = m.n_pos_states
+        x0b = jnp.zeros((1, 2 * n)).at[0, n - 2].set(1e-4)
+
+        def loss(E, remat):
+            b = override_arrays(arrays, elastic_modulus=E[None, None])
+            ts, ys = parametric_genalpha_rollout(
+                bc, b, x0b, 0.01, 1e-3, substeps=10, remat=remat
+            )
+            return jnp.sum(ys[-1, 0, :n] ** 2) * 1e6
+
+        E0 = jnp.asarray(75e9)
+        g_plain = jax.grad(lambda E: loss(E, False))(E0)
+        g_remat = jax.grad(lambda E: loss(E, True))(E0)
+        np.testing.assert_allclose(float(g_remat), float(g_plain), rtol=1e-10)
