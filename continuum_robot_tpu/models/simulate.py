@@ -337,8 +337,18 @@ class ModalGenAlpha:
             + (1.0 - af) * beta * self.dt * self.dt * np.asarray(self.lam)
         )
 
-    def _pieces(self, dtype, u_modal):
-        """Per-mode step coefficients + (t -> modal force) accessor."""
+    @staticmethod
+    def _force_at(u_modal, dtype):
+        """Normalize the modal-force spec to a callable of t."""
+        if u_modal is None:
+            return lambda t: jnp.asarray(0.0, dtype)
+        if callable(u_modal):
+            return lambda t: jnp.asarray(u_modal(t), dtype)
+        u_const = jnp.asarray(u_modal, dtype=dtype)
+        return lambda t: u_const
+
+    def _step_fn(self, dtype, u_modal):
+        """One scan-compatible generalized-alpha step in modal coordinates."""
         dt = self.dt
         am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
         af = self.rho_inf / (self.rho_inf + 1.0)
@@ -346,19 +356,8 @@ class ModalGenAlpha:
         gamma = 0.5 - am + af
         lam = jnp.asarray(self.lam, dtype=dtype)
         # Effective-Jacobian inverse per mode, exact in f64 then cast.
-        winv = jnp.asarray(
-            1.0 / ((1.0 - am) + (1.0 - af) * beta * dt * dt * self.lam),
-            dtype=dtype,
-        )
-
-        if u_modal is None:
-            u_at = lambda t: jnp.asarray(0.0, dtype)  # noqa: E731
-        elif callable(u_modal):
-            u_at = lambda t: jnp.asarray(u_modal(t), dtype)  # noqa: E731
-        else:
-            u_const = jnp.asarray(u_modal, dtype=dtype)
-            u_at = lambda t: u_const  # noqa: E731
-
+        winv = jnp.asarray(self.winv64(), dtype=dtype)
+        u_at = self._force_at(u_modal, dtype)
         t_af_off = (1.0 - af) * dt
 
         def step(carry, t):
@@ -375,12 +374,12 @@ class ModalGenAlpha:
             v1 = v_pred + gamma * dt * a1
             return (q1, v1, a1), None
 
-        return lam, u_at, step
+        return step
 
     def initial_accel(self, eta, u_modal, t0=0.0):
         dtype = jnp.asarray(eta).dtype
-        lam, u_at, _ = self._pieces(dtype, u_modal)
-        return u_at(t0) - lam * eta  # modal mass = I
+        lam = jnp.asarray(self.lam, dtype=dtype)
+        return self._force_at(u_modal, dtype)(t0) - lam * eta  # modal mass = I
 
     def rollout(self, eta, etad, u_modal, n_steps: int, t0: float = 0.0):
         """Scan ``n_steps`` generalized-alpha steps in modal coordinates.
@@ -391,7 +390,7 @@ class ModalGenAlpha:
         ``(eta, etad, etadd)``.
         """
         dtype = jnp.asarray(eta).dtype
-        _, _, step = self._pieces(dtype, u_modal)
+        step = self._step_fn(dtype, u_modal)
         etadd = self.initial_accel(eta, u_modal, t0)
         ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
         (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
@@ -453,7 +452,7 @@ class ModalGenAlpha:
         including the initial state — the ``solve_ivp(t_eval=...)`` contract.
         """
         dtype = jnp.asarray(eta).dtype
-        _, _, step = self._pieces(dtype, u_modal)
+        step = self._step_fn(dtype, u_modal)
         etadd = self.initial_accel(eta, u_modal, t0)
         h = self.dt
 

@@ -32,6 +32,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _tiling(eta, u_modal, lam, winv, mode_tile: int, tile: int):
+    """Shared layout prep: padded coefficient columns + grid/block specs.
+
+    Returns ``(m_p, Bp, pad_state, cols, grid, col_spec, state_spec)`` where
+    ``pad_state`` maps a ``(B, m)`` state to the kernel's ``(m_p, Bp)``
+    modes-on-sublanes layout and ``cols`` is ``(lam, winv, u)`` as
+    ``(m_p, 1)`` columns.
+    """
+    B, m = eta.shape
+    dtype = eta.dtype
+    m_p = -(-m // mode_tile) * mode_tile
+    Bp = -(-B // tile) * tile
+
+    def pad_state(s):
+        return jnp.pad(s.T, ((0, m_p - m), (0, Bp - B)))
+
+    def pad_col(v):
+        return jnp.zeros((m_p, 1), dtype).at[:m, 0].set(jnp.asarray(v, dtype))
+
+    u_col = jnp.zeros((m_p, 1), dtype) if u_modal is None else pad_col(u_modal)
+    cols = (pad_col(lam), pad_col(winv), u_col)
+
+    grid = (m_p // mode_tile, Bp // tile)
+    col_spec = pl.BlockSpec(
+        (mode_tile, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec(
+        (mode_tile, tile), lambda i, b: (i, b), memory_space=pltpu.VMEM
+    )
+    return m_p, Bp, pad_state, cols, grid, col_spec, state_spec
+
+
 def _make_kernel(steps: int, h: float, rho_inf: float):
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
@@ -113,30 +145,11 @@ def fused_modal_steps(
     if etadd is None:
         u_row = 0.0 if u_modal is None else jnp.asarray(u_modal, dtype)
         etadd = u_row - jnp.asarray(lam, dtype) * eta
-    m_p = -(-m // mode_tile) * mode_tile
-    Bp = -(-B // tile) * tile
 
-    def pad_state(s):
-        # (B, m) -> (m_p, Bp), modes on sublanes.
-        s = s.T
-        s = jnp.pad(s, ((0, m_p - m), (0, Bp - B)))
-        return s
-
-    def pad_col(v):
-        return (
-            jnp.zeros((m_p, 1), dtype).at[:m, 0].set(jnp.asarray(v, dtype))
-        )
-
-    u_col = jnp.zeros((m_p, 1), dtype) if u_modal is None else pad_col(u_modal)
-
+    m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
+        eta, u_modal, lam, winv, mode_tile, tile
+    )
     kernel = _make_kernel(int(steps), float(h), float(rho_inf))
-    grid = (m_p // mode_tile, Bp // tile)
-    col_spec = pl.BlockSpec(
-        (mode_tile, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM
-    )
-    state_spec = pl.BlockSpec(
-        (mode_tile, tile), lambda i, b: (i, b), memory_space=pltpu.VMEM
-    )
     out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
     qo, vo, ao = pl.pallas_call(
         kernel,
@@ -146,10 +159,7 @@ def fused_modal_steps(
                   state_spec, state_spec, state_spec],
         out_specs=(state_spec, state_spec, state_spec),
         interpret=interpret,
-    )(
-        pad_col(lam), pad_col(winv), u_col,
-        pad_state(eta), pad_state(etad), pad_state(etadd),
-    )
+    )(*cols, pad_state(eta), pad_state(etad), pad_state(etadd))
     return (
         qo[:m, :B].T,
         vo[:m, :B].T,
@@ -192,35 +202,17 @@ def fused_modal_frames(
     """
     B, m = eta.shape
     dtype = eta.dtype
-    m_p = -(-m // mode_tile) * mode_tile
-    Bp = -(-B // tile) * tile
-
-    def pad_state(s):
-        return jnp.pad(s.T, ((0, m_p - m), (0, Bp - B)))
-
-    def pad_col(v):
-        return jnp.zeros((m_p, 1), dtype).at[:m, 0].set(jnp.asarray(v, dtype))
-
-    u_col = jnp.zeros((m_p, 1), dtype) if u_modal is None else pad_col(u_modal)
-    lam_col = pad_col(lam)
-    winv_col = pad_col(winv)
-
     u_row = 0.0 if u_modal is None else jnp.asarray(u_modal, dtype)
     etadd = u_row - jnp.asarray(lam, dtype) * eta
 
+    m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
+        eta, u_modal, lam, winv, mode_tile, tile
+    )
     q0, v0, a0 = pad_state(eta), pad_state(etad), pad_state(etadd)
 
     kernel = _make_kernel(int(substeps), float(h), float(rho_inf))
-    grid = (m_p // mode_tile, Bp // tile)
-    col_spec = pl.BlockSpec(
-        (mode_tile, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM
-    )
-    state_spec = pl.BlockSpec(
-        (mode_tile, tile), lambda i, b: (i, b), memory_space=pltpu.VMEM
-    )
     out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
-    call = functools.partial(
-        pl.pallas_call,
+    call = pl.pallas_call(
         kernel,
         out_shape=(out_shape, out_shape, out_shape),
         grid=grid,
@@ -232,7 +224,7 @@ def fused_modal_frames(
 
     def frame(carry, _):
         q, v, a = carry
-        q, v, a = call()(lam_col, winv_col, u_col, q, v, a)
+        q, v, a = call(*cols, q, v, a)
         return (q, v, a), (q, v)
 
     _, (qs, vs) = jax.lax.scan(frame, (q0, v0, a0), None, length=n_frames)
