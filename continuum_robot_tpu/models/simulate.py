@@ -292,6 +292,10 @@ class ModalGenAlpha:
 
     Scope: purely linear beams, no state-dependent registry forces; the
     input ``u`` is projected into modal coordinates (once if constant).
+    Rayleigh structural damping ``C = alpha M + beta K`` diagonalizes in the
+    same basis (``cdamp_m = alpha + beta lam_m``) and enters the recurrence
+    and the effective Jacobian exactly — a capability the reference lacks
+    entirely (its only dissipation is quadratic fluid drag).
     Built on the host in float64; fields are ready-to-close-over constants.
     """
 
@@ -300,6 +304,7 @@ class ModalGenAlpha:
     lam: np.ndarray  # (m,) eigenvalues omega^2
     rho_inf: float
     dt: float
+    cdamp: Optional[np.ndarray] = None  # (m,) modal Rayleigh damping, or None
 
     def to_modal(self, q, v):
         """Physical reduced (q, v) -> modal (eta, etadot) via Phi^T M."""
@@ -328,14 +333,21 @@ class ModalGenAlpha:
         return self.Phi.T @ np.asarray(jax.device_get(u), np.float64)
 
     def winv64(self) -> np.ndarray:
-        """Per-mode effective-Jacobian inverses in float64 (host)."""
+        """Per-mode effective-Jacobian inverses in float64 (host).
+
+        ``J_m = (1-am) + (1-af) gamma dt c_m + (1-af) beta dt^2 lam_m`` —
+        the damping term is in the Jacobian exactly (not lagged).
+        """
         am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
         af = self.rho_inf / (self.rho_inf + 1.0)
         beta = 0.25 * (1.0 - am + af) ** 2
-        return 1.0 / (
-            (1.0 - am)
-            + (1.0 - af) * beta * self.dt * self.dt * np.asarray(self.lam)
+        gamma = 0.5 - am + af
+        J = (1.0 - am) + (1.0 - af) * beta * self.dt * self.dt * np.asarray(
+            self.lam
         )
+        if self.cdamp is not None:
+            J = J + (1.0 - af) * gamma * self.dt * np.asarray(self.cdamp)
+        return 1.0 / J
 
     @staticmethod
     def _force_at(u_modal, dtype):
@@ -357,6 +369,9 @@ class ModalGenAlpha:
         lam = jnp.asarray(self.lam, dtype=dtype)
         # Effective-Jacobian inverse per mode, exact in f64 then cast.
         winv = jnp.asarray(self.winv64(), dtype=dtype)
+        cdamp = (
+            None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
+        )
         u_at = self._force_at(u_modal, dtype)
         t_af_off = (1.0 - af) * dt
 
@@ -369,6 +384,9 @@ class ModalGenAlpha:
             q_af = (1.0 - af) * q1 + af * q
             a_am = a  # (1-am) a1 + am a with a1 = a
             r = a_am + lam * q_af - u_at(t + t_af_off)
+            if cdamp is not None:
+                v_af = (1.0 - af) * (v_pred + gamma * dt * a) + af * v
+                r = r + cdamp * v_af
             a1 = a - winv * r
             q1 = q_pred + beta * dt * dt * a1
             v1 = v_pred + gamma * dt * a1
@@ -376,10 +394,14 @@ class ModalGenAlpha:
 
         return step
 
-    def initial_accel(self, eta, u_modal, t0=0.0):
+    def initial_accel(self, eta, u_modal, t0=0.0, etad=None):
+        """``a0 = u - lam eta - c etadot`` (modal mass = I)."""
         dtype = jnp.asarray(eta).dtype
         lam = jnp.asarray(self.lam, dtype=dtype)
-        return self._force_at(u_modal, dtype)(t0) - lam * eta  # modal mass = I
+        a0 = self._force_at(u_modal, dtype)(t0) - lam * eta
+        if self.cdamp is not None and etad is not None:
+            a0 = a0 - jnp.asarray(self.cdamp, dtype) * etad
+        return a0
 
     def rollout(self, eta, etad, u_modal, n_steps: int, t0: float = 0.0):
         """Scan ``n_steps`` generalized-alpha steps in modal coordinates.
@@ -391,7 +413,7 @@ class ModalGenAlpha:
         """
         dtype = jnp.asarray(eta).dtype
         step = self._step_fn(dtype, u_modal)
-        etadd = self.initial_accel(eta, u_modal, t0)
+        etadd = self.initial_accel(eta, u_modal, t0, etad)
         ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
         (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
         return eta, etad, etadd
@@ -413,11 +435,14 @@ class ModalGenAlpha:
         # etadd=None: the consistent initial acceleration is computed inside
         # the jitted kernel wrapper (eager ops cost a tunnel round trip each
         # on the axon backend).
+        cdamp = (
+            None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
+        )
         return fused_modal_steps(
             jnp.asarray(self.lam, dtype), jnp.asarray(self.winv64(), dtype),
             u_modal, eta, etad, None, steps=n_steps, h=self.dt,
             rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
-            interpret=interpret,
+            interpret=interpret, cdamp=cdamp,
         )
 
     def rollout_frames_pallas(
@@ -433,11 +458,14 @@ class ModalGenAlpha:
         from ..ops.pallas.modal_rollout import fused_modal_frames
 
         dtype = jnp.asarray(eta).dtype
+        cdamp = (
+            None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
+        )
         etas, etads = fused_modal_frames(
             jnp.asarray(self.lam, dtype), jnp.asarray(self.winv64(), dtype),
             u_modal, eta, etad, n_frames=n_frames, substeps=substeps,
             h=self.dt, rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
-            interpret=interpret,
+            interpret=interpret, cdamp=cdamp,
         )
         ts = (self.dt * substeps) * jnp.arange(n_frames + 1)
         return ts, etas, etads
@@ -453,7 +481,7 @@ class ModalGenAlpha:
         """
         dtype = jnp.asarray(eta).dtype
         step = self._step_fn(dtype, u_modal)
-        etadd = self.initial_accel(eta, u_modal, t0)
+        etadd = self.initial_accel(eta, u_modal, t0, etad)
         h = self.dt
 
         def frame(carry, i):
@@ -482,6 +510,7 @@ def make_modal_genalpha(
     dt: float,
     rho_inf: float = 0.8,
     n_modes: int = None,
+    rayleigh: tuple = None,
 ) -> ModalGenAlpha:
     """Build the modal generalized-alpha engine for an all-linear beam.
 
@@ -489,6 +518,12 @@ def make_modal_genalpha(
     (K, M) (the same decomposition as ``utils/modal.modal_analysis``).
     Raises for nonlinear configurations or registered state-dependent
     forces — those stay on ``make_newmark_operator``.
+
+    ``rayleigh``: optional ``(alpha, beta)`` for structural damping
+    ``C = alpha M + beta K`` (no reference counterpart — the reference has
+    no material damping). Diagonalizes to ``cdamp_m = alpha + beta lam_m``
+    and enters the recurrence and Jacobian exactly; per-mode damping ratio
+    is ``zeta_m = (alpha / omega_m + beta omega_m) / 2``.
     """
     from scipy.linalg import eigh
 
@@ -506,8 +541,15 @@ def make_modal_genalpha(
     lam = np.maximum(lam, 0.0)
     if n_modes is not None:
         lam, Phi = lam[:n_modes], Phi[:, :n_modes]
+    cdamp = None
+    if rayleigh is not None:
+        alpha, beta_r = float(rayleigh[0]), float(rayleigh[1])
+        if alpha < 0 or beta_r < 0:
+            raise ValueError("Rayleigh coefficients must be nonnegative")
+        cdamp = alpha + beta_r * lam
     return ModalGenAlpha(
-        Phi=Phi, PhiTM=Phi.T @ M, lam=lam, rho_inf=rho_inf, dt=dt
+        Phi=Phi, PhiTM=Phi.T @ M, lam=lam, rho_inf=rho_inf, dt=dt,
+        cdamp=cdamp,
     )
 
 

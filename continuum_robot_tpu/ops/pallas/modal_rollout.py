@@ -64,22 +64,14 @@ def _tiling(eta, u_modal, lam, winv, mode_tile: int, tile: int):
     return m_p, Bp, pad_state, cols, grid, col_spec, state_spec
 
 
-def _make_kernel(steps: int, h: float, rho_inf: float):
+def _make_kernel(steps: int, h: float, rho_inf: float, damped: bool = False):
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
     beta = 0.25 * (1.0 - am + af) ** 2
     gamma = 0.5 - am + af
     bh2 = beta * h * h
 
-    def kernel(
-        lam_ref, winv_ref, u_ref, q_ref, v_ref, a_ref,
-        qo_ref, vo_ref, ao_ref,
-    ):
-        """One (mode_tile, env_tile) cell: S fused modal gen-alpha steps."""
-        lam = lam_ref[:, :]
-        winv = winv_ref[:, :]
-        u = u_ref[:, :]
-
+    def body(lam, winv, u, q0, v0, a0, cdamp=None):
         def step(_, qva):
             q, v, a = qva
             q_pred = q + h * v + (0.5 - beta) * h * h * a
@@ -88,15 +80,43 @@ def _make_kernel(steps: int, h: float, rho_inf: float):
             # a_am = (1-am) a1 + am a = a.
             q_af = (1.0 - af) * (q_pred + bh2 * a) + af * q
             r = a + lam * q_af - u
+            if cdamp is not None:
+                v_af = (1.0 - af) * (v_pred + gamma * h * a) + af * v
+                r = r + cdamp * v_af
             a1 = a - winv * r
             return (q_pred + bh2 * a1, v_pred + gamma * h * a1, a1)
 
-        q, v, a = jax.lax.fori_loop(
-            0, steps, step, (q_ref[:, :], v_ref[:, :], a_ref[:, :])
-        )
-        qo_ref[:, :] = q
-        vo_ref[:, :] = v
-        ao_ref[:, :] = a
+        return jax.lax.fori_loop(0, steps, step, (q0, v0, a0))
+
+    if damped:
+
+        def kernel(
+            lam_ref, winv_ref, u_ref, c_ref, q_ref, v_ref, a_ref,
+            qo_ref, vo_ref, ao_ref,
+        ):
+            """One (mode_tile, env_tile) cell: S fused damped gen-α steps."""
+            q, v, a = body(
+                lam_ref[:, :], winv_ref[:, :], u_ref[:, :],
+                q_ref[:, :], v_ref[:, :], a_ref[:, :], cdamp=c_ref[:, :],
+            )
+            qo_ref[:, :] = q
+            vo_ref[:, :] = v
+            ao_ref[:, :] = a
+
+    else:
+
+        def kernel(
+            lam_ref, winv_ref, u_ref, q_ref, v_ref, a_ref,
+            qo_ref, vo_ref, ao_ref,
+        ):
+            """One (mode_tile, env_tile) cell: S fused modal gen-alpha steps."""
+            q, v, a = body(
+                lam_ref[:, :], winv_ref[:, :], u_ref[:, :],
+                q_ref[:, :], v_ref[:, :], a_ref[:, :],
+            )
+            qo_ref[:, :] = q
+            vo_ref[:, :] = v
+            ao_ref[:, :] = a
 
     return kernel
 
@@ -118,6 +138,7 @@ def fused_modal_steps(
     tile: int = 512,
     mode_tile: int = 256,
     interpret: bool = False,
+    cdamp=None,
 ):
     """Advance modal ``(eta, etad, etadd)`` by ``steps`` fused gen-α steps.
 
@@ -145,18 +166,25 @@ def fused_modal_steps(
     if etadd is None:
         u_row = 0.0 if u_modal is None else jnp.asarray(u_modal, dtype)
         etadd = u_row - jnp.asarray(lam, dtype) * eta
+        if cdamp is not None:
+            etadd = etadd - jnp.asarray(cdamp, dtype) * etad
 
     m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
         eta, u_modal, lam, winv, mode_tile, tile
     )
-    kernel = _make_kernel(int(steps), float(h), float(rho_inf))
+    damped = cdamp is not None
+    if damped:
+        c_col = jnp.zeros((m_p, 1), dtype).at[:m, 0].set(
+            jnp.asarray(cdamp, dtype)
+        )
+        cols = (*cols, c_col)
+    kernel = _make_kernel(int(steps), float(h), float(rho_inf), damped)
     out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
     qo, vo, ao = pl.pallas_call(
         kernel,
         out_shape=(out_shape, out_shape, out_shape),
         grid=grid,
-        in_specs=[col_spec, col_spec, col_spec,
-                  state_spec, state_spec, state_spec],
+        in_specs=[col_spec] * len(cols) + [state_spec] * 3,
         out_specs=(state_spec, state_spec, state_spec),
         interpret=interpret,
     )(*cols, pad_state(eta), pad_state(etad), pad_state(etadd))
@@ -187,6 +215,7 @@ def fused_modal_frames(
     tile: int = 512,
     mode_tile: int = 256,
     interpret: bool = False,
+    cdamp=None,
 ):
     """Frame-collecting fused rollout: trajectories at fused-kernel speed.
 
@@ -204,20 +233,27 @@ def fused_modal_frames(
     dtype = eta.dtype
     u_row = 0.0 if u_modal is None else jnp.asarray(u_modal, dtype)
     etadd = u_row - jnp.asarray(lam, dtype) * eta
+    if cdamp is not None:
+        etadd = etadd - jnp.asarray(cdamp, dtype) * etad
 
     m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
         eta, u_modal, lam, winv, mode_tile, tile
     )
+    damped = cdamp is not None
+    if damped:
+        c_col = jnp.zeros((m_p, 1), dtype).at[:m, 0].set(
+            jnp.asarray(cdamp, dtype)
+        )
+        cols = (*cols, c_col)
     q0, v0, a0 = pad_state(eta), pad_state(etad), pad_state(etadd)
 
-    kernel = _make_kernel(int(substeps), float(h), float(rho_inf))
+    kernel = _make_kernel(int(substeps), float(h), float(rho_inf), damped)
     out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
     call = pl.pallas_call(
         kernel,
         out_shape=(out_shape, out_shape, out_shape),
         grid=grid,
-        in_specs=[col_spec, col_spec, col_spec,
-                  state_spec, state_spec, state_spec],
+        in_specs=[col_spec] * len(cols) + [state_spec] * 3,
         out_specs=(state_spec, state_spec, state_spec),
         interpret=interpret,
     )

@@ -335,3 +335,95 @@ class TestModalGenAlpha:
         with pytest.raises(ValueError, match="state-dependent"):
             simulate(model, jnp.zeros(2 * n), 0.01, 1e-3, method="modal",
                      forces_func=lambda x, t: x[..., :n])
+
+    def test_rayleigh_damping_converges_to_exact(self):
+        """Damped modal gen-alpha -> exact expm of the damped LTI at O(h^2),
+        with the damping term in the Jacobian (stable at any dt)."""
+        from scipy.linalg import expm
+
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        model = self._model(6)
+        n = model.n_pos_states
+        alpha, beta = 5.0, 1e-6
+        K = model.beam_model.get_stiffness_matrix()
+        M = model.beam_model.get_mass_matrix()
+        Minv = np.linalg.inv(M)
+        A = np.block(
+            [[np.zeros((n, n)), np.eye(n)],
+             [-Minv @ K, -Minv @ (alpha * M + beta * K)]]
+        )
+        rng = np.random.default_rng(0)
+        q0 = jnp.asarray(rng.normal(scale=1e-5, size=(3, n)))
+        v0 = jnp.zeros((3, n))
+        x_exact = np.concatenate([np.asarray(q0), np.asarray(v0)], -1) @ expm(
+            A * 40e-5
+        ).T
+
+        errs = []
+        for sub in [1, 2, 4]:
+            ms = make_modal_genalpha(
+                model, 1e-5 / sub, rho_inf=0.9, rayleigh=(alpha, beta)
+            )
+            eta, etad = ms.to_modal(q0, v0)
+            e, ed, _ = ms.rollout(eta, etad, None, 40 * sub)
+            q_m, _ = ms.from_modal(e, ed)
+            errs.append(np.abs(np.asarray(q_m) - x_exact[:, :n]).max())
+        # Second-order convergence: each dt halving cuts the error ~4x.
+        assert errs[0] / errs[1] > 3.0
+        assert errs[1] / errs[2] > 3.0
+        assert errs[2] < 1e-7
+
+    def test_rayleigh_damping_dissipates_energy(self):
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        model = self._model(6)
+        n = model.n_pos_states
+        rng = np.random.default_rng(1)
+        q0 = jnp.asarray(rng.normal(scale=1e-5, size=n))
+        v0 = jnp.zeros(n)
+        ms = make_modal_genalpha(
+            model, 1e-4, rho_inf=1.0, rayleigh=(50.0, 1e-7)
+        )
+        eta, etad = ms.to_modal(q0, v0)
+        e, ed, _ = ms.rollout(eta, etad, None, 500)
+        E0 = float(jnp.sum(ms.lam * eta**2 + etad**2))
+        E1 = float(jnp.sum(ms.lam * e**2 + ed**2))
+        assert E1 < 0.5 * E0
+
+    def test_rayleigh_pallas_matches_xla(self):
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        model = self._model(6)
+        n = model.n_pos_states
+        ms = make_modal_genalpha(
+            model, 1e-5, rho_inf=0.9, rayleigh=(5.0, 1e-6)
+        )
+        rng = np.random.default_rng(2)
+        eta = jnp.asarray(rng.normal(scale=1e-6, size=(3, n)))
+        etad = jnp.asarray(rng.normal(scale=1e-4, size=(3, n)))
+        u_m = ms.project_force_host(jnp.zeros(n).at[-2].set(0.1))
+        e1, ed1, ea1 = ms.rollout(eta, etad, u_m, 40)
+        e2, ed2, ea2 = ms.rollout_pallas(
+            eta, etad, u_m, 40, tile=128, mode_tile=8, interpret=True
+        )
+        for a, b in [(e1, e2), (ed1, ed2), (ea1, ea2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-12 * scale
+            )
+        ts1, ef1, edf1 = ms.rollout_frames(eta, etad, u_m, 8, substeps=5)
+        ts2, ef2, edf2 = ms.rollout_frames_pallas(
+            eta, etad, u_m, 8, substeps=5, tile=128, mode_tile=8,
+            interpret=True,
+        )
+        scale = float(jnp.abs(ef1).max())
+        np.testing.assert_allclose(
+            np.asarray(ef2), np.asarray(ef1), atol=1e-12 * scale
+        )
+
+    def test_rayleigh_validation(self):
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        with pytest.raises(ValueError, match="nonnegative"):
+            make_modal_genalpha(self._model(4), 1e-4, rayleigh=(-1.0, 0.0))

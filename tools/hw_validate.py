@@ -155,6 +155,18 @@ def main():
     dev = float(jnp.abs(e_p - e_x).max() / jnp.abs(e_x).max())
     report("fused modal steps vs XLA modal", dev < 1e-6, f"rel dev {dev:.2e}")
 
+    # 3b. damped variant (Rayleigh structural damping column)
+    ms_d = make_modal_genalpha(model, DT, rho_inf=RHO, rayleigh=(5.0, 1e-7))
+    e_xd, _, _ = jax.jit(lambda a_, b_: ms_d.rollout(a_, b_, u_m, NS))(
+        eta, etad
+    )
+    e_pd, _, _ = ms_d.rollout_pallas(
+        eta, etad, u_m, NS, tile=128, mode_tile=8 if interpret else 256,
+        interpret=interpret,
+    )
+    dev = float(jnp.abs(e_pd - e_xd).max() / jnp.abs(e_xd).max())
+    report("fused damped-modal steps vs XLA", dev < 1e-6, f"rel dev {dev:.2e}")
+
     tsx, ex_f, _ = jax.jit(
         lambda a_, b_: ms.rollout_frames(a_, b_, u_m, 10, substeps=10)
     )(eta, etad)
