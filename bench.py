@@ -42,6 +42,8 @@ BEAM_TYPE = os.environ.get("BENCH_TYPE", "linear")  # linear | nonlinear
 # "highest" = true f32 (default, parity-grade); "high" = 3-pass bf16, ~1.9x
 # faster at a measured ~1.4%/400-step trajectory drift (sweep-grade).
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")
+# ROM basis size for ENGINE=modal_rom (nonlinear reduced-order engine).
+N_MODES = int(os.environ.get("BENCH_MODES", 256))
 # Stepping engine for the linear benchmark:
 #   "modal_pallas" (default) — the generalized-alpha recurrence diagonalized
 #     in the mass-orthonormal modal basis, run as a fused Pallas kernel with
@@ -122,6 +124,66 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
     )
 
 
+def run_modal_rom(jax, jnp, model, n_red):
+    """Nonlinear benchmark on the Petrov-Galerkin modal-reduction engine.
+
+    The exact vectorized element force stays in the residual; the two basis
+    transforms are (3N x m) instead of the dense path's (3N x 3N) matmuls
+    (``ModalROMGenAlpha``). Accuracy vs the dense path is measured in
+    tests/test_modal_rom.py and reported by tools/parity_report.py.
+    """
+    import time as _time
+
+    from continuum_robot_tpu.models.simulate import make_modal_rom
+
+    RHO_INF = 0.5  # same dissipation as the dense nonlinear benchmark
+    ms = make_modal_rom(model, DT, rho_inf=RHO_INF, n_modes=N_MODES)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(scale=1e-6, size=(N_ENVS, n_red)), jnp.float32)
+    v = jnp.zeros((N_ENVS, n_red), jnp.float32)
+    u = np.zeros(n_red, np.float32)
+    u[-2] = 0.1
+
+    eta, etad = jax.jit(ms.to_modal)(q, v)
+    u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+    prec = (
+        jax.lax.Precision.HIGH if PRECISION == "high"
+        else jax.lax.Precision.HIGHEST
+    )
+    roll = jax.jit(
+        lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
+                                 precision=prec)
+    )
+
+    e1, ed1, _ = roll(eta, etad)
+    float(jnp.sum(e1))
+    t0 = _time.time()
+    e2, ed2, _ = roll(e1, ed1)
+    float(jnp.sum(e2))
+    wall = _time.time() - t0
+
+    q2, _ = jax.jit(ms.from_modal)(e2, ed2)
+    assert bool(jnp.all(jnp.isfinite(q2))), "non-finite states in benchmark"
+
+    env_steps_per_sec = N_STEPS * N_ENVS / wall
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"implicit generalized-alpha (modal-ROM m={N_MODES}) env-steps/sec/chip, "
+                    f"{N_ELEMENTS}-element {BEAM_TYPE} beam, {N_ENVS} envs, f32"
+                ),
+                "value": round(env_steps_per_sec, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(
+                    env_steps_per_sec / REF_EVALS_PER_SEC_NONLINEAR, 1
+                ),
+            }
+        )
+    )
+
+
 def main():
     import jax
 
@@ -160,6 +222,8 @@ def main():
 
     if ENGINE in ("modal", "modal_pallas") and BEAM_TYPE == "linear":
         return run_modal(jax, jnp, model, n_red, use_pallas=(ENGINE == "modal_pallas"))
+    if ENGINE == "modal_rom":
+        return run_modal_rom(jax, jnp, model, n_red)
 
     # Generalized-alpha: at omega_max*dt ~ 1e3 the undamped Newmark keeps
     # unit-circle high modes where f32 roundoff slowly destabilizes them;

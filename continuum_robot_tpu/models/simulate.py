@@ -553,6 +553,277 @@ def make_modal_genalpha(
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class ModalROMGenAlpha:
+    """Generalized-alpha stepping in a truncated modal (Galerkin) subspace.
+
+    The nonlinear-beam counterpart of :class:`ModalGenAlpha`. The state is
+    projected onto the lowest ``m`` mass-orthonormal modes of the symmetrized
+    zero-state tangent; the *exact* vectorized element force (and any
+    registered external forces) is evaluated in physical coordinates inside
+    the residual, while the modified-Newton Jacobian is the Galerkin-reduced
+    exact (non-symmetric, reference-parity) zero-state tangent, prefactored
+    to an ``(m, m)`` inverse on the host in float64.
+
+    Per step this replaces the dense path's three ``(3N x 3N) @ (3N x B)``
+    matmuls with two ``(3N x m)`` basis transforms plus one tiny ``(m, m)``
+    solve — an ``n/m`` reduction of the MXU work while keeping the element
+    kernel exact. With ``m = n`` (full basis) the iteration is the dense
+    modified-Newton generalized-alpha step conjugated by an invertible
+    similarity, so trajectories match the dense engine to roundoff; with
+    ``m < n`` it is the standard nonlinear modal reduction ROM, consistent
+    with generalized-alpha's own treatment of unresolved high modes (they
+    are the modes ``rho_inf`` exists to damp). Truncation accuracy is
+    measured, not assumed: see ``tests/test_modal_rom.py``.
+
+    Because the reference-parity nonlinear tangent is NON-symmetric, plain
+    Galerkin projection onto symmetric-problem modes is unusable: the
+    truncated reduced operator develops complex eigenvalue pairs — i.e.
+    genuinely exponentially-growing ROM dynamics — even though the full
+    spectrum is real (measured: m=18 of 24 diverges where m=12 and m=24 are
+    stable). The engine therefore uses PETROV-Galerkin projection with the
+    true right/left eigenvectors of the pencil ``(K0, M)``: trial basis
+    ``Phi`` (right), test basis ``PhiW`` (left), biorthonormalized so
+    ``PhiW^T M Phi = I`` — the reduced linear operator is then exactly
+    ``diag`` of the true (real) eigenvalues, stable under any truncation.
+
+    No reference counterpart (the reference has no reduced-order modeling;
+    its nonlinear path is the full-order loop at
+    ``euler_bernoulli_beam.py:181-195``).
+    """
+
+    Phi: np.ndarray  # (n, m) trial basis (right eigenvectors of (K0, M))
+    PhiW: np.ndarray  # (n, m) test basis (left eigenvectors), PhiW^T M Phi = I
+    PhiTM: np.ndarray  # (m, n) projector PhiW^T M
+    Sinv: np.ndarray  # (m, m) f64 inverse of (1-am) I + (1-af) beta dt^2 K0r
+    rho_inf: float
+    dt: float
+    internal_force: Callable  # reduced-coordinate element force k(q_red)
+    external_force: Optional[Callable] = None  # (x_red, t) -> force, or None
+
+    @property
+    def n_modes(self) -> int:
+        return self.Phi.shape[1]
+
+    def to_modal(self, q, v):
+        """Physical reduced (q, v) -> modal (eta, etadot) via Phi^T M."""
+        PhiTM = jnp.asarray(self.PhiTM, dtype=jnp.asarray(q).dtype)
+        return (
+            jnp.einsum("mn,...n->...m", PhiTM, q),
+            jnp.einsum("mn,...n->...m", PhiTM, v),
+        )
+
+    def from_modal(self, eta, etad):
+        Phi = jnp.asarray(self.Phi, dtype=jnp.asarray(eta).dtype)
+        return (
+            jnp.einsum("nm,...m->...n", Phi, eta),
+            jnp.einsum("nm,...m->...n", Phi, etad),
+        )
+
+    def project_force(self, u):
+        """Physical force -> modal force (test-basis projection ``PhiW^T u``)."""
+        WT = jnp.asarray(self.PhiW.T, dtype=jnp.asarray(u).dtype)
+        return jnp.einsum("mn,...n->...m", WT, u)
+
+    def project_force_host(self, u) -> np.ndarray:
+        return self.PhiW.T @ np.asarray(jax.device_get(u), np.float64)
+
+    def _coeffs(self):
+        am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
+        af = self.rho_inf / (self.rho_inf + 1.0)
+        beta = 0.25 * (1.0 - am + af) ** 2
+        gamma = 0.5 - am + af
+        return am, af, beta, gamma
+
+    def _force_modal(self, eta_af, etad_af, t_af, dtype, precision):
+        """Modal residual force: PhiW^T [k(q) - F_ext(x, t)] at the alpha point."""
+        Phi = jnp.asarray(self.Phi, dtype=dtype)
+        W = jnp.asarray(self.PhiW, dtype=dtype)
+        q_af = jnp.einsum("nm,...m->...n", Phi, eta_af, precision=precision)
+        f = self.internal_force(q_af)
+        if self.external_force is not None:
+            v_af = jnp.einsum(
+                "nm,...m->...n", Phi, etad_af, precision=precision
+            )
+            x_af = jnp.concatenate([q_af, v_af], axis=-1)
+            f = f - self.external_force(x_af, t_af)
+        return jnp.einsum("nm,...n->...m", W, f, precision=precision)
+
+    def _step_fn(self, dtype, u_modal, n_newton: int, precision):
+        am, af, beta, gamma = self._coeffs()
+        dt = self.dt
+        Sinv = jnp.asarray(self.Sinv, dtype=dtype)
+        u_at = ModalGenAlpha._force_at(u_modal, dtype)
+        t_af_off = (1.0 - af) * dt
+
+        def step(carry, t):
+            eta, etad, etadd = carry
+            t_af = t + t_af_off
+            eta_pred = eta + dt * etad + (0.5 - beta) * dt * dt * etadd
+            etad_pred = etad + (1.0 - gamma) * dt * etadd
+
+            def newton_body(i, a1):
+                eta1 = eta_pred + beta * dt * dt * a1
+                etad1 = etad_pred + gamma * dt * a1
+                eta_af = (1.0 - af) * eta1 + af * eta
+                etad_af = (1.0 - af) * etad1 + af * etad
+                a_am = (1.0 - am) * a1 + am * etadd
+                r = a_am + self._force_modal(
+                    eta_af, etad_af, t_af, dtype, precision
+                ) - u_at(t_af)
+                da = jnp.einsum("mk,...k->...m", Sinv, r, precision=precision)
+                return a1 - da
+
+            a1 = jax.lax.fori_loop(0, n_newton, newton_body, etadd)
+            eta1 = eta_pred + beta * dt * dt * a1
+            etad1 = etad_pred + gamma * dt * a1
+            return (eta1, etad1, a1), None
+
+        return step
+
+    def initial_accel(self, eta, etad, u_modal, t0=0.0, precision=None):
+        """Galerkin-consistent ``etadd0 = Phi^T (u + F_ext - k(q0))``."""
+        dtype = jnp.asarray(eta).dtype
+        r = -self._force_modal(eta, etad, t0, dtype, precision)
+        return r + ModalGenAlpha._force_at(u_modal, dtype)(t0)
+
+    def rollout(
+        self, eta, etad, u_modal, n_steps: int, t0: float = 0.0,
+        n_newton: int = 1, precision=None,
+    ):
+        """Scan ``n_steps`` ROM generalized-alpha steps; final (eta, etad, etadd).
+
+        ``n_newton=1`` is the semi-implicit scheme (one prefactored
+        correction per step — the throughput default); larger values tighten
+        the per-step dynamic balance for strongly nonlinear trajectories.
+        """
+        dtype = jnp.asarray(eta).dtype
+        step = self._step_fn(dtype, u_modal, n_newton, precision)
+        etadd = self.initial_accel(eta, etad, u_modal, t0, precision)
+        ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
+        (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
+        return eta, etad, etadd
+
+    def rollout_frames(
+        self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
+        t0: float = 0.0, n_newton: int = 1, precision=None,
+    ):
+        """Frame-collecting ROM rollout; ``solve_ivp(t_eval=...)`` contract."""
+        dtype = jnp.asarray(eta).dtype
+        step = self._step_fn(dtype, u_modal, n_newton, precision)
+        etadd = self.initial_accel(eta, etad, u_modal, t0, precision)
+        h = self.dt
+
+        def frame(carry, i):
+            t_frame = t0 + (i * substeps) * h
+
+            def inner(c, j):
+                return step(c, t_frame + j * h)
+
+            carry, _ = jax.lax.scan(
+                inner, carry, jnp.arange(substeps, dtype=dtype)
+            )
+            q, v, a = carry
+            return carry, (q, v)
+
+        _, (etas, etads) = jax.lax.scan(
+            frame, (eta, etad, etadd), jnp.arange(n_frames)
+        )
+        ts = t0 + (h * substeps) * jnp.arange(n_frames + 1)
+        etas = jnp.concatenate([eta[None], etas], axis=0)
+        etads = jnp.concatenate([etad[None], etads], axis=0)
+        return ts, etas, etads
+
+
+def make_modal_rom(
+    model,
+    dt: float,
+    rho_inf: float = 0.8,
+    n_modes: int = None,
+    forces_func: Optional[Callable] = None,
+) -> ModalROMGenAlpha:
+    """Build the nonlinear modal-reduction generalized-alpha engine.
+
+    Host float64 setup on the reduced system: right/left eigenvectors of
+    the (generally non-symmetric) pencil ``(K0, M)`` with K0 the exact
+    zero-state tangent, biorthonormalized to ``W^T M V = I`` — see the
+    class docstring for why plain Galerkin on the symmetrized problem is
+    unstable under truncation. For symmetric K0 (all-linear beams, or the
+    ``use_consistent_nonlinear`` element) this reduces to the ordinary
+    mass-orthonormal modal basis with ``W = V``. Works for linear,
+    nonlinear, and hybrid beams; registered registry forces are aggregated
+    unless ``forces_func`` overrides them.
+
+    ``n_modes=None`` keeps the full basis (exact similarity of the dense
+    modified-Newton path — the validation configuration); production ROMs
+    truncate, e.g. ``n_modes=256`` for a 1000-element beam.
+    """
+    from scipy.linalg import eig, eigh
+
+    arrays = model.beam_model.arrays
+    bc_info = model.beam_model.bc_info
+    free = bc_info.free_dofs
+    n_full = bc_info.n_dofs_full
+    use_consistent = getattr(model, "use_consistent_nonlinear", False)
+
+    if forces_func is None and len(model.force_registry) > 0:
+        forces_func = model.force_registry.create_aggregated_function()
+
+    M = np.asarray(model.beam_model.M.toarray(), dtype=np.float64)
+    K0 = reduce_matrix_dense(arrays, free, use_consistent)
+
+    sym_scale = np.abs(K0).max()
+    if np.abs(K0 - K0.T).max() <= 1e-9 * sym_scale:
+        lam, V = eigh(K0, M)  # symmetric fast path; M-orthonormal already
+        W = V
+        if n_modes is not None:
+            V, W = V[:, :n_modes], W[:, :n_modes]
+    else:
+        w, W, V = eig(K0, M, left=True, right=True)
+        order = np.argsort(w.real)
+        w, V, W = w[order], V[:, order], W[:, order]
+        m_keep = n_modes if n_modes is not None else V.shape[1]
+        # Reality is only required of the RETAINED modes: on large parity
+        # nonlinear meshes the upper ~60% of the spectrum comes in complex
+        # pairs (measured at N=1000: modes >= 1236 of 3000) while every
+        # retained low mode is exactly real.
+        im = np.abs(w.imag[:m_keep])
+        cplx = im > 1e-8 * np.abs(w.real[:m_keep]).max()
+        if cplx.any():
+            n_real = int(np.argmax(cplx))  # first complex mode index
+            raise ValueError(
+                f"retained modal range contains complex eigenvalue pairs; "
+                f"reduce n_modes to <= {n_real} for a real stable basis"
+            )
+        V, W = V[:, :m_keep].real, W[:, :m_keep].real
+        # Biorthonormalize robustly: W <- W inv(D)^T with D = W^T M V, so
+        # W^T M V = I exactly even under near-degenerate eigenvalue pairing.
+        D = W.T @ M @ V
+        W = W @ np.linalg.inv(D).T
+
+    am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+    af = rho_inf / (rho_inf + 1.0)
+    beta = 0.25 * (1.0 - am + af) ** 2
+    K0r = W.T @ K0 @ V  # = diag(eigenvalues) up to roundoff
+    m = V.shape[1]
+    S = (1.0 - am) * np.eye(m) + (1.0 - af) * beta * dt * dt * K0r
+    Sinv = np.linalg.inv(S)
+
+    internal_force = assembly.make_reduced_internal_force(
+        arrays, free, n_full, use_consistent=use_consistent
+    )
+    return ModalROMGenAlpha(
+        Phi=V,
+        PhiW=W,
+        PhiTM=W.T @ M,
+        Sinv=Sinv,
+        rho_inf=rho_inf,
+        dt=dt,
+        internal_force=internal_force,
+        external_force=forces_func,
+    )
+
+
 def make_modal_rollout_fn(
     model,
     dt: float,
@@ -608,6 +879,7 @@ def simulate(
     n_newton: int = 2,
     linear_solver: str = None,
     rho_inf: float = 0.8,
+    n_modes: int = None,
     jit: bool = True,
 ) -> SimulationResult:
     """Run a complete rollout on device.
@@ -684,6 +956,28 @@ def simulate(
                 op, q0, v0, 0.0, dt, n_steps,
                 u=u, rho_inf=rho_inf, n_newton=n_newton, substeps=substeps,
             )
+            return ts, jnp.concatenate([qs, vs], axis=-1), None
+
+    elif method == "modal_rom":
+        ms = make_modal_rom(
+            model, dt / substeps, rho_inf=rho_inf, n_modes=n_modes,
+            forces_func=forces_func,
+        )
+        if u is None:
+            u_modal = None
+        elif callable(u):
+            u_modal = lambda t: ms.project_force(u(t))  # noqa: E731
+        else:
+            u_modal = ms.project_force_host(u)
+
+        def run(x0):
+            n = x0.shape[-1] // 2
+            eta, etad = ms.to_modal(x0[..., :n], x0[..., n:])
+            ts, etas, etads = ms.rollout_frames(
+                eta, etad, u_modal, n_steps, substeps=substeps,
+                n_newton=n_newton,
+            )
+            qs, vs = ms.from_modal(etas, etads)
             return ts, jnp.concatenate([qs, vs], axis=-1), None
 
     elif method == "modal":

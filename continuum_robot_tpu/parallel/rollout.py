@@ -31,6 +31,7 @@ def build_rollout_fn(
     n_newton: int = 2,
     linear_solver: str = None,
     rho_inf: float = 0.8,
+    n_modes: int = None,
 ) -> Callable:
     """Compile-ready single-env rollout ``x0 -> (ts, ys)``.
 
@@ -87,6 +88,30 @@ def build_rollout_fn(
             model, dt, n_steps, substeps=substeps, rho_inf=rho_inf,
             u=u, forces_func=forces_func,
         )
+
+    elif method == "modal_rom":
+        from ..models.simulate import make_modal_rom
+
+        ms = make_modal_rom(
+            model, dt / substeps, rho_inf=rho_inf, n_modes=n_modes,
+            forces_func=forces_func,
+        )
+        if u is None:
+            u_modal = None
+        elif callable(u):
+            u_modal = lambda t: ms.project_force(u(t))  # noqa: E731
+        else:
+            u_modal = ms.project_force_host(u)
+
+        def rollout(x0):
+            n = x0.shape[-1] // 2
+            eta, etad = ms.to_modal(x0[..., :n], x0[..., n:])
+            ts, etas, etads = ms.rollout_frames(
+                eta, etad, u_modal, n_steps, substeps=substeps,
+                n_newton=n_newton,
+            )
+            qs, vs = ms.from_modal(etas, etads)
+            return ts, jnp.concatenate([qs, vs], axis=-1)
 
     else:
         rhs = model.build_rhs(forces_func)
