@@ -735,6 +735,47 @@ class ModalROMGenAlpha:
         return ts, etas, etads
 
 
+def _check_real_spectrum(w, m_keep: int) -> None:
+    """Require reality of the RETAINED modes only.
+
+    On large parity nonlinear meshes the upper ~60% of the tangent pencil's
+    spectrum comes in complex pairs (measured at N=1000: modes >= 1236 of
+    3000) while every retained low mode is exactly real.
+    """
+    im = np.abs(np.imag(w))
+    cplx = im > 1e-8 * np.abs(np.real(w)).max()
+    if cplx.any():
+        n_real = int(np.argmax(cplx))  # first complex mode index
+        raise ValueError(
+            f"retained modal range contains complex eigenvalue pairs; "
+            f"reduce n_modes to <= {n_real} for a real stable basis"
+        )
+
+
+def _lowest_modes_sparse(K, M, k: int):
+    """Lowest-``k`` eigenpairs of the non-symmetric pencil ``(K, M)``.
+
+    Shift-invert Arnoldi at ``sigma = 0`` on the sparse (block-tridiagonal)
+    operators — O(N) factorization + O(N k) iteration vs the dense eig's
+    O(N^3). Falls back to dense ``eig`` if ARPACK fails to converge.
+    Returns ``(w, V)`` sorted ascending by real part (complex dtype; caller
+    checks reality).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import ArpackError, ArpackNoConvergence, eigs
+
+    try:
+        w, V = eigs(
+            sp.csc_matrix(K), k=k, M=sp.csc_matrix(M), sigma=0.0, which="LM"
+        )
+    except (ArpackError, ArpackNoConvergence):
+        from scipy.linalg import eig as dense_eig
+
+        w, V = dense_eig(K, M)
+    order = np.argsort(w.real)[:k]
+    return w[order], V[:, order]
+
+
 def make_modal_rom(
     model,
     dt: float,
@@ -778,23 +819,23 @@ def make_modal_rom(
         W = V
         if n_modes is not None:
             V, W = V[:, :n_modes], W[:, :n_modes]
+    elif n_modes is not None and n_modes <= K0.shape[0] // 4:
+        # Truncated-basis fast path: shift-invert Arnoldi at sigma=0 pulls
+        # the lowest modes of the (banded) non-symmetric pencil in seconds
+        # where the full dense eig of a 3000-DOF beam takes minutes. Two
+        # sparse runs (right: (K0, M); left: (K0^T, M)) + biorthonormalize.
+        w, V = _lowest_modes_sparse(K0, M, n_modes)
+        wl, W = _lowest_modes_sparse(K0.T, M, n_modes)
+        _check_real_spectrum(w, n_modes)
+        V, W = V.real, W.real
+        D = W.T @ M @ V
+        W = W @ np.linalg.inv(D).T
     else:
         w, W, V = eig(K0, M, left=True, right=True)
         order = np.argsort(w.real)
         w, V, W = w[order], V[:, order], W[:, order]
         m_keep = n_modes if n_modes is not None else V.shape[1]
-        # Reality is only required of the RETAINED modes: on large parity
-        # nonlinear meshes the upper ~60% of the spectrum comes in complex
-        # pairs (measured at N=1000: modes >= 1236 of 3000) while every
-        # retained low mode is exactly real.
-        im = np.abs(w.imag[:m_keep])
-        cplx = im > 1e-8 * np.abs(w.real[:m_keep]).max()
-        if cplx.any():
-            n_real = int(np.argmax(cplx))  # first complex mode index
-            raise ValueError(
-                f"retained modal range contains complex eigenvalue pairs; "
-                f"reduce n_modes to <= {n_real} for a real stable basis"
-            )
+        _check_real_spectrum(w[:m_keep], m_keep)
         V, W = V[:, :m_keep].real, W[:, :m_keep].real
         # Biorthonormalize robustly: W <- W inv(D)^T with D = W^T M V, so
         # W^T M V = I exactly even under near-degenerate eigenvalue pairing.

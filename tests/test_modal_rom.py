@@ -177,6 +177,30 @@ class TestApiContracts:
         G = ms.PhiW.T @ M @ ms.Phi
         np.testing.assert_allclose(G, np.eye(5), atol=1e-7)
 
+    def test_sparse_setup_path_matches_dense_eig(self):
+        """Shift-invert Arnoldi setup (n_modes <= n/4) == dense eig subspace."""
+        from scipy.linalg import eig
+
+        from continuum_robot_tpu.models.simulate import reduce_matrix_dense
+
+        model = _model(nonlinear_csv(20, include_fluid=False))
+        n = model.n_pos_states  # 60 -> n_modes=15 takes the sparse path
+        ms = make_modal_rom(model, 1e-3, n_modes=15)
+        M = np.asarray(model.beam_model.M.toarray(), dtype=np.float64)
+        K0 = reduce_matrix_dense(
+            model.beam_model.arrays, model.beam_model.bc_info.free_dofs, False
+        )
+        # Invariants of the Petrov-Galerkin construction hold on this path:
+        np.testing.assert_allclose(
+            ms.PhiW.T @ M @ ms.Phi, np.eye(15), atol=1e-9
+        )
+        K0r = ms.PhiW.T @ K0 @ ms.Phi
+        lam = np.sort(np.diag(K0r))
+        assert np.abs(K0r - np.diag(np.diag(K0r))).max() < 1e-6 * lam.max()
+        # Retained eigenvalues are the true lowest 15 of the pencil.
+        w = np.sort(eig(K0, M, right=False).real)[:15]
+        np.testing.assert_allclose(lam, w, rtol=1e-8)
+
     def test_symmetric_kernel_reduces_to_galerkin(self):
         """Consistent (variational) element: W coincides with Phi."""
         model = DynamicEulerBernoulliBeam(
