@@ -188,6 +188,80 @@ def make_reduced_internal_force(
     return k_red
 
 
+def planar_permutation(n_nodes: int) -> np.ndarray:
+    """Row permutation: interleaved full DOFs ``[u0,w0,t0,u1,...]`` -> planar
+    ``[u0..uN, w0..wN, t0..tN]``.
+
+    ``perm[c * n_nodes + i] = 3 i + c``: indexing an interleaved vector with
+    it yields the planar layout. Fold this into setup-time matrices (e.g.
+    ``Phi[perm, :]``) so the hot path never pays a runtime transpose.
+    """
+    return np.arange(3 * n_nodes).reshape(n_nodes, 3).T.reshape(-1)
+
+
+def make_planar_internal_force(arrays: BeamArrays):
+    """Planar-layout internal force ``k(q_p)``, full coordinates.
+
+    ``q_p``: ``(..., 3, n_nodes)`` state planes ``[u; w; theta]`` (the
+    :func:`planar_permutation` image of the interleaved full state); returns
+    force planes of the same shape. TPU motivation: the interleaved path's
+    element gather/scatter works on ``(..., E, 6)`` blocks whose last dim is
+    6 — far below lane width — while here every operand is a contiguous
+    ``(..., E)`` lane slice of a plane: the whole evaluation is shifted
+    slices, FMAs, and two slice-adds per plane. Same arithmetic as
+    :func:`internal_force_full` (shared plane kernels in ``elements.py``);
+    equality is pinned in tests/test_elements.py.
+
+    Supports linear / nonlinear / hybrid masks; the ``use_consistent``
+    energy-gradient variant stays on the interleaved path (it is defined
+    via autodiff of the per-element energy).
+    """
+    nl_mask = np.asarray(arrays.nonlinear_mask)
+    all_nl = bool(nl_mask.all())
+    all_lin = not bool(nl_mask.any())
+
+    def k_planar(q_p: jax.Array) -> jax.Array:
+        # Traced-path closure (lives inside jitted rollouts; setup uses the
+        # host-NumPy interleaved path).
+        L = jnp.asarray(np.asarray(arrays.length), dtype=q_p.dtype)
+        D = jnp.asarray(
+            np.asarray(arrays.elastic_modulus)
+            * np.asarray(arrays.moment_inertia),
+            dtype=q_p.dtype,
+        )
+        A = jnp.asarray(
+            np.asarray(arrays.elastic_modulus)
+            * np.asarray(arrays.cross_area),
+            dtype=q_p.dtype,
+        )
+        u, w, t = q_p[..., 0, :], q_p[..., 1, :], q_p[..., 2, :]
+        args = (
+            u[..., :-1], w[..., :-1], t[..., :-1],
+            u[..., 1:], w[..., 1:], t[..., 1:],
+            L, D, A,
+        )
+        if all_nl:
+            planes = elements.nonlinear_force_planes(*args)
+        elif all_lin:
+            planes = elements.linear_force_planes(*args)
+        else:
+            mask = jnp.asarray(nl_mask)
+            nl = elements.nonlinear_force_planes(*args)
+            lin = elements.linear_force_planes(*args)
+            planes = tuple(jnp.where(mask, a, b) for a, b in zip(nl, lin))
+        fa1, ft1, fm1, fa2, ft2, fm2 = planes
+        out = jnp.zeros(q_p.shape, dtype=q_p.dtype)
+        out = out.at[..., 0, :-1].add(fa1)
+        out = out.at[..., 1, :-1].add(ft1)
+        out = out.at[..., 2, :-1].add(fm1)
+        out = out.at[..., 0, 1:].add(fa2)
+        out = out.at[..., 1, 1:].add(ft2)
+        out = out.at[..., 2, 1:].add(fm2)
+        return out
+
+    return k_planar
+
+
 def reduce_matrix(M: jax.Array, free_dofs: np.ndarray) -> jax.Array:
     """``M[free][:, free]`` — the reference's row/col deletion on matrices."""
     return M[..., free_dofs, :][..., :, free_dofs]

@@ -142,13 +142,24 @@ def nonlinear_internal_force(q6, length, elastic_modulus, moment_inertia, cross_
     D = xp.asarray(elastic_modulus) * xp.asarray(moment_inertia)  # EI
     A = xp.asarray(elastic_modulus) * xp.asarray(cross_area)  # EA
 
-    u1 = q6[..., 0]
-    w1 = q6[..., 1]
-    t1 = q6[..., 2]
-    u2 = q6[..., 3]
-    w2 = q6[..., 4]
-    t2 = q6[..., 5]
+    f1, f3, f4, f2, f5, f6 = nonlinear_force_planes(
+        q6[..., 0], q6[..., 1], q6[..., 2],
+        q6[..., 3], q6[..., 4], q6[..., 5],
+        L, D, A,
+    )
+    return xp.stack([f1, f3, f4, f2, f5, f6], axis=-1)
 
+
+def nonlinear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):
+    """The six parity polynomials on separate state planes.
+
+    Plane-layout core of :func:`nonlinear_internal_force` (identical
+    arithmetic — that function is a thin stacking wrapper). Callers feed
+    ``(..., E)`` planes (e.g. contiguous lane slices of a planar ``[u; w;
+    theta]`` state, ``assembly.make_planar_internal_force``) and get the six
+    force planes back in assembly slot order ``(n1 axial, n1 transverse,
+    n1 moment, n2 axial, n2 transverse, n2 moment)``.
+    """
     dw = w1 - w2
     du = u1 - u2
     s = t1 + t2
@@ -227,7 +238,31 @@ def nonlinear_internal_force(q6, length, elastic_modulus, moment_inertia, cross_
         - (9.0 / 70.0) * dw3 * invL2
     ) + D * ((2.0 * t1 + 4.0 * t2) * invL - 6.0 * dw * invL2)
 
-    return xp.stack([f1, f3, f4, f2, f5, f6], axis=-1)
+    return f1, f3, f4, f2, f5, f6
+
+
+def linear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):
+    """Linear-element internal force ``Ke q6`` on separate state planes.
+
+    The explicit row products of :func:`linear_stiffness_matrix` (same
+    ``phi = -w'`` sign convention), returned in the same slot order as
+    :func:`nonlinear_force_planes`. The axial and bending blocks decouple,
+    so each output plane is a handful of FMAs on ``(..., E)`` arrays.
+    """
+    ka = A / L
+    invL = 1.0 / L
+    invL2 = invL * invL
+    kb = 12.0 * D * invL * invL2
+    kc = 6.0 * D * invL2
+    kd = 4.0 * D * invL
+    ke = 2.0 * D * invL
+
+    dw = w1 - w2
+    f_ax1 = ka * (u1 - u2)
+    f_tr1 = kb * dw - kc * (t1 + t2)
+    f_mo1 = -kc * dw + kd * t1 + ke * t2
+    f_mo2 = -kc * dw + ke * t1 + kd * t2
+    return f_ax1, f_tr1, f_mo1, -f_ax1, -f_tr1, f_mo2
 
 
 # ---------------------------------------------------------------------------

@@ -600,6 +600,13 @@ class ModalROMGenAlpha:
     dt: float
     internal_force: Callable  # reduced-coordinate element force k(q_red)
     external_force: Optional[Callable] = None  # (x_red, t) -> force, or None
+    # Planar fast path (parity element kernel, no external forces): the
+    # bases carry the full-coordinate planar permutation folded in, so the
+    # hot loop's force evaluation works on contiguous [u; w; theta] lane
+    # planes with zero runtime layout cost (assembly.planar_permutation).
+    Phi_planar: Optional[np.ndarray] = None  # (3 n_nodes, m)
+    PhiW_planar: Optional[np.ndarray] = None  # (3 n_nodes, m)
+    planar_force: Optional[Callable] = None  # (..., 3, Nn) -> (..., 3, Nn)
 
     @property
     def n_modes(self) -> int:
@@ -637,6 +644,18 @@ class ModalROMGenAlpha:
 
     def _force_modal(self, eta_af, etad_af, t_af, dtype, precision):
         """Modal residual force: PhiW^T [k(q) - F_ext(x, t)] at the alpha point."""
+        if self.planar_force is not None and self.external_force is None:
+            Phi = jnp.asarray(self.Phi_planar, dtype=dtype)
+            W = jnp.asarray(self.PhiW_planar, dtype=dtype)
+            q_p = jnp.einsum(
+                "nm,...m->...n", Phi, eta_af, precision=precision
+            )
+            n_nodes = q_p.shape[-1] // 3
+            f_p = self.planar_force(
+                q_p.reshape(*q_p.shape[:-1], 3, n_nodes)
+            )
+            f_p = f_p.reshape(*q_p.shape[:-1], 3 * n_nodes)
+            return jnp.einsum("nm,...n->...m", W, f_p, precision=precision)
         Phi = jnp.asarray(self.Phi, dtype=dtype)
         W = jnp.asarray(self.PhiW, dtype=dtype)
         q_af = jnp.einsum("nm,...m->...n", Phi, eta_af, precision=precision)
@@ -853,6 +872,17 @@ def make_modal_rom(
     internal_force = assembly.make_reduced_internal_force(
         arrays, free, n_full, use_consistent=use_consistent
     )
+    Phi_p = W_p = planar_force = None
+    if not use_consistent:
+        # Fold zero-padding of constrained DOFs + the planar permutation
+        # into the bases once on the host (zero runtime layout cost).
+        perm = assembly.planar_permutation(bc_info.n_nodes)
+        Phi_full = np.zeros((n_full, V.shape[1]))
+        Phi_full[np.asarray(free)] = V
+        W_full = np.zeros((n_full, W.shape[1]))
+        W_full[np.asarray(free)] = W
+        Phi_p, W_p = Phi_full[perm], W_full[perm]
+        planar_force = assembly.make_planar_internal_force(arrays)
     return ModalROMGenAlpha(
         Phi=V,
         PhiW=W,
@@ -862,6 +892,9 @@ def make_modal_rom(
         dt=dt,
         internal_force=internal_force,
         external_force=forces_func,
+        Phi_planar=Phi_p,
+        PhiW_planar=W_p,
+        planar_force=planar_force,
     )
 
 

@@ -172,3 +172,47 @@ class TestHybridDispatch:
             q, *args, nonlinear_mask=mask))
         np.testing.assert_allclose(f_mix[mask], f_nl[mask], rtol=1e-12)
         np.testing.assert_allclose(f_mix[~mask], f_lin[~mask], rtol=1e-12)
+
+
+class TestPlanarForcePath:
+    """Planar [u; w; theta] lane-plane assembly == interleaved assembly.
+
+    The planar path is the TPU hot-loop layout (contiguous lane slices, two
+    slice-adds per plane); it must be arithmetically identical to the
+    reference-semantics interleaved path for every element-type mask.
+    """
+
+    @pytest.mark.parametrize(
+        "types",
+        [
+            ["linear"] * 8,
+            ["nonlinear"] * 8,
+            ["linear"] * 3 + ["nonlinear"] * 5,
+        ],
+    )
+    def test_matches_interleaved(self, types):
+        import jax.numpy as jnp
+
+        from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+        from continuum_robot_tpu.models import assembly
+        from tests.helpers import write_beam_csv
+
+        model = DynamicEulerBernoulliBeam(
+            write_beam_csv(types, include_fluid=False)
+        )
+        arrays = model.beam_model.arrays
+        n_nodes = arrays.n_elements + 1
+        rng = np.random.default_rng(11)
+        q_full = rng.normal(scale=0.02, size=(5, 3 * n_nodes))
+
+        f_ref = np.asarray(
+            assembly.internal_force_full(arrays, jnp.asarray(q_full))
+        )
+        perm = assembly.planar_permutation(n_nodes)
+        k_planar = assembly.make_planar_internal_force(arrays)
+        q_p = jnp.asarray(q_full[:, perm].reshape(5, 3, n_nodes))
+        f_p = np.asarray(k_planar(q_p)).reshape(5, 3 * n_nodes)
+        # Un-permute the planar result back to interleaved ordering.
+        f_back = np.empty_like(f_p)
+        f_back[:, perm] = f_p
+        np.testing.assert_allclose(f_back, f_ref, rtol=1e-11, atol=1e-13)
