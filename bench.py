@@ -44,6 +44,15 @@ BEAM_TYPE = os.environ.get("BENCH_TYPE", "linear")  # linear | nonlinear
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")
 # ROM basis size for ENGINE=modal_rom (nonlinear reduced-order engine).
 N_MODES = int(os.environ.get("BENCH_MODES", 256))
+# MXU precision of the ROM's correction-force basis transforms alone (the
+# per-step cost). The linear force rides the exact diagonal reduced operator
+# (force split, ModalROMGenAlpha), so transform rounding errors scale with
+# the small nonlinear correction, not the full force. Measured on TPU at a
+# LARGE deflection (0.32 m tip, 2000 steps): "high" (3-pass bf16) tracks
+# "highest" to 3.8e-5 relative at 7.90M env-steps/s (default); "default"
+# (1-pass bf16) hits 10.7M at 9.7e-2 — the sweep-grade dial; "highest"
+# disables the dial (5.73M).
+NL_PRECISION = os.environ.get("BENCH_NL_PRECISION", "high")
 # Stepping engine for the linear benchmark:
 #   "modal_pallas" (default) — the generalized-alpha recurrence diagonalized
 #     in the mass-orthonormal modal basis, run as a fused Pallas kernel with
@@ -151,9 +160,14 @@ def run_modal_rom(jax, jnp, model, n_red):
         jax.lax.Precision.HIGH if PRECISION == "high"
         else jax.lax.Precision.HIGHEST
     )
+    nl_prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[NL_PRECISION]
     roll = jax.jit(
         lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
-                                 precision=prec)
+                                 precision=prec, nl_precision=nl_prec)
     )
 
     e1, ed1, _ = roll(eta, etad)

@@ -262,6 +262,75 @@ def make_planar_internal_force(arrays: BeamArrays):
     return k_planar
 
 
+def make_planar_correction_force(arrays: BeamArrays, element_slice=None):
+    """Planar-layout nonlinear *correction* force ``g(q_p) = k(q_p) - K0 q_p``.
+
+    The quadratic/cubic remainder of the parity internal force after
+    subtracting its exact zero-state tangent
+    (``elements.nonlinear_correction_planes``) — identically zero for linear
+    elements, so hybrid beams contribute only their nonlinear elements.
+    Returns ``None`` for all-linear beams (the correction is the zero
+    function; callers take the pure linear-operator path).
+
+    ``element_slice`` (optional ``slice``) restricts the kernel to a
+    contiguous element run; the caller then feeds node planes
+    ``(..., 3, stop - start + 1)`` covering nodes ``start .. stop`` and gets
+    force planes of the same shape. This is how the modal-ROM engine shrinks
+    its basis transforms to the nonlinear-supported rows of a hybrid beam.
+
+    Same conventions as :func:`make_planar_internal_force` otherwise.
+    """
+    nl_mask = np.asarray(arrays.nonlinear_mask)
+    if not nl_mask.any():
+        return None
+    sl = element_slice if element_slice is not None else slice(None)
+    nl_mask = nl_mask[sl]
+    all_nl = bool(nl_mask.all())
+    L_h = np.asarray(arrays.length)[sl]
+    D_h = (np.asarray(arrays.elastic_modulus) * np.asarray(arrays.moment_inertia))[sl]
+    A_h = (np.asarray(arrays.elastic_modulus) * np.asarray(arrays.cross_area))[sl]
+
+    def g_planar(q_p: jax.Array) -> jax.Array:
+        L = jnp.asarray(L_h, dtype=q_p.dtype)
+        D = jnp.asarray(D_h, dtype=q_p.dtype)
+        A = jnp.asarray(A_h, dtype=q_p.dtype)
+        u, w, t = q_p[..., 0, :], q_p[..., 1, :], q_p[..., 2, :]
+        planes = elements.nonlinear_correction_planes(
+            u[..., :-1], w[..., :-1], t[..., :-1],
+            u[..., 1:], w[..., 1:], t[..., 1:],
+            L, D, A,
+        )
+        if not all_nl:
+            mask = jnp.asarray(nl_mask)
+            planes = tuple(jnp.where(mask, p, 0.0) for p in planes)
+        ga1, gt1, gm1, ga2, gt2, gm2 = planes
+        out = jnp.zeros(q_p.shape, dtype=q_p.dtype)
+        out = out.at[..., 0, :-1].add(ga1)
+        out = out.at[..., 1, :-1].add(gt1)
+        out = out.at[..., 2, :-1].add(gm1)
+        out = out.at[..., 0, 1:].add(ga2)
+        out = out.at[..., 1, 1:].add(gt2)
+        out = out.at[..., 2, 1:].add(gm2)
+        return out
+
+    return g_planar
+
+
+def nonlinear_support(arrays: BeamArrays):
+    """Contiguous element run covering every nonlinear element.
+
+    Returns ``(elem_slice, node_slice)``: ``elem_slice`` spans the first
+    through last nonlinear element (interior linear elements, if any, are
+    masked inside the kernel), ``node_slice`` the nodes those elements touch.
+    Returns ``(None, None)`` for all-linear beams.
+    """
+    nl = np.flatnonzero(np.asarray(arrays.nonlinear_mask))
+    if nl.size == 0:
+        return None, None
+    i0, i1 = int(nl[0]), int(nl[-1])
+    return slice(i0, i1 + 1), slice(i0, i1 + 2)
+
+
 def reduce_matrix(M: jax.Array, free_dofs: np.ndarray) -> jax.Array:
     """``M[free][:, free]`` — the reference's row/col deletion on matrices."""
     return M[..., free_dofs, :][..., :, free_dofs]

@@ -150,15 +150,28 @@ def nonlinear_internal_force(q6, length, elastic_modulus, moment_inertia, cross_
     return xp.stack([f1, f3, f4, f2, f5, f6], axis=-1)
 
 
-def nonlinear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):
-    """The six parity polynomials on separate state planes.
+def nonlinear_correction_planes(u1, w1, t1, u2, w2, t2, L, D, A):
+    """The quadratic + cubic terms of the six parity polynomials.
 
-    Plane-layout core of :func:`nonlinear_internal_force` (identical
-    arithmetic — that function is a thin stacking wrapper). Callers feed
-    ``(..., E)`` planes (e.g. contiguous lane slices of a planar ``[u; w;
-    theta]`` state, ``assembly.make_planar_internal_force``) and get the six
-    force planes back in assembly slot order ``(n1 axial, n1 transverse,
-    n1 moment, n2 axial, n2 transverse, n2 moment)``.
+    This is ``g(q) = f(q) - K0_e q`` with ``K0_e`` the element's exact
+    zero-state tangent — everything in the parity force that is *not* linear
+    in the state. Two structural facts make it valuable as its own kernel:
+
+    * every bending-stiffness (``D = EI``) term of the reference polynomials
+      is linear, so the correction involves only the membrane stiffness
+      ``A = EA`` (reference ``segments.py:159-472``: the D-terms appear only
+      as the linear closures at :208, :225, :239);
+    * ``g`` vanishes identically for linear elements and at ``q = 0``.
+
+    The modal-ROM engine exploits this split: the exactly-diagonal reduced
+    linear operator carries the (dominant) linear force per mode, and only
+    this small correction flows through the ``(3N x m)`` basis transforms —
+    so those transforms can run at reduced MXU precision with error scaled
+    by ``|g|/|f|`` rather than ``1`` (``ModalROMGenAlpha._force_modal``).
+
+    Same plane/slot conventions as :func:`nonlinear_force_planes`, which is
+    literally this correction plus the linear planes (structural identity,
+    not a re-derivation).
     """
     dw = w1 - w2
     du = u1 - u2
@@ -172,32 +185,29 @@ def nonlinear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):
     invL2 = invL * invL
     invL3 = invL2 * invL
 
-    # f1: axial force, node 1. Reference quirk preserved: the linear term is
-    # +EA*u1/L with NO matching -EA*u2/L, and u2 enters only through the
-    # quadratic couplings below (segments.py:159-208).
-    f1 = A * (
+    # Quadratic part of f1 (segments.py:159-208; its linear term +EA*u1/L —
+    # the reference quirk with NO matching -EA*u2/L — lives in
+    # nonlinear_linear_planes).
+    g1 = A * (
         -tsq / 15.0
         + t1t2 / 30.0
         + s * u2 * (invL / 20.0)
         + s * dw * (invL / 10.0)
-        + u1 * invL
         - 0.6 * u2 * dw * invL2
         - 0.6 * dw2 * invL2
     )
 
-    # f2: axial force, node 2 — this one is the consistent membrane force
-    # N = EA*(u' + w'^2/2) averaged over the element (segments.py:210-258).
-    f2 = A * (
+    # Quadratic part of f2 (segments.py:210-258; linear term -EA*du/L).
+    g2 = A * (
         tsq / 15.0
         - t1t2 / 30.0
         - s * dw * (invL / 10.0)
-        - du * invL
         + 0.6 * dw2 * invL2
     )
 
-    # f3: transverse force, node 1 (segments.py:260-314). f5 = -f3 exactly.
+    # Nonlinear part of f3 (segments.py:260-314). g5 = -g3 exactly.
     t3sum = t1 * t1 * t1 + t2 * t2 * t2
-    f3 = A * (
+    g3 = A * (
         t3sum / 280.0
         - 3.0 * t1t2 * s / 280.0
         + (9.0 / 70.0) * tsq * dw * invL
@@ -205,13 +215,13 @@ def nonlinear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):
         - (27.0 / 70.0) * s * dw2 * invL2
         - 1.2 * du * dw * invL2
         + (36.0 / 35.0) * dw3 * invL3
-    ) + D * (-6.0 * s * invL2 + 12.0 * dw * invL3)
+    )
 
-    f5 = -f3
+    g5 = -g3
 
-    # f4: moment, node 1 (segments.py:316-365). Note the asymmetric cubic
-    # rotation terms vs f6 — preserved from the reference.
-    f4 = A * (
+    # Nonlinear part of f4 (segments.py:316-365). Note the asymmetric cubic
+    # rotation terms vs g6 — preserved from the reference.
+    g4 = A * (
         L * (t1 * t1 * t1) / 35.0
         - 3.0 * L * t1 * t1 * t2 / 280.0
         + L * t1 * t2 * t2 / 140.0
@@ -222,10 +232,10 @@ def nonlinear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):
         + (9.0 / 70.0) * t1 * dw2 * invL
         + du * dw * (invL / 10.0)
         - (9.0 / 70.0) * dw3 * invL2
-    ) + D * ((4.0 * t1 + 2.0 * t2) * invL - 6.0 * dw * invL2)
+    )
 
-    # f6: moment, node 2 (segments.py:423-472).
-    f6 = A * (
+    # Nonlinear part of f6 (segments.py:423-472).
+    g6 = A * (
         -L * (t1 * t1 * t1) / 280.0
         + L * t1 * t1 * t2 / 140.0
         - 3.0 * L * t1 * t2 * t2 / 280.0
@@ -236,9 +246,55 @@ def nonlinear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):
         + (9.0 / 70.0) * t2 * dw2 * invL
         + du * dw * (invL / 10.0)
         - (9.0 / 70.0) * dw3 * invL2
-    ) + D * ((2.0 * t1 + 4.0 * t2) * invL - 6.0 * dw * invL2)
+    )
 
-    return f1, f3, f4, f2, f5, f6
+    return g1, g3, g4, g2, g5, g6
+
+
+def nonlinear_linear_planes(u1, w1, t1, u2, w2, t2, L, D, A):
+    """The linear (zero-state tangent) terms of the six parity polynomials.
+
+    NOT the same as :func:`linear_force_planes`: the reference's nonlinear
+    element is non-variational, and its tangent at zero differs from the
+    linear element's stiffness — ``f1``'s linear term is ``+EA*u1/L`` with no
+    ``-EA*u2/L`` coupling (``segments.py:159-208``), which is what makes the
+    tangent pencil non-symmetric (see ``ModalROMGenAlpha``).
+    """
+    dw = w1 - w2
+    du = u1 - u2
+    s = t1 + t2
+    invL = 1.0 / L
+    invL2 = invL * invL
+    invL3 = invL2 * invL
+
+    l1 = A * u1 * invL
+    l2 = -A * du * invL
+    l3 = D * (-6.0 * s * invL2 + 12.0 * dw * invL3)
+    l5 = -l3
+    l4 = D * ((4.0 * t1 + 2.0 * t2) * invL - 6.0 * dw * invL2)
+    l6 = D * ((2.0 * t1 + 4.0 * t2) * invL - 6.0 * dw * invL2)
+    return l1, l3, l4, l2, l5, l6
+
+
+def nonlinear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):
+    """The six parity polynomials on separate state planes.
+
+    Plane-layout core of :func:`nonlinear_internal_force` (identical
+    arithmetic — that function is a thin stacking wrapper). Callers feed
+    ``(..., E)`` planes (e.g. contiguous lane slices of a planar ``[u; w;
+    theta]`` state, ``assembly.make_planar_internal_force``) and get the six
+    force planes back in assembly slot order ``(n1 axial, n1 transverse,
+    n1 moment, n2 axial, n2 transverse, n2 moment)``.
+
+    Implemented as the exact sum of the zero-state-tangent terms
+    (:func:`nonlinear_linear_planes`) and the quadratic/cubic correction
+    (:func:`nonlinear_correction_planes`), so the force/correction split the
+    modal-ROM engine relies on is a structural identity.
+    """
+    args = (u1, w1, t1, u2, w2, t2, L, D, A)
+    g1, g3, g4, g2, g5, g6 = nonlinear_correction_planes(*args)
+    l1, l3, l4, l2, l5, l6 = nonlinear_linear_planes(*args)
+    return l1 + g1, l3 + g3, l4 + g4, l2 + g2, l5 + g5, l6 + g6
 
 
 def linear_force_planes(u1, w1, t1, u2, w2, t2, L, D, A):

@@ -600,13 +600,22 @@ class ModalROMGenAlpha:
     dt: float
     internal_force: Callable  # reduced-coordinate element force k(q_red)
     external_force: Optional[Callable] = None  # (x_red, t) -> force, or None
-    # Planar fast path (parity element kernel, no external forces): the
-    # bases carry the full-coordinate planar permutation folded in, so the
-    # hot loop's force evaluation works on contiguous [u; w; theta] lane
-    # planes with zero runtime layout cost (assembly.planar_permutation).
-    Phi_planar: Optional[np.ndarray] = None  # (3 n_nodes, m)
-    PhiW_planar: Optional[np.ndarray] = None  # (3 n_nodes, m)
-    planar_force: Optional[Callable] = None  # (..., 3, Nn) -> (..., 3, Nn)
+    # Split fast path (parity element kernel, no external forces): the
+    # internal force is evaluated as ``W^T k(Phi eta) = lam * eta +
+    # W^T g(Phi eta)`` with ``lam = diag(W^T K0 Phi)`` the exactly-diagonal
+    # reduced linear operator and ``g = k - K0 q`` the quadratic/cubic
+    # element correction (``elements.nonlinear_correction_planes``). The
+    # dominant linear force never touches the (3N x m) basis transforms —
+    # only the small correction does, so those transforms can run at reduced
+    # MXU precision (``nl_precision``) with error scaled by ``|g|/|k|``.
+    # The planar bases carry the full-coordinate planar permutation folded
+    # in AND are restricted to the nodes the nonlinear elements touch
+    # (``assembly.nonlinear_support``), so hybrid beams only transform the
+    # rows that can produce a nonzero correction.
+    lam: Optional[np.ndarray] = None  # (m,) diag of W^T K0 Phi
+    Phi_planar: Optional[np.ndarray] = None  # (3 n_sub, m), restricted
+    PhiW_planar: Optional[np.ndarray] = None  # (3 n_sub, m), restricted
+    planar_correction: Optional[Callable] = None  # (..., 3, n_sub) -> same
 
     @property
     def n_modes(self) -> int:
@@ -642,20 +651,38 @@ class ModalROMGenAlpha:
         gamma = 0.5 - am + af
         return am, af, beta, gamma
 
-    def _force_modal(self, eta_af, etad_af, t_af, dtype, precision):
-        """Modal residual force: PhiW^T [k(q) - F_ext(x, t)] at the alpha point."""
-        if self.planar_force is not None and self.external_force is None:
-            Phi = jnp.asarray(self.Phi_planar, dtype=dtype)
-            W = jnp.asarray(self.PhiW_planar, dtype=dtype)
-            q_p = jnp.einsum(
-                "nm,...m->...n", Phi, eta_af, precision=precision
-            )
-            n_nodes = q_p.shape[-1] // 3
-            f_p = self.planar_force(
-                q_p.reshape(*q_p.shape[:-1], 3, n_nodes)
-            )
-            f_p = f_p.reshape(*q_p.shape[:-1], 3 * n_nodes)
-            return jnp.einsum("nm,...n->...m", W, f_p, precision=precision)
+    def _force_modal(
+        self, eta_af, etad_af, t_af, dtype, precision, nl_precision=None
+    ):
+        """Modal residual force: PhiW^T [k(q) - F_ext(x, t)] at the alpha point.
+
+        On the split fast path the linear part is the exact diagonal
+        ``lam * eta`` and only the quadratic/cubic correction ``g`` flows
+        through the basis transforms, at ``nl_precision`` (defaults to
+        ``precision``): a transform rounding error ``eps`` perturbs the
+        modal force by ``~eps * |g|``, not ``~eps * |k|``, so bf16-grade
+        MXU passes keep near-f32 trajectory accuracy while the transforms
+        are the per-step cost (measured in NOTES_r1.md).
+        """
+        if self.lam is not None and self.external_force is None:
+            nl_prec = precision if nl_precision is None else nl_precision
+            lam = jnp.asarray(self.lam, dtype=dtype)
+            f_m = lam * eta_af
+            if self.planar_correction is not None:
+                Phi = jnp.asarray(self.Phi_planar, dtype=dtype)
+                W = jnp.asarray(self.PhiW_planar, dtype=dtype)
+                q_p = jnp.einsum(
+                    "nm,...m->...n", Phi, eta_af, precision=nl_prec
+                )
+                n_sub = q_p.shape[-1] // 3
+                g_p = self.planar_correction(
+                    q_p.reshape(*q_p.shape[:-1], 3, n_sub)
+                )
+                g_p = g_p.reshape(*q_p.shape[:-1], 3 * n_sub)
+                f_m = f_m + jnp.einsum(
+                    "nm,...n->...m", W, g_p, precision=nl_prec
+                )
+            return f_m
         Phi = jnp.asarray(self.Phi, dtype=dtype)
         W = jnp.asarray(self.PhiW, dtype=dtype)
         q_af = jnp.einsum("nm,...m->...n", Phi, eta_af, precision=precision)
@@ -668,7 +695,8 @@ class ModalROMGenAlpha:
             f = f - self.external_force(x_af, t_af)
         return jnp.einsum("nm,...n->...m", W, f, precision=precision)
 
-    def _step_fn(self, dtype, u_modal, n_newton: int, precision):
+    def _step_fn(self, dtype, u_modal, n_newton: int, precision,
+                 nl_precision=None):
         am, af, beta, gamma = self._coeffs()
         dt = self.dt
         Sinv = jnp.asarray(self.Sinv, dtype=dtype)
@@ -688,7 +716,7 @@ class ModalROMGenAlpha:
                 etad_af = (1.0 - af) * etad1 + af * etad
                 a_am = (1.0 - am) * a1 + am * etadd
                 r = a_am + self._force_modal(
-                    eta_af, etad_af, t_af, dtype, precision
+                    eta_af, etad_af, t_af, dtype, precision, nl_precision
                 ) - u_at(t_af)
                 da = jnp.einsum("mk,...k->...m", Sinv, r, precision=precision)
                 return a1 - da
@@ -700,37 +728,42 @@ class ModalROMGenAlpha:
 
         return step
 
-    def initial_accel(self, eta, etad, u_modal, t0=0.0, precision=None):
+    def initial_accel(self, eta, etad, u_modal, t0=0.0, precision=None,
+                      nl_precision=None):
         """Galerkin-consistent ``etadd0 = Phi^T (u + F_ext - k(q0))``."""
         dtype = jnp.asarray(eta).dtype
-        r = -self._force_modal(eta, etad, t0, dtype, precision)
+        r = -self._force_modal(eta, etad, t0, dtype, precision, nl_precision)
         return r + ModalGenAlpha._force_at(u_modal, dtype)(t0)
 
     def rollout(
         self, eta, etad, u_modal, n_steps: int, t0: float = 0.0,
-        n_newton: int = 1, precision=None,
+        n_newton: int = 1, precision=None, nl_precision=None,
     ):
         """Scan ``n_steps`` ROM generalized-alpha steps; final (eta, etad, etadd).
 
         ``n_newton=1`` is the semi-implicit scheme (one prefactored
         correction per step — the throughput default); larger values tighten
         the per-step dynamic balance for strongly nonlinear trajectories.
+        ``nl_precision`` sets the MXU precision of the correction-force
+        basis transforms alone (see ``_force_modal``).
         """
         dtype = jnp.asarray(eta).dtype
-        step = self._step_fn(dtype, u_modal, n_newton, precision)
-        etadd = self.initial_accel(eta, etad, u_modal, t0, precision)
+        step = self._step_fn(dtype, u_modal, n_newton, precision, nl_precision)
+        etadd = self.initial_accel(eta, etad, u_modal, t0, precision,
+                                   nl_precision)
         ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
         (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
         return eta, etad, etadd
 
     def rollout_frames(
         self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
-        t0: float = 0.0, n_newton: int = 1, precision=None,
+        t0: float = 0.0, n_newton: int = 1, precision=None, nl_precision=None,
     ):
         """Frame-collecting ROM rollout; ``solve_ivp(t_eval=...)`` contract."""
         dtype = jnp.asarray(eta).dtype
-        step = self._step_fn(dtype, u_modal, n_newton, precision)
-        etadd = self.initial_accel(eta, etad, u_modal, t0, precision)
+        step = self._step_fn(dtype, u_modal, n_newton, precision, nl_precision)
+        etadd = self.initial_accel(eta, etad, u_modal, t0, precision,
+                                   nl_precision)
         h = self.dt
 
         def frame(carry, i):
@@ -872,17 +905,35 @@ def make_modal_rom(
     internal_force = assembly.make_reduced_internal_force(
         arrays, free, n_full, use_consistent=use_consistent
     )
-    Phi_p = W_p = planar_force = None
+    lam = Phi_p = W_p = planar_correction = None
     if not use_consistent:
-        # Fold zero-padding of constrained DOFs + the planar permutation
-        # into the bases once on the host (zero runtime layout cost).
-        perm = assembly.planar_permutation(bc_info.n_nodes)
-        Phi_full = np.zeros((n_full, V.shape[1]))
-        Phi_full[np.asarray(free)] = V
-        W_full = np.zeros((n_full, W.shape[1]))
-        W_full[np.asarray(free)] = W
-        Phi_p, W_p = Phi_full[perm], W_full[perm]
-        planar_force = assembly.make_planar_internal_force(arrays)
+        # Split fast path: the reduced linear operator is exactly
+        # diag(W^T K0 V); only the quadratic/cubic element correction flows
+        # through the basis transforms at runtime. Fold zero-padding of
+        # constrained DOFs + the planar permutation into the bases once on
+        # the host, and restrict them to the node window the nonlinear
+        # elements touch (linear elements have zero correction).
+        lam = np.ascontiguousarray(np.diag(K0r))
+        elem_sl, node_sl = assembly.nonlinear_support(arrays)
+        if elem_sl is not None:
+            n_nodes = bc_info.n_nodes
+            perm = assembly.planar_permutation(n_nodes)
+            Phi_full = np.zeros((n_full, V.shape[1]))
+            Phi_full[np.asarray(free)] = V
+            W_full = np.zeros((n_full, W.shape[1]))
+            W_full[np.asarray(free)] = W
+            m_modes = V.shape[1]
+
+            def _restrict(B_full):
+                planes = B_full[perm].reshape(3, n_nodes, m_modes)
+                return np.ascontiguousarray(
+                    planes[:, node_sl, :].reshape(-1, m_modes)
+                )
+
+            Phi_p, W_p = _restrict(Phi_full), _restrict(W_full)
+            planar_correction = assembly.make_planar_correction_force(
+                arrays, element_slice=elem_sl
+            )
     return ModalROMGenAlpha(
         Phi=V,
         PhiW=W,
@@ -892,9 +943,10 @@ def make_modal_rom(
         dt=dt,
         internal_force=internal_force,
         external_force=forces_func,
+        lam=lam,
         Phi_planar=Phi_p,
         PhiW_planar=W_p,
-        planar_force=planar_force,
+        planar_correction=planar_correction,
     )
 
 
@@ -954,6 +1006,7 @@ def simulate(
     linear_solver: str = None,
     rho_inf: float = 0.8,
     n_modes: int = None,
+    nl_precision=None,
     jit: bool = True,
 ) -> SimulationResult:
     """Run a complete rollout on device.
@@ -964,10 +1017,17 @@ def simulate(
             ``rk4``/``newmark``; vmap :func:`simulate` for adaptive batches).
         t_final, dt: horizon and output-frame spacing (the reference's 1 s /
             1 ms grid, ``example_utilities.py:20-21``).
-        method: ``rk4`` | ``dopri5`` | ``newmark``.
+        method: ``rk4`` | ``dopri5`` | ``newmark`` | ``generalized_alpha`` |
+            ``modal`` (linear beams, exact diagonalized recurrence) |
+            ``modal_rom`` (nonlinear/hybrid Petrov-Galerkin reduction;
+            ``n_modes`` truncates the basis).
         u: constant input-force vector over position DOFs, or traceable
            callable ``t -> force`` (the tip-impulse workload shape).
-        substeps: inner steps per output frame (rk4/newmark).
+        substeps: inner steps per output frame (fixed-step methods).
+        nl_precision: ``modal_rom`` only — MXU precision of the
+            correction-force basis transforms (see
+            :class:`ModalROMGenAlpha`); default inherits the full-force
+            precision.
     """
     x0 = jnp.asarray(x0)
     n_steps = int(round(t_final / dt))
@@ -1049,7 +1109,7 @@ def simulate(
             eta, etad = ms.to_modal(x0[..., :n], x0[..., n:])
             ts, etas, etads = ms.rollout_frames(
                 eta, etad, u_modal, n_steps, substeps=substeps,
-                n_newton=n_newton,
+                n_newton=n_newton, nl_precision=nl_precision,
             )
             qs, vs = ms.from_modal(etas, etads)
             return ts, jnp.concatenate([qs, vs], axis=-1), None

@@ -20,7 +20,7 @@ from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
 from continuum_robot_tpu.models.config import ForceParams
 from continuum_robot_tpu.models.simulate import make_modal_rom, simulate
 
-from helpers import nonlinear_csv, linear_csv, tip_impulse
+from helpers import nonlinear_csv, linear_csv, mixed_csv, tip_impulse
 
 
 def _model(csv_path, force_params=None):
@@ -144,6 +144,118 @@ class TestTruncation:
         assert bool(jnp.all(jnp.isfinite(q))) and bool(jnp.all(jnp.isfinite(v)))
         # Displacements stay physically bounded (no blow-up).
         assert float(jnp.max(jnp.abs(q))) < 1.0
+
+
+class TestForceSplit:
+    """The split ``W^T k(Phi eta) = lam*eta + W^T g(Phi eta)`` fast path."""
+
+    def test_correction_is_force_minus_tangent_at_zero(self):
+        """g(q) == k(q) - K0 q with K0 the autodiff zero-state tangent."""
+        import jax
+
+        from continuum_robot_tpu.models import assembly
+        from continuum_robot_tpu.models.simulate import reduce_matrix_dense
+
+        model = _model(nonlinear_csv(5, include_fluid=False))
+        arrays = model.beam_model.arrays
+        bc = model.beam_model.bc_info
+        free, n_full = bc.free_dofs, bc.n_dofs_full
+        n = len(free)
+
+        K0 = reduce_matrix_dense(arrays, free, False)
+        k_red = assembly.make_reduced_internal_force(arrays, free, n_full)
+        g_planar = assembly.make_planar_correction_force(arrays)
+        perm = assembly.planar_permutation(bc.n_nodes)
+
+        rng = np.random.default_rng(7)
+        q = rng.normal(scale=1e-2, size=n)
+        q_full = np.zeros(n_full)
+        q_full[np.asarray(free)] = q
+        q_p = jnp.asarray(q_full[perm].reshape(3, bc.n_nodes))
+        g_full = np.zeros(n_full)
+        g_full[perm] = np.asarray(jax.jit(g_planar)(q_p)).reshape(-1)
+        expected = np.asarray(k_red(jnp.asarray(q))) - K0 @ q
+        np.testing.assert_allclose(
+            g_full[np.asarray(free)], expected, rtol=1e-8, atol=1e-12
+        )
+
+    def test_correction_vanishes_for_linear_elements(self):
+        from continuum_robot_tpu.models import assembly
+
+        model = _model(linear_csv(4, include_fluid=False))
+        assert assembly.make_planar_correction_force(
+            model.beam_model.arrays
+        ) is None
+        assert assembly.nonlinear_support(model.beam_model.arrays) == (
+            None, None,
+        )
+
+    def test_hybrid_restricted_window_full_basis_congruence(self):
+        """Hybrid beam: correction transforms restricted to nonlinear nodes
+        still reproduce the dense modified-Newton path."""
+        model = _model(mixed_csv(6, include_fluid=False))
+        ms = make_modal_rom(model, 1e-3, rho_inf=0.7)
+        # The bases really are restricted (3 linear + 3 nonlinear elements
+        # -> 4 of 7 nodes in the window).
+        assert ms.Phi_planar.shape[0] == 3 * 4
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n)
+        u = _tip_impulse_const(n)
+        ref = simulate(
+            model, x0, t_final=0.02, dt=1e-3, method="generalized_alpha",
+            u=u, substeps=4, n_newton=2, rho_inf=0.7,
+        )
+        rom = simulate(
+            model, x0, t_final=0.02, dt=1e-3, method="modal_rom",
+            u=u, substeps=4, n_newton=2, rho_inf=0.7,
+        )
+        np.testing.assert_allclose(rom.ys, ref.ys, rtol=1e-8, atol=1e-14)
+
+    def test_interior_linear_elements_masked_in_window(self):
+        """Nonlinear/linear/nonlinear layout: window spans all three but the
+        interior linear element contributes zero correction."""
+        from continuum_robot_tpu.models import assembly
+        from helpers import write_beam_csv
+
+        model = _model(
+            write_beam_csv(
+                ["nonlinear", "linear", "nonlinear", "linear"],
+                include_fluid=False,
+            )
+        )
+        elem_sl, node_sl = assembly.nonlinear_support(model.beam_model.arrays)
+        assert (elem_sl.start, elem_sl.stop) == (0, 3)
+        assert (node_sl.start, node_sl.stop) == (0, 4)
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n)
+        u = _tip_impulse_const(n)
+        ref = simulate(
+            model, x0, t_final=0.02, dt=1e-3, method="generalized_alpha",
+            u=u, substeps=4, n_newton=2, rho_inf=0.7,
+        )
+        rom = simulate(
+            model, x0, t_final=0.02, dt=1e-3, method="modal_rom",
+            u=u, substeps=4, n_newton=2, rho_inf=0.7,
+        )
+        np.testing.assert_allclose(rom.ys, ref.ys, rtol=1e-8, atol=1e-14)
+
+    def test_nl_precision_dial_api(self):
+        """nl_precision only touches the correction transforms (smoke: the
+        rollout runs and stays close to the default on CPU)."""
+        import jax
+
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=9)
+        eta = jnp.zeros(9).at[0].set(1e-3)
+        etad = jnp.zeros(9)
+        e1, ed1, _ = ms.rollout(eta, etad, None, 200)
+        e2, ed2, _ = ms.rollout(
+            eta, etad, None, 200, nl_precision=jax.lax.Precision.DEFAULT
+        )
+        np.testing.assert_allclose(
+            np.asarray(e2), np.asarray(e1), rtol=1e-5, atol=1e-12
+        )
 
 
 class TestApiContracts:
