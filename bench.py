@@ -48,10 +48,12 @@ N_MODES = int(os.environ.get("BENCH_MODES", 256))
 # per-step cost). The linear force rides the exact diagonal reduced operator
 # (force split, ModalROMGenAlpha), so transform rounding errors scale with
 # the small nonlinear correction, not the full force. Measured on TPU at a
-# LARGE deflection (0.32 m tip, 2000 steps): "high" (3-pass bf16) tracks
-# "highest" to 3.8e-5 relative at 7.90M env-steps/s (default); "default"
-# (1-pass bf16) hits 10.7M at 9.7e-2 — the sweep-grade dial; "highest"
-# disables the dial (5.73M).
+# LARGE deflection (0.32 m tip, 2000 steps), XLA engine: "high" (3-pass
+# bf16) tracks "highest" to 3.8e-5 relative at 7.90M env-steps/s (default);
+# "default" (1-pass bf16) hits 10.7M at 9.7e-2 — the sweep-grade dial;
+# "highest" disables the dial (5.73M). ENGINE=modal_rom_pallas (fused
+# whole-span kernel): 9.15M at "high" (manual hi/lo-bf16 3-pass, 1.1e-5),
+# 12.6M at "default", 5.46M at "highest".
 NL_PRECISION = os.environ.get("BENCH_NL_PRECISION", "high")
 # Stepping engine for the linear benchmark:
 #   "modal_pallas" (default) — the generalized-alpha recurrence diagonalized
@@ -165,10 +167,18 @@ def run_modal_rom(jax, jnp, model, n_red):
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[NL_PRECISION]
-    roll = jax.jit(
-        lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
-                                 precision=prec, nl_precision=nl_prec)
-    )
+    if ENGINE == "modal_rom_pallas":
+        fused = ms.make_pallas_rollout(tile=int(os.environ.get("BENCH_TILE", 128)))
+
+        def roll(e, ed):
+            return fused(e, ed, u_m, N_STEPS, n_newton=1,
+                         precision=prec, nl_precision=nl_prec)
+
+    else:
+        roll = jax.jit(
+            lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
+                                     precision=prec, nl_precision=nl_prec)
+        )
 
     e1, ed1, _ = roll(eta, etad)
     float(jnp.sum(e1))
@@ -185,7 +195,9 @@ def run_modal_rom(jax, jnp, model, n_red):
         json.dumps(
             {
                 "metric": (
-                    f"implicit generalized-alpha (modal-ROM m={N_MODES}) env-steps/sec/chip, "
+                    f"implicit generalized-alpha "
+                    f"({'fused-Pallas ' if ENGINE == 'modal_rom_pallas' else ''}"
+                    f"modal-ROM m={N_MODES}) env-steps/sec/chip, "
                     f"{N_ELEMENTS}-element {BEAM_TYPE} beam, {N_ENVS} envs, f32"
                 ),
                 "value": round(env_steps_per_sec, 1),
@@ -236,7 +248,7 @@ def main():
 
     if ENGINE in ("modal", "modal_pallas") and BEAM_TYPE == "linear":
         return run_modal(jax, jnp, model, n_red, use_pallas=(ENGINE == "modal_pallas"))
-    if ENGINE == "modal_rom":
+    if ENGINE in ("modal_rom", "modal_rom_pallas"):
         return run_modal_rom(jax, jnp, model, n_red)
 
     # Generalized-alpha: at omega_max*dt ~ 1e3 the undamped Newmark keeps

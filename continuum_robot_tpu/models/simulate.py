@@ -616,6 +616,9 @@ class ModalROMGenAlpha:
     Phi_planar: Optional[np.ndarray] = None  # (3 n_sub, m), restricted
     PhiW_planar: Optional[np.ndarray] = None  # (3 n_sub, m), restricted
     planar_correction: Optional[Callable] = None  # (..., 3, n_sub) -> same
+    # Host NumPy element parameters of the restricted window, for the fused
+    # Pallas rollout: {length, EI, EA, nonlinear_mask}, each (n_sub - 1,).
+    window_params: Optional[dict] = None
 
     @property
     def n_modes(self) -> int:
@@ -754,6 +757,19 @@ class ModalROMGenAlpha:
         ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
         (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
         return eta, etad, etadd
+
+    def make_pallas_rollout(self, tile: int = 256):
+        """Fused Pallas rollout: the whole span resident in VMEM.
+
+        Returns a callable ``(eta, etad, u_modal, n_steps, n_newton=1,
+        precision=None, nl_precision=None) -> (eta, etad, etadd)`` running
+        the identical recurrence to :meth:`rollout` as one kernel per env
+        tile (``ops/pallas/rom_rollout.py``). Constant-input,
+        no-external-force configurations only.
+        """
+        from ..ops.pallas.rom_rollout import FusedROMRollout
+
+        return FusedROMRollout(self, tile=tile)
 
     def rollout_frames(
         self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
@@ -905,7 +921,7 @@ def make_modal_rom(
     internal_force = assembly.make_reduced_internal_force(
         arrays, free, n_full, use_consistent=use_consistent
     )
-    lam = Phi_p = W_p = planar_correction = None
+    lam = Phi_p = W_p = planar_correction = window_params = None
     if not use_consistent:
         # Split fast path: the reduced linear operator is exactly
         # diag(W^T K0 V); only the quadratic/cubic element correction flows
@@ -934,6 +950,18 @@ def make_modal_rom(
             planar_correction = assembly.make_planar_correction_force(
                 arrays, element_slice=elem_sl
             )
+            window_params = {
+                "length": np.asarray(arrays.length, np.float64)[elem_sl],
+                "EI": (
+                    np.asarray(arrays.elastic_modulus, np.float64)
+                    * np.asarray(arrays.moment_inertia, np.float64)
+                )[elem_sl],
+                "EA": (
+                    np.asarray(arrays.elastic_modulus, np.float64)
+                    * np.asarray(arrays.cross_area, np.float64)
+                )[elem_sl],
+                "nonlinear_mask": np.asarray(arrays.nonlinear_mask)[elem_sl],
+            }
     return ModalROMGenAlpha(
         Phi=V,
         PhiW=W,
@@ -947,6 +975,7 @@ def make_modal_rom(
         Phi_planar=Phi_p,
         PhiW_planar=W_p,
         planar_correction=planar_correction,
+        window_params=window_params,
     )
 
 

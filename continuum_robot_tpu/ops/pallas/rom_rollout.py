@@ -1,0 +1,415 @@
+"""Pallas TPU kernel: fused modal-ROM generalized-alpha rollout.
+
+The XLA modal-ROM engine (``models/simulate.ModalROMGenAlpha``) spends its
+step on two ``(3N x m)`` basis transforms plus a full-space element-force
+evaluation whose operands round-trip HBM every step (~150 MB of traffic at
+the benchmark scale: the reconstructed state ``q = Phi eta`` and the
+correction force ``g(q)`` are ``(3N, B)`` f32 arrays). This kernel runs the
+whole span with everything resident in VMEM:
+
+* grid over env tiles (``tile`` lanes per cell); each cell carries its
+  ``(m, tile)`` modal state through all S steps,
+* the trial/test bases, the reduced-Jacobian inverse and the per-element
+  parameter columns load into VMEM once per cell and stay there,
+* per step, the cell runs expand (MXU) -> element correction force (VPU)
+  -> project (MXU) -> Newton update (MXU) without touching HBM.
+
+Layout: envs on lanes, everything else on sublanes. The full-coordinate
+state lives as three DOF planes ``[u; w; theta]`` stacked on sublanes with
+each plane padded to ``S_pad`` rows (128-aligned so the planes of the
+pre-transposed test basis are lane-aligned). Element quantities use
+``pltpu.roll`` shifts instead of unaligned sublane slices: the next-node
+plane is ``roll(plane, -1)`` and the node-2 force scatter is ``roll(+1)``,
+with a ``(S_pad, 1)`` element mask column zeroing padded rows (and linear
+elements of hybrid beams) before any roll wraps around.
+
+The element polynomials are NOT re-implemented here: the kernel calls
+``elements.nonlinear_correction_planes`` — the same jnp function the XLA
+path uses — on VMEM-resident planes, so kernel/XLA parity is structural.
+
+Matches ``ModalROMGenAlpha.rollout`` (same recurrence, same modified-Newton
+iteration; validated in tests/test_pallas.py and on hardware by
+``tools/hw_validate.py``). Constant-input, no-external-force configurations
+only — the XLA path remains for callable inputs / registered forces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models import elements
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _make_kernel(
+    steps: int,
+    h: float,
+    rho_inf: float,
+    n_newton: int,
+    s_pad: int,
+    precision,
+    nl_precision,
+):
+    am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+    af = rho_inf / (rho_inf + 1.0)
+    beta = 0.25 * (1.0 - am + af) ** 2
+    gamma = 0.5 - am + af
+    bh2 = beta * h * h
+    split = nl_precision == "split"
+
+    def kernel(
+        *refs,
+        # Layout (split=False):
+        #   phi (3 s_pad, m_p) f32 trial basis, planar rows;
+        #   wt (m_p, 3 s_pad) f32 test basis, pre-transposed;
+        # Layout (split=True, nl_precision="split"):
+        #   phi_hi, phi_lo (3 s_pad, m_p) bf16; wt_hi, wt_lo (m_p, 3 s_pad)
+        #   bf16 — hi/lo halves as separate 2-D arrays;
+        # then, both modes:
+        #   sinv (m_p, m_p); lam (m_p, 1); u (m_p, 1) constant modal force;
+        #   L, D, A (s_pad, 1) element length/EI/EA columns (L = 1.0 in
+        #   padded rows); mask (s_pad, 1) 1.0 for live nonlinear elements;
+        #   q, v, a (m_p, tile) modal state in; qo, vo, ao state out.
+    ):
+        if split:
+            phi_hi_ref, phi_lo_ref, wt_hi_ref, wt_lo_ref = refs[:4]
+            refs = refs[4:]
+        else:
+            phi_ref, wt_ref = refs[:2]
+            refs = refs[2:]
+        (
+            sinv_ref, lam_ref, u_ref, L_ref, D_ref, A_ref, mask_ref,
+            q_ref, v_ref, a_ref, qo_ref, vo_ref, ao_ref,
+        ) = refs
+        sinv = sinv_ref[:, :]
+        lam = lam_ref[:, :]
+        u_m = u_ref[:, :]
+        L = L_ref[:, :]
+        D = D_ref[:, :]
+        A = A_ref[:, :]
+        mask = mask_ref[:, :]
+
+        def dot(a, b, prec):
+            return jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+
+        def split_bf16(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        if split:
+            # Manual 3-pass bf16 transforms — the hi/lo decomposition that
+            # lax.Precision.HIGH performs, written out because Mosaic
+            # rejects HIGH on in-kernel dots. Basis halves are precomputed
+            # host-side; the per-step operand (eta / force planes) splits
+            # on the VPU.
+            def transform(row0, rows, b_pair):
+                a_hi = phi_hi_ref[row0 : row0 + rows, :]
+                a_lo = phi_lo_ref[row0 : row0 + rows, :]
+                b_hi, b_lo = b_pair
+                # Explicit DEFAULT: precision=None inherits the session's
+                # jax_default_matmul_precision, and Mosaic rejects an fp32
+                # contract precision on bf16 operands ("Bad lhs type").
+                P = jax.lax.Precision.DEFAULT
+                return (
+                    dot(a_hi, b_hi, P)
+                    + dot(a_hi, b_lo, P)
+                    + dot(a_lo, b_hi, P)
+                )
+
+            def project(col0, g):
+                wt_hi = wt_hi_ref[:, col0 : col0 + s_pad]
+                wt_lo = wt_lo_ref[:, col0 : col0 + s_pad]
+                g_hi, g_lo = split_bf16(g)
+                P = jax.lax.Precision.DEFAULT
+                return (
+                    dot(wt_hi, g_hi, P)
+                    + dot(wt_hi, g_lo, P)
+                    + dot(wt_lo, g_hi, P)
+                )
+
+            def expand(eta_af):
+                b_pair = split_bf16(eta_af)
+                return (
+                    transform(0, s_pad, b_pair),
+                    transform(s_pad, s_pad, b_pair),
+                    transform(2 * s_pad, s_pad, b_pair),
+                )
+
+        else:
+            phi = phi_ref[:, :]
+            wt = wt_ref[:, :]
+
+            def project(col0, g):
+                return dot(wt[:, col0 : col0 + s_pad], g, nl_precision)
+
+            def expand(eta_af):
+                return (
+                    dot(phi[0:s_pad, :], eta_af, nl_precision),
+                    dot(phi[s_pad : 2 * s_pad, :], eta_af, nl_precision),
+                    dot(phi[2 * s_pad : 3 * s_pad, :], eta_af, nl_precision),
+                )
+
+        def modal_force(eta_af):
+            """lam * eta_af + W^T g(Phi eta_af), all VMEM-resident.
+
+            Expansion and projection run per DOF plane (three (s_pad, m)
+            dots each instead of one (3 s_pad, m) dot) so the full-space
+            state/force never materialize as single (3 s_pad, tile)
+            buffers — that form blows the 16 MB VMEM scoped-stack limit at
+            the benchmark scale (measured: 20.6 MB).
+            """
+            u_p, w_p, t_p = expand(eta_af)
+            # pltpu.roll requires non-negative shifts: -1 == s_pad - 1.
+            u2 = pltpu.roll(u_p, s_pad - 1, 0)
+            w2 = pltpu.roll(w_p, s_pad - 1, 0)
+            t2 = pltpu.roll(t_p, s_pad - 1, 0)
+            g1, g3, g4, g2, g5, g6 = elements.nonlinear_correction_planes(
+                u_p, w_p, t_p, u2, w2, t2, L, D, A
+            )
+            gu = mask * g1 + pltpu.roll(mask * g2, 1, 0)
+            gw = mask * g3 + pltpu.roll(mask * g5, 1, 0)
+            gt = mask * g4 + pltpu.roll(mask * g6, 1, 0)
+            g_m = project(0, gu) + project(s_pad, gw) + project(2 * s_pad, gt)
+            return lam * eta_af + g_m
+
+        def step(_, qva):
+            eta, etad, etadd = qva
+            eta_pred = eta + h * etad + (0.5 - beta) * h * h * etadd
+            etad_pred = etad + (1.0 - gamma) * h * etadd
+            a1 = etadd
+            for _i in range(n_newton):
+                eta1 = eta_pred + bh2 * a1
+                eta_af = (1.0 - af) * eta1 + af * eta
+                a_am = (1.0 - am) * a1 + am * etadd
+                r = a_am + modal_force(eta_af) - u_m
+                a1 = a1 - dot(sinv, r, precision)
+            return (
+                eta_pred + bh2 * a1,
+                etad_pred + gamma * h * a1,
+                a1,
+            )
+
+        q, v, a = jax.lax.fori_loop(
+            0, steps, step, (q_ref[:, :], v_ref[:, :], a_ref[:, :])
+        )
+        qo_ref[:, :] = q
+        vo_ref[:, :] = v
+        ao_ref[:, :] = a
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "steps", "chunk", "h", "rho_inf", "n_newton", "s_pad", "tile",
+        "precision", "nl_precision", "interpret",
+    ),
+)
+def _fused_rom_call(
+    basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col,
+    eta, etad, etadd,
+    steps: int, chunk: int, h: float, rho_inf: float, n_newton: int,
+    s_pad: int, tile: int, precision, nl_precision, interpret: bool,
+):
+    # `basis` is (phi, wt) in f32 mode or (phi_hi, phi_lo, wt_hi, wt_lo)
+    # bf16 halves in split mode — forwarded to the kernel positionally.
+    m_p = sinv.shape[0]
+    B = eta.shape[0]
+    Bp = _round_up(B, tile)
+    # The kernel advances `chunk` steps per invocation; an XLA scan strings
+    # chunks together in the kernel's native (modes, envs) layout. One
+    # compiled kernel thus serves every span length, and the chunk boundary
+    # costs one (m_p, Bp) state round trip (~KBs-MBs) against the chunk's
+    # VMEM-resident work.
+    chunk = min(int(chunk), int(steps)) or 1
+    n_chunks, rem = divmod(int(steps), chunk)
+
+    def pad_state(s):  # (B, m) -> (m_p, Bp), modes on sublanes
+        return jnp.pad(s.T, ((0, m_p - s.shape[1]), (0, Bp - B)))
+
+    grid = (Bp // tile,)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec(
+        (m_p, tile), lambda b: (0, b), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((m_p, Bp), jnp.float32)
+
+    def make_call(n_steps):
+        kernel = _make_kernel(
+            int(n_steps), float(h), float(rho_inf), int(n_newton),
+            int(s_pad), precision, nl_precision,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=(out_shape, out_shape, out_shape),
+            grid=grid,
+            in_specs=[const_spec] * (len(basis) + 7) + [state_spec] * 3,
+            out_specs=(state_spec, state_spec, state_spec),
+            # The resident working set (both bases + Mosaic's
+            # HIGHEST-precision operand splits + the per-plane transients)
+            # exceeds the 16 MB default scoped-vmem cap at benchmark scale;
+            # v5e has headroom above it and this kernel does no DMA
+            # pipelining that would compete for the space.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )
+
+    consts = (*basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col)
+    state = (pad_state(eta), pad_state(etad), pad_state(etadd))
+    if n_chunks:
+        call = make_call(chunk)
+
+        def body(s, _):
+            return call(*consts, *s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_chunks)
+    if rem:
+        state = make_call(rem)(*consts, *state)
+    qo, vo, ao = state
+    m = eta.shape[1]
+    return qo[:m, :B].T, vo[:m, :B].T, ao[:m, :B].T
+
+
+class FusedROMRollout:
+    """Host-side wrapper: pad/layout the ROM operators once, then advance.
+
+    Built by :meth:`ModalROMGenAlpha.make_pallas_rollout`. All padded
+    operator arrays are prepared host-side in NumPy (the axon backend
+    charges a compile per eager device op) and shipped as jit constants.
+    """
+
+    def __init__(self, ms, tile: int = 256, chunk: int = 100):
+        if ms.lam is None or ms.planar_correction is None:
+            raise ValueError(
+                "fused ROM rollout requires the split planar fast path "
+                "(parity nonlinear/hybrid beam, no external forces)"
+            )
+        if ms.external_force is not None:
+            raise ValueError(
+                "fused ROM rollout does not support external forces; "
+                "use ModalROMGenAlpha.rollout"
+            )
+        self.ms = ms
+        self.tile = int(tile)
+        self.chunk = int(chunk)
+
+        Phi_p = np.asarray(ms.Phi_planar, np.float64)  # (3 n_sub, m)
+        W_p = np.asarray(ms.PhiW_planar, np.float64)
+        n_sub = Phi_p.shape[0] // 3
+        m = Phi_p.shape[1]
+        s_pad = _round_up(n_sub, 128)
+        m_p = _round_up(m, 128)
+
+        def pad_basis(Bse):
+            planes = Bse.reshape(3, n_sub, m)
+            out = np.zeros((3, s_pad, m_p), np.float64)
+            out[:, :n_sub, :m] = planes
+            return out.reshape(3 * s_pad, m_p)
+
+        phi64 = pad_basis(Phi_p)
+        wt64 = pad_basis(W_p).T
+        self.phi = jnp.asarray(phi64, jnp.float32)
+        self.wt = jnp.asarray(wt64, jnp.float32)
+
+        def hi_lo(a64):
+            a32 = a64.astype(np.float32)
+            hi = a32.astype(jnp.bfloat16)
+            lo = (a32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            return jnp.asarray(hi), jnp.asarray(lo)
+
+        # hi/lo bf16 halves for the manual 3-pass ("HIGH") transform tier,
+        # as separate 2-D arrays (Mosaic rejects dot operands sliced from a
+        # stacked 3-D ref).
+        self.phi_hi, self.phi_lo = hi_lo(phi64)
+        self.wt_hi, self.wt_lo = hi_lo(wt64)
+        sinv = np.zeros((m_p, m_p), np.float64)
+        sinv[:m, :m] = np.asarray(ms.Sinv, np.float64)
+        self.sinv = jnp.asarray(sinv, jnp.float32)
+        lam_col = np.zeros((m_p, 1), np.float64)
+        lam_col[:m, 0] = np.asarray(ms.lam, np.float64)
+        self.lam_col = jnp.asarray(lam_col, jnp.float32)
+
+        # Element parameter columns on the restricted window (the planar
+        # correction kernel the XLA path uses closes over the same values).
+        arrays = ms.window_params
+        E = arrays["length"].shape[0]  # n_sub - 1 elements in the window
+        L_col = np.ones((s_pad, 1), np.float64)
+        D_col = np.zeros((s_pad, 1), np.float64)
+        A_col = np.zeros((s_pad, 1), np.float64)
+        mask_col = np.zeros((s_pad, 1), np.float64)
+        L_col[:E, 0] = arrays["length"]
+        D_col[:E, 0] = arrays["EI"]
+        A_col[:E, 0] = arrays["EA"]
+        mask_col[:E, 0] = arrays["nonlinear_mask"].astype(np.float64)
+        self.L_col = jnp.asarray(L_col, jnp.float32)
+        self.D_col = jnp.asarray(D_col, jnp.float32)
+        self.A_col = jnp.asarray(A_col, jnp.float32)
+        self.mask_col = jnp.asarray(mask_col, jnp.float32)
+        self.s_pad = s_pad
+        self.m_p = m_p
+        self.m = m
+
+    def __call__(
+        self, eta, etad, u_modal, n_steps: int, n_newton: int = 1,
+        precision=None, nl_precision=None, interpret: bool = False,
+    ):
+        """Advance ``(eta, etad)`` by ``n_steps`` fused ROM gen-α steps.
+
+        ``u_modal`` must be a constant modal force vector (or None). The
+        initial acceleration is computed with the engine's XLA
+        ``initial_accel`` (identical arithmetic to the scan path).
+        """
+        ms = self.ms
+        if callable(u_modal):
+            raise ValueError("fused ROM rollout takes a constant input force")
+        prec = jax.lax.Precision.HIGHEST if precision is None else precision
+        nl_prec = (
+            jax.lax.Precision.HIGH if nl_precision is None else nl_precision
+        )
+        # Mosaic rejects Precision.HIGH on in-kernel dots; the kernel's
+        # equivalent is the manual hi/lo bf16 3-pass ("split") transform.
+        split = nl_prec == jax.lax.Precision.HIGH
+        u_col = np.zeros((self.m_p, 1), np.float32)
+        u_host = None
+        if u_modal is not None:
+            u_host = np.asarray(jax.device_get(u_modal), np.float64)
+            u_col[: self.m, 0] = u_host
+        etadd = ms.initial_accel(
+            eta, etad, None if u_modal is None else jnp.asarray(u_host),
+            precision=prec, nl_precision=nl_prec,
+        )
+        basis = (
+            (self.phi_hi, self.phi_lo, self.wt_hi, self.wt_lo)
+            if split
+            else (self.phi, self.wt)
+        )
+        return _fused_rom_call(
+            basis,
+            self.sinv, self.lam_col,
+            jnp.asarray(u_col), self.L_col, self.D_col, self.A_col,
+            self.mask_col, eta, etad, etadd,
+            steps=int(n_steps), chunk=self.chunk, h=float(ms.dt),
+            rho_inf=float(ms.rho_inf), n_newton=int(n_newton),
+            s_pad=self.s_pad, tile=self.tile,
+            precision=prec,
+            nl_precision="split" if split else nl_prec,
+            interpret=interpret,
+        )

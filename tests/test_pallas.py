@@ -146,3 +146,93 @@ class TestFusedModalRollout:
                 np.asarray(b), np.asarray(a), atol=1e-12 * scale
             )
         assert e2.shape == (13, 4, eta.shape[-1])
+
+
+class TestFusedROMRollout:
+    """Fused modal-ROM gen-alpha kernel (``ops/pallas/rom_rollout.py``)."""
+
+    def _setup(self, csv_fn, B=5, m=12, amp=3e-2, rho_inf=0.5):
+        import jax
+
+        from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+        from continuum_robot_tpu.models.simulate import make_modal_rom
+        from tests import helpers
+
+        model = DynamicEulerBernoulliBeam(csv_fn(8, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=rho_inf, n_modes=m)
+        rng = np.random.default_rng(0)
+        # Large modal amplitudes so the correction force is a leading-order
+        # contribution (it reaches ~100% of the trajectory here), not noise.
+        eta = jnp.asarray(rng.normal(scale=amp, size=(B, m)), jnp.float32)
+        etad = jnp.zeros((B, m), jnp.float32)
+        u = np.zeros(n, np.float32)
+        u[-2] = 5.0
+        u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+        return ms, eta, etad, u_m
+
+    def _roll_both(self, ms, eta, etad, u_m, steps=50, n_newton=2):
+        import jax
+
+        ref = ms.rollout(eta, etad, u_m, steps, n_newton=n_newton)
+        fused = ms.make_pallas_rollout(tile=128)
+        out = fused(
+            eta, etad, u_m, steps, n_newton=n_newton,
+            precision=jax.lax.Precision.HIGHEST,
+            nl_precision=jax.lax.Precision.HIGHEST,
+            interpret=True,
+        )
+        return ref, out
+
+    def test_matches_xla_rom_rollout_nonlinear(self):
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(helpers.nonlinear_csv)
+        (e1, ed1, ea1), (e2, ed2, ea2) = self._roll_both(ms, eta, etad, u_m)
+        for a, b in [(e1, e2), (ed1, ed2), (ea1, ea2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-6 * scale
+            )
+
+    def test_matches_xla_rom_rollout_hybrid_window(self):
+        """Hybrid beam: the kernel's element mask + restricted window."""
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(helpers.mixed_csv)
+        (e1, _, _), (e2, _, _) = self._roll_both(ms, eta, etad, u_m)
+        scale = float(jnp.abs(e1).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(e2), np.asarray(e1), atol=1e-6 * scale
+        )
+
+    def test_zero_force_semi_implicit(self):
+        """None input force; the n_newton=1 throughput configuration."""
+        from tests import helpers
+
+        ms, eta, etad, _ = self._setup(helpers.nonlinear_csv, B=3)
+        (e1, _, _), (e2, _, _) = self._roll_both(
+            ms, eta, etad, None, steps=30, n_newton=1
+        )
+        scale = float(jnp.abs(e1).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(e2), np.asarray(e1), atol=1e-6 * scale
+        )
+
+    def test_rejects_external_forces(self):
+        import dataclasses
+
+        from tests import helpers
+
+        ms, _, _, _ = self._setup(helpers.nonlinear_csv)
+        ms_ext = dataclasses.replace(ms, external_force=lambda x, t: 0.0 * x)
+        with pytest.raises(ValueError, match="external force"):
+            ms_ext.make_pallas_rollout()
+
+    def test_rejects_callable_input(self):
+        from tests import helpers
+
+        ms, eta, etad, _ = self._setup(helpers.nonlinear_csv)
+        fused = ms.make_pallas_rollout()
+        with pytest.raises(ValueError, match="constant input"):
+            fused(eta, etad, lambda t: 0.0, 10)

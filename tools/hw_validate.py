@@ -14,6 +14,8 @@ Checks:
   2. Pallas block-tridiagonal solve == XLA Thomas solve;
   3. fused-Pallas modal steps == XLA modal engine (bit-level expected);
   4. fused-Pallas modal frames == XLA modal frames;
+  4b. fused-Pallas modal-ROM rollout == XLA ROM engine (nonlinear beam,
+     large-amplitude states so the correction force is leading-order);
   5. fused small-beam rollout == generalized-alpha integrator;
   6. cyclic-reduction solve == Thomas solve;
   7. sync-method probe: flags when ``block_until_ready`` returns far sooner
@@ -176,6 +178,44 @@ def main():
     )
     dev = float(jnp.abs(ep_f - ex_f).max() / jnp.abs(ex_f).max())
     report("fused modal frames vs XLA frames", dev < 1e-6, f"rel dev {dev:.2e}")
+
+    # 4b. fused ROM rollout vs XLA ROM engine (nonlinear beam, split path)
+    from continuum_robot_tpu.models.simulate import make_modal_rom
+
+    model_nl = build_model(N, kind="nonlinear")
+    nf_nl = model_nl.n_pos_states
+    m_rom = 64 if on_tpu else 12
+    ms_rom = make_modal_rom(model_nl, DT, rho_inf=0.5, n_modes=m_rom)
+    # Amplitude set by physical deflection (~1% of beam length), not modal
+    # units: mass-orthonormal mode shapes scale with the mesh, and an
+    # over-large state sends the von Karman cubic (both engines) to NaN.
+    # Excite only the lowest modes — the same displacement amplitude in a
+    # high mode carries ~k^2 the curvature, and the membrane (dw/dx)^2 term
+    # diverges physically (both engines) if all m_rom modes carry it.
+    L_total = float(N) * 0.25 / 6.0
+    amp = 0.01 * L_total / float(np.abs(ms_rom.Phi).max())
+    n_excited = min(8, m_rom)
+    eta_np = np.zeros((B_small, m_rom), np.float32)
+    eta_np[:, :n_excited] = rng.normal(scale=amp, size=(B_small, n_excited))
+    eta_r = jnp.asarray(eta_np)
+    etad_r = jnp.zeros((B_small, m_rom), jnp.float32)
+    u_nl = np.zeros(nf_nl, np.float32)
+    u_nl[-2] = 5.0
+    u_rm = jnp.asarray(ms_rom.project_force_host(u_nl), jnp.float32)
+    P = jax.lax.Precision
+    e_rx, _, _ = jax.jit(
+        lambda a_, b_: ms_rom.rollout(
+            a_, b_, u_rm, NS, n_newton=2, precision=P.HIGHEST,
+            nl_precision=P.HIGHEST,
+        )
+    )(eta_r, etad_r)
+    fused_rom = ms_rom.make_pallas_rollout(tile=128)
+    e_rp, _, _ = fused_rom(
+        eta_r, etad_r, u_rm, NS, n_newton=2,
+        precision=P.HIGHEST, nl_precision=P.HIGHEST, interpret=interpret,
+    )
+    dev = float(jnp.abs(e_rp - e_rx).max() / jnp.abs(e_rx).max())
+    report("fused ROM rollout vs XLA ROM", dev < 1e-4, f"rel dev {dev:.2e}")
 
     # 5. fused small-beam rollout vs integrator
     small = build_model(6)
