@@ -288,6 +288,66 @@ def _fused_rom_call(
     return qo[:m, :B].T, vo[:m, :B].T, ao[:m, :B].T
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_frames", "substeps", "h", "rho_inf", "n_newton", "s_pad", "tile",
+        "precision", "nl_precision", "interpret",
+    ),
+)
+def _fused_rom_frames(
+    basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col,
+    eta, etad, etadd,
+    n_frames: int, substeps: int, h: float, rho_inf: float, n_newton: int,
+    s_pad: int, tile: int, precision, nl_precision, interpret: bool,
+):
+    """Frame-collecting variant: one ``substeps``-step kernel call per frame,
+    state carried in the kernel's (modes, envs) layout across the span."""
+    m_p = sinv.shape[0]
+    B = eta.shape[0]
+    Bp = _round_up(B, tile)
+
+    def pad_state(s):
+        return jnp.pad(s.T, ((0, m_p - s.shape[1]), (0, Bp - B)))
+
+    grid = (Bp // tile,)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec(
+        (m_p, tile), lambda b: (0, b), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((m_p, Bp), jnp.float32)
+    kernel = _make_kernel(
+        int(substeps), float(h), float(rho_inf), int(n_newton),
+        int(s_pad), precision, nl_precision,
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape, out_shape),
+        grid=grid,
+        in_specs=[const_spec] * (len(basis) + 7) + [state_spec] * 3,
+        out_specs=(state_spec, state_spec, state_spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    consts = (*basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col)
+    s0 = (pad_state(eta), pad_state(etad), pad_state(etadd))
+
+    def frame(s, _):
+        s2 = call(*consts, *s)
+        return s2, (s2[0], s2[1])
+
+    _, (qs, vs) = jax.lax.scan(frame, s0, None, length=n_frames)
+    m = eta.shape[1]
+
+    def unpack(first, ss):
+        ss = jnp.concatenate([first[None], ss], axis=0)  # (F+1, m_p, Bp)
+        return jnp.swapaxes(ss[:, :m, :B], 1, 2)  # (F+1, B, m)
+
+    return unpack(s0[0], qs), unpack(s0[1], vs)
+
+
 class FusedROMRollout:
     """Host-side wrapper: pad/layout the ROM operators once, then advance.
 
@@ -367,17 +427,8 @@ class FusedROMRollout:
         self.m_p = m_p
         self.m = m
 
-    def __call__(
-        self, eta, etad, u_modal, n_steps: int, n_newton: int = 1,
-        precision=None, nl_precision=None, interpret: bool = False,
-    ):
-        """Advance ``(eta, etad)`` by ``n_steps`` fused ROM gen-α steps.
-
-        ``u_modal`` must be a constant modal force vector (or None). The
-        initial acceleration is computed with the engine's XLA
-        ``initial_accel`` (identical arithmetic to the scan path).
-        """
-        ms = self.ms
+    def _prep(self, eta, etad, u_modal, precision, nl_precision):
+        """Shared setup: precision mapping, force column, initial accel."""
         if callable(u_modal):
             raise ValueError("fused ROM rollout takes a constant input force")
         prec = jax.lax.Precision.HIGHEST if precision is None else precision
@@ -392,7 +443,7 @@ class FusedROMRollout:
         if u_modal is not None:
             u_host = np.asarray(jax.device_get(u_modal), np.float64)
             u_col[: self.m, 0] = u_host
-        etadd = ms.initial_accel(
+        etadd = self.ms.initial_accel(
             eta, etad, None if u_modal is None else jnp.asarray(u_host),
             precision=prec, nl_precision=nl_prec,
         )
@@ -401,15 +452,54 @@ class FusedROMRollout:
             if split
             else (self.phi, self.wt)
         )
-        return _fused_rom_call(
-            basis,
-            self.sinv, self.lam_col,
-            jnp.asarray(u_col), self.L_col, self.D_col, self.A_col,
-            self.mask_col, eta, etad, etadd,
-            steps=int(n_steps), chunk=self.chunk, h=float(ms.dt),
-            rho_inf=float(ms.rho_inf), n_newton=int(n_newton),
-            s_pad=self.s_pad, tile=self.tile,
-            precision=prec,
-            nl_precision="split" if split else nl_prec,
-            interpret=interpret,
+        consts = (
+            basis, self.sinv, self.lam_col, jnp.asarray(u_col),
+            self.L_col, self.D_col, self.A_col, self.mask_col,
         )
+        return consts, etadd, prec, ("split" if split else nl_prec)
+
+    def __call__(
+        self, eta, etad, u_modal, n_steps: int, n_newton: int = 1,
+        precision=None, nl_precision=None, interpret: bool = False,
+    ):
+        """Advance ``(eta, etad)`` by ``n_steps`` fused ROM gen-α steps.
+
+        ``u_modal`` must be a constant modal force vector (or None). The
+        initial acceleration is computed with the engine's XLA
+        ``initial_accel`` (identical arithmetic to the scan path).
+        """
+        consts, etadd, prec, nl_prec = self._prep(
+            eta, etad, u_modal, precision, nl_precision
+        )
+        return _fused_rom_call(
+            *consts, eta, etad, etadd,
+            steps=int(n_steps), chunk=self.chunk, h=float(self.ms.dt),
+            rho_inf=float(self.ms.rho_inf), n_newton=int(n_newton),
+            s_pad=self.s_pad, tile=self.tile,
+            precision=prec, nl_precision=nl_prec, interpret=interpret,
+        )
+
+    def frames(
+        self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
+        n_newton: int = 1, precision=None, nl_precision=None,
+        interpret: bool = False,
+    ):
+        """Frame-collecting fused rollout (``rollout_frames`` contract).
+
+        One ``substeps``-step kernel invocation per frame with the state
+        carried in the kernel's (modes, envs) layout across the span.
+        Returns ``(ts (F+1,), etas (F+1, B, m), etads (F+1, B, m))``
+        including the initial state.
+        """
+        consts, etadd, prec, nl_prec = self._prep(
+            eta, etad, u_modal, precision, nl_precision
+        )
+        etas, etads = _fused_rom_frames(
+            *consts, eta, etad, etadd,
+            n_frames=int(n_frames), substeps=int(substeps),
+            h=float(self.ms.dt), rho_inf=float(self.ms.rho_inf),
+            n_newton=int(n_newton), s_pad=self.s_pad, tile=self.tile,
+            precision=prec, nl_precision=nl_prec, interpret=interpret,
+        )
+        ts = (self.ms.dt * substeps) * jnp.arange(n_frames + 1)
+        return ts, etas, etads

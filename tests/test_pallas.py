@@ -236,3 +236,26 @@ class TestFusedROMRollout:
         fused = ms.make_pallas_rollout()
         with pytest.raises(ValueError, match="constant input"):
             fused(eta, etad, lambda t: 0.0, 10)
+
+    def test_frames_matches_xla_rom_frames(self):
+        import jax
+
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(helpers.nonlinear_csv, B=4)
+        ts1, e1, ed1 = ms.rollout_frames(
+            eta, etad, u_m, 6, substeps=5, n_newton=2
+        )
+        fused = ms.make_pallas_rollout(tile=128)
+        ts2, e2, ed2 = fused.frames(
+            eta, etad, u_m, 6, substeps=5, n_newton=2,
+            precision=jax.lax.Precision.HIGHEST,
+            nl_precision=jax.lax.Precision.HIGHEST, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ts2), np.asarray(ts1))
+        assert e2.shape == (7, 4, eta.shape[-1])
+        for a, b in [(e1, e2), (ed1, ed2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-6 * scale
+            )
