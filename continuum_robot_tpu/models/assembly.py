@@ -188,6 +188,37 @@ def make_reduced_internal_force(
     return k_red
 
 
+def make_reduced_internal_force_np(
+    arrays: BeamArrays, free_dofs: np.ndarray, n_dofs_full: int
+):
+    """Host-NumPy twin of :func:`make_reduced_internal_force` (parity kernel).
+
+    Setup-time helper (e.g. modal-derivative load construction): exact f64
+    on the host with zero device dispatches — on the axon TPU backend every
+    eager device op costs a compile. Same zero-pad -> element kernel ->
+    scatter-add -> extract semantics as the traced version.
+    """
+    free = np.asarray(free_dofs)
+    L = np.asarray(arrays.length, np.float64)
+    E = np.asarray(arrays.elastic_modulus, np.float64)
+    I = np.asarray(arrays.moment_inertia, np.float64)
+    A = np.asarray(arrays.cross_area, np.float64)
+    nl = np.asarray(arrays.nonlinear_mask)
+
+    def k_red(q_red: np.ndarray) -> np.ndarray:
+        q_full = np.zeros(n_dofs_full)
+        q_full[free] = np.asarray(q_red, np.float64)
+        qn = q_full.reshape(-1, 3)
+        q6 = np.concatenate([qn[:-1], qn[1:]], axis=1)  # (E, 6)
+        fe = np.asarray(elements.element_internal_force(q6, L, E, I, A, nl))
+        out = np.zeros_like(qn)
+        out[:-1] += fe[:, 0:3]
+        out[1:] += fe[:, 3:6]
+        return out.reshape(-1)[free]
+
+    return k_red
+
+
 def planar_permutation(n_nodes: int) -> np.ndarray:
     """Row permutation: interleaved full DOFs ``[u0,w0,t0,u1,...]`` -> planar
     ``[u0..uN, w0..wN, t0..tN]``.

@@ -844,12 +844,135 @@ def _lowest_modes_sparse(K, M, k: int):
     return w[order], V[:, order]
 
 
+def _augment_static(K0, M, V, W, static_vectors, max_extra=None):
+    """Augment a truncated modal basis for given static load patterns.
+
+    Truncated eigenmode bases miss quasi-static response components whose
+    modal content lives above the retained band — for beams, most notably
+    the membrane (axial) deflection driven by bending-pair quadratic
+    forcing, whose axial modes sit far above the retained bending modes
+    (measured on the large-deflection workload: m=15 of 18 modes still
+    carries 12% tip error).
+
+    Classic static-vector augmentation (adding ``K0^{-1} b`` to the trial
+    basis) is NOT usable here: the parity tangent is non-symmetric, the
+    augmented subspace is not invariant, and the oblique-projected reduced
+    operator genuinely develops complex (exponentially unstable) Ritz
+    pairs — measured imag/real up to 0.23 with a perfectly conditioned
+    joint biorthonormalization. The stable equivalent implemented here is
+    PARTICIPATION-SELECTED EIGEN-AUGMENTATION: expand ``K0^{-1} b`` in the
+    full two-sided eigenbasis of ``(K0, M)`` and add the true (real)
+    eigenpairs that dominate it. The basis stays a set of exact
+    right/left eigenvectors, so the reduced operator remains exactly
+    diagonal-real and unconditionally truncation-stable.
+
+    Costs one dense two-sided ``eig`` of the full pencil — an opt-in
+    accuracy feature, priced for reference-scale beams (control-oriented
+    meshes), not the 1000-element throughput benchmark.
+
+    ``static_vectors``: load pattern(s) in reduced coordinates — ``(n,)``
+    or ``(n, k)``. ``max_extra`` caps the added modes (default
+    ``4 * n_loads``).
+    """
+    from scipy.linalg import eig
+
+    n = K0.shape[0]
+    Bv = np.asarray(static_vectors, np.float64)
+    if Bv.ndim == 1:
+        Bv = Bv[:, None]
+    if Bv.shape[0] != n:
+        raise ValueError(
+            f"static_vectors must have leading dimension {n} "
+            f"(got {Bv.shape})"
+        )
+    m0 = V.shape[1]
+    if max_extra is None:
+        max_extra = 4 * Bv.shape[1]
+    max_extra = min(max_extra, n - m0)
+    if max_extra <= 0:
+        return V, W
+
+    w_all, Wl, Vr = eig(K0, M, left=True, right=True)
+    order = np.argsort(w_all.real)
+    w_all, Vr, Wl = w_all[order], Vr[:, order], Wl[:, order]
+    scale_w = np.abs(w_all.real).max()
+    real_mask = np.abs(w_all.imag) <= 1e-8 * scale_w
+
+    # Biorthonormalize each real pair: w_i <- w_i / (w_i^T M v_i), so the
+    # expansion coefficient of any x in the v-basis is w_i^T M x.
+    Mx = M @ np.linalg.solve(K0, Bv)  # (n, k): M @ static responses
+    # Identify modes already retained: the construction keeps the lowest
+    # m0 real modes, which are the first m0 entries of the real-sorted set.
+    real_idx = np.flatnonzero(real_mask)
+    cand = real_idx[m0:]  # unretained real modes, ascending eigenvalue
+    if cand.size == 0:
+        return V, W
+    vr_c = Vr[:, cand].real
+    wl_c = Wl[:, cand].real
+    denom = np.einsum("ij,ij->j", wl_c, M @ vr_c)
+    ok = np.abs(denom) > 1e-14 * np.abs(M).max()
+    cand, vr_c, wl_c, denom = cand[ok], vr_c[:, ok], wl_c[:, ok], denom[ok]
+    # Participation of each candidate mode in each (normalized) static
+    # response; score = worst-case over loads.
+    coeff = (wl_c.T @ Mx) / denom[:, None]  # (n_cand, k)
+    resp_scale = np.abs(coeff).max(axis=0) + 1e-300
+    score = np.abs(coeff / resp_scale[None, :]).max(axis=1)
+    top = np.argsort(score)[::-1][:max_extra]
+    top = top[score[top] > 1e-6]
+    if top.size == 0:
+        return V, W
+    V2 = np.concatenate([V, vr_c[:, top]], axis=1)
+    W2 = np.concatenate([W, wl_c[:, top] / denom[top][None, :]], axis=1)
+    # Joint clean-up biorthonormalization (exact pairs are already
+    # near-biorthogonal; this removes roundoff-level cross terms).
+    D = W2.T @ M @ V2
+    W2 = W2 @ np.linalg.inv(D).T
+    return V2, W2
+
+
+def _modal_derivative_loads(k_red_np, K0, V, md: int) -> np.ndarray:
+    """Quadratic-coupling load patterns for modal-derivative augmentation.
+
+    The von Karman element's quadratic force term sends bending-mode pairs
+    into membrane (axial) loads whose static responses live far above any
+    retained modal band — the classic blind spot of eigenmode ROMs, and the
+    motivation for modal derivatives (``K0^{-1} G2(phi_i, phi_j)``). The
+    quadratic form is extracted EXACTLY (no finite-difference step-size
+    error): with ``F(q) = k(q) - K0 q = G2(q,q) + G3(q,q,q)``,
+
+        G2(a, a) = (F(a) + F(-a)) / 2        (G3 is odd -> cancels)
+        G2(a, b) = (G2(a+b,a+b) - G2(a,a) - G2(b,b)) / 2   (polarization)
+
+    Returns the ``md (md+1) / 2`` load patterns for the first ``md``
+    retained modes as columns ``(n, k)``; the caller feeds them through the
+    static-augmentation path (which performs the ``K0^{-1}`` solves,
+    deflation, and re-diagonalization).
+    """
+
+    def F(q):
+        return k_red_np(q) - K0 @ q
+
+    def G2_aa(a):
+        return 0.5 * (F(a) + F(-a))
+
+    cols = []
+    base = [G2_aa(V[:, i]) for i in range(md)]
+    for i in range(md):
+        cols.append(base[i])
+        for j in range(i + 1, md):
+            mixed = G2_aa(V[:, i] + V[:, j])
+            cols.append(0.5 * (mixed - base[i] - base[j]))
+    return np.stack(cols, axis=1)
+
+
 def make_modal_rom(
     model,
     dt: float,
     rho_inf: float = 0.8,
     n_modes: int = None,
     forces_func: Optional[Callable] = None,
+    static_vectors=None,
+    modal_derivatives: int = 0,
 ) -> ModalROMGenAlpha:
     """Build the nonlinear modal-reduction generalized-alpha engine.
 
@@ -909,6 +1032,27 @@ def make_modal_rom(
         # W^T M V = I exactly even under near-degenerate eigenvalue pairing.
         D = W.T @ M @ V
         W = W @ np.linalg.inv(D).T
+
+    if modal_derivatives > 0:
+        if use_consistent:
+            raise NotImplementedError(
+                "modal_derivatives requires the parity element kernel "
+                "(use_consistent_nonlinear=False)"
+            )
+        md = min(int(modal_derivatives), V.shape[1])
+        k_red_np = assembly.make_reduced_internal_force_np(
+            arrays, free, n_full
+        )
+        md_loads = _modal_derivative_loads(k_red_np, K0, V, md)
+        if static_vectors is None:
+            static_vectors = md_loads
+        else:
+            sv = np.asarray(static_vectors, np.float64)
+            if sv.ndim == 1:
+                sv = sv[:, None]
+            static_vectors = np.concatenate([sv, md_loads], axis=1)
+    if static_vectors is not None and V.shape[1] < K0.shape[0]:
+        V, W = _augment_static(K0, M, V, W, static_vectors)
 
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
@@ -1036,6 +1180,8 @@ def simulate(
     rho_inf: float = 0.8,
     n_modes: int = None,
     nl_precision=None,
+    static_vectors=None,
+    modal_derivatives: int = 0,
     jit: bool = True,
 ) -> SimulationResult:
     """Run a complete rollout on device.
@@ -1124,7 +1270,8 @@ def simulate(
     elif method == "modal_rom":
         ms = make_modal_rom(
             model, dt / substeps, rho_inf=rho_inf, n_modes=n_modes,
-            forces_func=forces_func,
+            forces_func=forces_func, static_vectors=static_vectors,
+            modal_derivatives=modal_derivatives,
         )
         if u is None:
             u_modal = None

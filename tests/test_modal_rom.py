@@ -258,6 +258,111 @@ class TestForceSplit:
         )
 
 
+class TestStaticAugmentation:
+    """Static correction vectors + modal derivatives (ROM basis enrichment)."""
+
+    def _workload(self, n_seg=8):
+        model = _model(nonlinear_csv(n_seg, include_fluid=False))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n)
+        u = _tip_impulse_const(n, amplitude=2.0)  # load-dominated response
+        kw = dict(t_final=0.1, dt=1e-3, u=u, substeps=10, n_newton=2,
+                  rho_inf=0.7)
+        full = simulate(model, x0, method="generalized_alpha", **kw)
+        return model, x0, u, kw, np.asarray(full.ys)
+
+    def test_modal_derivatives_beat_plain_truncation(self):
+        """The classic eigenmode-ROM blind spot: membrane response to
+        bending-pair quadratic forcing. Modal derivatives must recover it."""
+        model, x0, u, kw, y_full = self._workload()
+        n = model.n_pos_states
+        plain = simulate(model, x0, method="modal_rom", n_modes=10, **kw)
+        md = simulate(model, x0, method="modal_rom", n_modes=10,
+                      modal_derivatives=3, **kw)
+        tip = y_full[:, n - 2]
+        scale = np.abs(tip).max()
+        err_plain = np.abs(np.asarray(plain.ys)[:, n - 2] - tip).max() / scale
+        err_md = np.abs(np.asarray(md.ys)[:, n - 2] - tip).max() / scale
+        assert err_md < 0.2 * err_plain
+        assert err_md < 2e-2
+
+    def test_static_vector_augmentation(self):
+        """User-supplied load-pattern augmentation API."""
+        model, x0, u, kw, y_full = self._workload()
+        n = model.n_pos_states
+        b = np.zeros(n)
+        b[-2] = 1.0
+        rom = simulate(model, x0, method="modal_rom", n_modes=10,
+                       static_vectors=b, **kw)
+        assert bool(jnp.all(jnp.isfinite(rom.ys)))
+
+    def test_augmented_basis_invariants(self):
+        """W^T M V = I and diagonal W^T K0 V survive augmentation."""
+        from continuum_robot_tpu.models.simulate import reduce_matrix_dense
+
+        model = _model(nonlinear_csv(8, include_fluid=False))
+        ms = make_modal_rom(model, 1e-3, n_modes=10, modal_derivatives=3)
+        assert ms.n_modes > 10  # genuinely augmented
+        M = np.asarray(model.beam_model.M.toarray(), np.float64)
+        K0 = reduce_matrix_dense(
+            model.beam_model.arrays, model.beam_model.bc_info.free_dofs,
+            False,
+        )
+        m = ms.n_modes
+        np.testing.assert_allclose(
+            ms.PhiW.T @ M @ ms.Phi, np.eye(m), atol=1e-8
+        )
+        K0r = ms.PhiW.T @ K0 @ ms.Phi
+        offdiag = K0r - np.diag(np.diag(K0r))
+        assert np.abs(offdiag).max() < 1e-6 * np.abs(np.diag(K0r)).max()
+        np.testing.assert_allclose(np.diag(K0r), ms.lam, rtol=1e-9)
+
+    def test_overcomplete_augmentation_saturates(self):
+        """More derivative pairs than remaining space: rank-revealed, no
+        failure, basis capped at full dimension."""
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        n = model.n_pos_states  # 18
+        ms = make_modal_rom(model, 1e-3, n_modes=12, modal_derivatives=4)
+        assert ms.n_modes <= n
+
+    def test_full_basis_skips_augmentation(self):
+        model = _model(nonlinear_csv(4, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-3, modal_derivatives=2)  # full basis
+        assert ms.n_modes == n
+
+    def test_consistent_kernel_rejected(self):
+        model = DynamicEulerBernoulliBeam(
+            nonlinear_csv(4, include_fluid=False),
+            use_consistent_nonlinear=True,
+        )
+        with pytest.raises(NotImplementedError, match="parity element"):
+            make_modal_rom(model, 1e-3, n_modes=5, modal_derivatives=2)
+
+    def test_pallas_rollout_with_augmented_basis(self):
+        """The fused kernel consumes augmented bases unchanged."""
+        import jax
+
+        model = _model(nonlinear_csv(8, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=10,
+                            modal_derivatives=3)
+        m = ms.n_modes
+        eta = jnp.zeros((3, m), jnp.float32).at[:, 0].set(1e-3)
+        etad = jnp.zeros((3, m), jnp.float32)
+        ref, _, _ = ms.rollout(eta, etad, None, 40, n_newton=2)
+        fused = ms.make_pallas_rollout(tile=128)
+        out, _, _ = fused(
+            eta, etad, None, 40, n_newton=2,
+            precision=jax.lax.Precision.HIGHEST,
+            nl_precision=jax.lax.Precision.HIGHEST, interpret=True,
+        )
+        scale = float(jnp.abs(ref).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-6 * scale
+        )
+
+
 class TestApiContracts:
     def test_rollout_frames_contract(self):
         model = _model(nonlinear_csv(4, include_fluid=False))
