@@ -1203,6 +1203,9 @@ def simulate(
             correction-force basis transforms (see
             :class:`ModalROMGenAlpha`); default inherits the full-force
             precision.
+        static_vectors, modal_derivatives: ``modal_rom`` only — basis
+            enrichment for load-dominated responses (see
+            :func:`make_modal_rom`).
     """
     x0 = jnp.asarray(x0)
     n_steps = int(round(t_final / dt))

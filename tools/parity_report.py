@@ -135,6 +135,44 @@ def trajectory_parity():
         os.unlink(csv)
 
 
+def modal_engine_parity():
+    """Production stepping engines vs the reference LSODA goldens.
+
+    Fixed-step generalized-alpha at h = 1e-5 s, measured on the TIP
+    DISPLACEMENT trajectory — the observable the reference's own examples
+    analyze (``extract_beam_shapes`` / FFT of the tip track). A full-state
+    max-norm is dominated by the velocity phases of near-Nyquist modes
+    (omega h ~ 0.5) that the impulse discontinuity excites; neither a
+    fixed-step method nor LSODA resolves those modes, they only dissipate
+    them differently (measured: 3e-2 full-state vs 7e-5 tip). ``modal`` is
+    the exact diagonalized recurrence (linear beams); ``modal_rom`` runs
+    the full basis (similarity of the dense modified-Newton path).
+    """
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+    from continuum_robot_tpu.models.simulate import simulate
+
+    data = np.load(os.path.join(REPO, "tests", "goldens", "trajectories.npz"))
+    with open(os.path.join(REPO, "tests", "goldens", "trajectories_meta.json")) as f:
+        meta = json.load(f)
+    for name, types, method in [
+        ("linear tip track (modal engine)", ["linear"] * 6, "modal"),
+        ("nonlinear tip track (modal-ROM)", ["nonlinear"] * 6, "modal_rom"),
+    ]:
+        csv = helpers.write_beam_csv(types)
+        beam = DynamicEulerBernoulliBeam(csv)
+        n = beam.n_pos_states
+        u = helpers.tip_impulse(n, meta["impulse_amplitude"], meta["impulse_t_end"])
+        res = simulate(beam, np.zeros(2 * n), meta["t_final"], meta["dt"],
+                       method=method, u=u, substeps=100, n_newton=3,
+                       rho_inf=0.95)
+        key = "linear" if method == "modal" else "nonlinear"
+        tip_ref = data[f"{key}_y"][n - 2, :]
+        tip_new = np.asarray(res.ys).T[n - 2, : tip_ref.shape[0]]
+        row("engine vs LSODA", name,
+            np.abs(tip_new - tip_ref).max() / np.abs(tip_ref).max(), 5e-4)
+        os.unlink(csv)
+
+
 def lqr_parity():
     from continuum_robot_tpu.control import LinearQuadraticRegulator
 
@@ -151,6 +189,7 @@ if __name__ == "__main__":
     element_parity()
     rhs_parity()
     trajectory_parity()
+    modal_engine_parity()
     lqr_parity()
     print("\nPARITY REPORT — continuum-robot-tpu vs reference")
     print("=" * 86)
