@@ -844,7 +844,8 @@ def _lowest_modes_sparse(K, M, k: int):
     return w[order], V[:, order]
 
 
-def _augment_static(K0, M, V, W, static_vectors, max_extra=None):
+def _augment_static(K0, M, V, W, static_vectors, max_extra=None,
+                    dense_threshold: int = 2000):
     """Augment a truncated modal basis for given static load patterns.
 
     Truncated eigenmode bases miss quasi-static response components whose
@@ -866,16 +867,29 @@ def _augment_static(K0, M, V, W, static_vectors, max_extra=None):
     right/left eigenvectors, so the reduced operator remains exactly
     diagonal-real and unconditionally truncation-stable.
 
-    Costs one dense two-sided ``eig`` of the full pencil — an opt-in
-    accuracy feature, priced for reference-scale beams (control-oriented
-    meshes), not the 1000-element throughput benchmark.
+    Candidate eigenpairs come from a dense two-sided ``eig`` on small
+    systems (1.2 s at 630 DOFs — dominant setup cost only beyond a couple
+    thousand), or — above ``dense_threshold`` DOFs — from shift-invert
+    Arnoldi runs targeted at each static response's deflated Rayleigh
+    quotient (the retained-band content is projected out of the response
+    first, so the shift lands in the band that actually carries the
+    missing content; O(N) per shift vs the dense eig's O(N^3)).
+
+    FUNDAMENTAL LIMIT of the parity element: its non-normal axial coupling
+    sends the membrane band complex as the mesh refines (measured: the
+    4-7e8 band is entirely complex by 210 elements; at 1000 elements modes
+    >= 1236 of 3000 are complex). When the static responses live in a
+    complex band, NO real-stable eigen-augmentation exists — candidates
+    are near-defective (|w^T M v| underflows) and are filtered out, the
+    augmentation degrades to a warning no-op, and users needing
+    large-mesh membrane accuracy should switch to the variationally
+    consistent element (``use_consistent_nonlinear=True``), whose
+    symmetric tangent keeps every band real.
 
     ``static_vectors``: load pattern(s) in reduced coordinates — ``(n,)``
     or ``(n, k)``. ``max_extra`` caps the added modes (default
     ``4 * n_loads``).
     """
-    from scipy.linalg import eig
-
     n = K0.shape[0]
     Bv = np.asarray(static_vectors, np.float64)
     if Bv.ndim == 1:
@@ -892,42 +906,173 @@ def _augment_static(K0, M, V, W, static_vectors, max_extra=None):
     if max_extra <= 0:
         return V, W
 
-    w_all, Wl, Vr = eig(K0, M, left=True, right=True)
-    order = np.argsort(w_all.real)
-    w_all, Vr, Wl = w_all[order], Vr[:, order], Wl[:, order]
-    scale_w = np.abs(w_all.real).max()
-    real_mask = np.abs(w_all.imag) <= 1e-8 * scale_w
+    import warnings
 
-    # Biorthonormalize each real pair: w_i <- w_i / (w_i^T M v_i), so the
-    # expansion coefficient of any x in the v-basis is w_i^T M x.
-    Mx = M @ np.linalg.solve(K0, Bv)  # (n, k): M @ static responses
-    # Identify modes already retained: the construction keeps the lowest
-    # m0 real modes, which are the first m0 entries of the real-sorted set.
-    real_idx = np.flatnonzero(real_mask)
-    cand = real_idx[m0:]  # unretained real modes, ascending eigenvalue
-    if cand.size == 0:
+    def _noop(reason):
+        warnings.warn(
+            "ROM basis augmentation added no modes: " + reason + ". If the "
+            "static content lives in a complex band of the parity "
+            "tangent's spectrum (large meshes), no real-stable "
+            "eigen-augmentation exists; consider "
+            "use_consistent_nonlinear=True (symmetric tangent, all bands "
+            "real).",
+            stacklevel=3,
+        )
         return V, W
-    vr_c = Vr[:, cand].real
-    wl_c = Wl[:, cand].real
-    denom = np.einsum("ij,ij->j", wl_c, M @ vr_c)
-    ok = np.abs(denom) > 1e-14 * np.abs(M).max()
-    cand, vr_c, wl_c, denom = cand[ok], vr_c[:, ok], wl_c[:, ok], denom[ok]
+
+    X = np.linalg.solve(K0, Bv)  # (n, k) static responses
+    if n <= dense_threshold:
+        vr_c, wl_c = _candidate_pairs_dense(K0, M, m0)
+    else:
+        vr_c, wl_c = _candidate_pairs_sparse(K0, M, V, W, X)
+    if vr_c.shape[1] == 0:
+        return _noop("no real candidate eigenpairs found")
+    Mv = M @ vr_c
+    denom = np.einsum("ij,ij->j", wl_c, Mv)
+    # Eigenvalue-conditioning filter: cos of the left/M-right angle.
+    # Near-defective pairs (the complex-adjacent region of the parity
+    # tangent) have |w^T M v| orders below |w||Mv|; scaling W by 1/denom
+    # then amplifies them into a basis that sends the ROM to NaN
+    # (measured at n=630: 2 such modes admitted -> divergence).
+    cos = np.abs(denom) / (
+        np.linalg.norm(wl_c, axis=0) * np.linalg.norm(Mv, axis=0) + 1e-300
+    )
+    ok = cos > 1e-3
+    vr_c, wl_c, denom = vr_c[:, ok], wl_c[:, ok], denom[ok]
+    if vr_c.shape[1] == 0:
+        return _noop("all candidate eigenpairs are near-defective")
     # Participation of each candidate mode in each (normalized) static
-    # response; score = worst-case over loads.
-    coeff = (wl_c.T @ Mx) / denom[:, None]  # (n_cand, k)
+    # response; score = worst-case over loads. (w_i^T M x) / (w_i^T M v_i)
+    # is the expansion coefficient of x along v_i by biorthogonality.
+    coeff = (wl_c.T @ (M @ X)) / denom[:, None]  # (n_cand, k)
     resp_scale = np.abs(coeff).max(axis=0) + 1e-300
     score = np.abs(coeff / resp_scale[None, :]).max(axis=1)
     top = np.argsort(score)[::-1][:max_extra]
     top = top[score[top] > 1e-6]
     if top.size == 0:
-        return V, W
+        return _noop("no candidate participates in the static responses")
     V2 = np.concatenate([V, vr_c[:, top]], axis=1)
     W2 = np.concatenate([W, wl_c[:, top] / denom[top][None, :]], axis=1)
     # Joint clean-up biorthonormalization (exact pairs are already
     # near-biorthogonal; this removes roundoff-level cross terms).
+    # Arnoldi-sourced pairs additionally leave the reduced operator's
+    # off-diagonal at the eigenvector-residual level (~1e-6 relative,
+    # measured; dense-path pairs at ~1e-12). That residual is benign: the
+    # split force path drops it — simulating exactly diag(lam), i.e. a
+    # stable O(residual) model perturbation well below ROM truncation
+    # error — the exact-transform (non-planar) path includes it, and the
+    # modified-Newton Jacobian uses the full K0r either way. (A final
+    # re-diagonalization was tried and REJECTED: near-defective directions
+    # inflate inv(S) and cost 1e-3 of biorthonormality to win 1e-6 of
+    # diagonality.)
     D = W2.T @ M @ V2
     W2 = W2 @ np.linalg.inv(D).T
     return V2, W2
+
+
+def _candidate_pairs_dense(K0, M, m0):
+    """All real unretained eigenpairs of ``(K0, M)`` by dense two-sided eig.
+
+    The ROM construction retains the lowest ``m0`` real modes, which are
+    the first ``m0`` entries of the real-sorted spectrum — everything after
+    them is a candidate.
+    """
+    from scipy.linalg import eig
+
+    w_all, Wl, Vr = eig(K0, M, left=True, right=True)
+    order = np.argsort(w_all.real)
+    w_all, Vr, Wl = w_all[order], Vr[:, order], Wl[:, order]
+    real_idx = np.flatnonzero(
+        np.abs(w_all.imag) <= 1e-8 * np.abs(w_all.real).max()
+    )
+    cand = real_idx[m0:]
+    return Vr[:, cand].real, Wl[:, cand].real
+
+
+def _candidate_pairs_sparse(K0, M, V, W, X, k_per_shift: int = 16):
+    """Candidate eigenpairs near each static response's active band.
+
+    For each static response ``x``: project out the retained-band content
+    (``x_perp = x - V W^T M x`` — without this the Rayleigh quotient is
+    dragged toward the already-retained low modes and the shift misses the
+    band carrying the new content), take ``sigma = Rayleigh(x_perp)``, and
+    run shift-invert Arnoldi at ``sigma`` on ``(K0, M)`` for the RIGHT
+    eigenpairs. The matching LEFT eigenvector for each converged real
+    eigenvalue comes from shifted inverse iteration on ``K0^T`` at that
+    exact eigenvalue (an independent left Arnoldi run converges to a
+    different subset of a clustered band, leaving the rights unmatched —
+    measured: zero 1e-6-matched pairs at n=630). Complex, retained-band,
+    duplicate, and non-converging hits are dropped; failed shifts are
+    skipped (the selection then simply sees fewer candidates).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import (
+        ArpackError, ArpackNoConvergence, eigs, splu,
+    )
+
+    Ks = sp.csc_matrix(K0)
+    Ms = sp.csc_matrix(M)
+    lam_ret = np.einsum("ij,ij->j", W, K0 @ V)
+    lam_floor = lam_ret.max() * (1.0 + 1e-6)
+    n = K0.shape[0]
+
+    def left_vector(lam):
+        """Left eigenvector at ``lam`` by shifted inverse iteration on the
+        transpose pencil; None if it fails to converge.
+
+        Keeps the BEST iterate: inverse iteration with an accurate shift
+        reaches its optimal residual in one step and then stalls/degrades
+        (Peters-Wilkinson; measured here 8.7e-9 at step 0 -> 1.3e-4
+        plateau), so iterating "until it converges" never terminates.
+        """
+        try:
+            lu = splu(sp.csc_matrix(K0.T - lam * (1.0 + 1e-7) * M))
+        except RuntimeError:
+            return None
+        y = np.full(n, 1.0 / np.sqrt(n))
+        best, best_res = None, np.inf
+        for _ in range(3):
+            y = lu.solve(np.asarray(M @ y))
+            y = y / np.linalg.norm(y)
+            res = np.linalg.norm(K0.T @ y - lam * (M @ y)) / abs(lam)
+            if res < best_res:
+                best, best_res = y, res
+            if res < 1e-9:
+                break
+        return best if best_res < 1e-6 else None
+
+    vr_list, wl_list, lam_list = [], [], []
+    for col in range(X.shape[1]):
+        x = X[:, col]
+        x_perp = x - V @ (W.T @ (M @ x))
+        denom = float(x_perp @ (M @ x_perp))
+        if denom <= 0:
+            continue
+        sigma = float(x_perp @ (K0 @ x_perp)) / denom
+        try:
+            wr, Vr = eigs(Ks, k=k_per_shift, M=Ms, sigma=sigma, which="LM")
+        except (ArpackError, ArpackNoConvergence):
+            continue
+        scale_w = max(np.abs(wr.real).max(), 1e-300)
+        for i in range(wr.size):
+            li = wr[i]
+            if abs(li.imag) > 1e-8 * scale_w or li.real <= lam_floor:
+                continue
+            if any(abs(li.real - l0) <= 1e-6 * abs(l0) for l0 in lam_list):
+                # Duplicate across shifts: ARPACK re-finds the same mode
+                # with ~1e-8 relative eigenvalue scatter; a tighter
+                # tolerance lets both copies in and makes the joint Gram
+                # singular (measured).
+                continue
+            y = left_vector(li.real)
+            if y is None:
+                continue
+            lam_list.append(li.real)
+            vr_list.append(Vr[:, i].real)
+            wl_list.append(y)
+    if not vr_list:
+        return np.zeros((n, 0)), np.zeros((n, 0))
+    return np.stack(vr_list, axis=1), np.stack(wl_list, axis=1)
 
 
 def _modal_derivative_loads(k_red_np, K0, V, md: int) -> np.ndarray:
@@ -1034,16 +1179,28 @@ def make_modal_rom(
         W = W @ np.linalg.inv(D).T
 
     if modal_derivatives > 0:
-        if use_consistent:
-            raise NotImplementedError(
-                "modal_derivatives requires the parity element kernel "
-                "(use_consistent_nonlinear=False)"
-            )
         md = min(int(modal_derivatives), V.shape[1])
-        k_red_np = assembly.make_reduced_internal_force_np(
-            arrays, free, n_full
-        )
-        md_loads = _modal_derivative_loads(k_red_np, K0, V, md)
+        if use_consistent:
+            # The consistent (energy-gradient) kernel has no host-NumPy
+            # twin; one jitted evaluator serves the handful of
+            # load-construction calls. Its symmetric tangent keeps every
+            # band real, so — unlike the parity kernel, whose membrane
+            # band goes complex on fine meshes — augmentation works at
+            # any size.
+            _k_jit = jax.jit(
+                assembly.make_reduced_internal_force(
+                    arrays, free, n_full, use_consistent=True
+                )
+            )
+
+            def k_red_eval(q):
+                return np.asarray(_k_jit(jnp.asarray(q)), np.float64)
+
+        else:
+            k_red_eval = assembly.make_reduced_internal_force_np(
+                arrays, free, n_full
+            )
+        md_loads = _modal_derivative_loads(k_red_eval, K0, V, md)
         if static_vectors is None:
             static_vectors = md_loads
         else:

@@ -331,13 +331,40 @@ class TestStaticAugmentation:
         ms = make_modal_rom(model, 1e-3, modal_derivatives=2)  # full basis
         assert ms.n_modes == n
 
-    def test_consistent_kernel_rejected(self):
+    def test_consistent_kernel_supported(self):
+        """The energy-gradient element (symmetric tangent — every band
+        real, so augmentation works at any mesh size) takes the jitted
+        load-construction path."""
         model = DynamicEulerBernoulliBeam(
-            nonlinear_csv(4, include_fluid=False),
+            nonlinear_csv(8, include_fluid=False),
             use_consistent_nonlinear=True,
         )
-        with pytest.raises(NotImplementedError, match="parity element"):
-            make_modal_rom(model, 1e-3, n_modes=5, modal_derivatives=2)
+        ms0 = make_modal_rom(model, 1e-3, n_modes=10)
+        ms = make_modal_rom(model, 1e-3, n_modes=10, modal_derivatives=3)
+        assert ms.n_modes > ms0.n_modes
+        M = np.asarray(model.beam_model.M.toarray(), np.float64)
+        np.testing.assert_allclose(
+            ms.PhiW.T @ M @ ms.Phi, np.eye(ms.n_modes), atol=1e-8
+        )
+
+    def test_complex_band_mesh_stays_stable(self):
+        """Parity kernel at a mesh whose membrane band is complex (210
+        elements): augmentation must never admit near-defective pairs —
+        whatever real modes it can add, the ROM stays biorthonormal and
+        the rollout finite (an unfiltered defective pair sends it to NaN
+        within steps; measured)."""
+        model = _model(nonlinear_csv(210, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=40,
+                            modal_derivatives=3)
+        M = np.asarray(model.beam_model.M.toarray(), np.float64)
+        np.testing.assert_allclose(
+            ms.PhiW.T @ M @ ms.Phi, np.eye(ms.n_modes), atol=1e-7
+        )
+        eta = jnp.zeros((2, ms.n_modes)).at[:, 0].set(1e-3)
+        etad = jnp.zeros((2, ms.n_modes))
+        e1, _, _ = ms.rollout(eta, etad, None, 500, n_newton=1)
+        assert bool(jnp.all(jnp.isfinite(e1)))
+        assert float(jnp.abs(e1).max()) < 1.0
 
     def test_pallas_rollout_with_augmented_basis(self):
         """The fused kernel consumes augmented bases unchanged."""
