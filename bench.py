@@ -52,8 +52,8 @@ N_MODES = int(os.environ.get("BENCH_MODES", 256))
 # bf16) tracks "highest" to 3.8e-5 relative at 7.90M env-steps/s (default);
 # "default" (1-pass bf16) hits 10.7M at 9.7e-2 — the sweep-grade dial;
 # "highest" disables the dial (5.73M). ENGINE=modal_rom_pallas (fused
-# whole-span kernel): 9.15M at "high" (manual hi/lo-bf16 3-pass, 1.1e-5),
-# 12.6M at "default", 5.46M at "highest".
+# whole-span kernel): 11.6M at "high" (manual hi/lo-bf16 3-pass, 1.1e-5),
+# 17.5M at "default", 8.5M at "highest" — ~1.5x the XLA engine per tier.
 NL_PRECISION = os.environ.get("BENCH_NL_PRECISION", "high")
 # Stepping engine for the linear benchmark:
 #   "modal_pallas" (default) — the generalized-alpha recurrence diagonalized
@@ -248,6 +248,13 @@ def main():
 
     if ENGINE in ("modal", "modal_pallas") and BEAM_TYPE == "linear":
         return run_modal(jax, jnp, model, n_red, use_pallas=(ENGINE == "modal_pallas"))
+    if ENGINE == "modal_rom_pallas" and BEAM_TYPE == "linear":
+        raise SystemExit(
+            "BENCH_ENGINE=modal_rom_pallas requires BENCH_TYPE=nonlinear "
+            "(the fused kernel exists for the nonlinear correction force; "
+            "linear beams use BENCH_ENGINE=modal_pallas, the exact modal "
+            "engine)"
+        )
     if ENGINE in ("modal_rom", "modal_rom_pallas"):
         return run_modal_rom(jax, jnp, model, n_red)
 

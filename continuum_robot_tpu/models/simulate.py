@@ -986,6 +986,18 @@ def _candidate_pairs_dense(K0, M, m0):
         np.abs(w_all.imag) <= 1e-8 * np.abs(w_all.real).max()
     )
     cand = real_idx[m0:]
+    # Drop eigenvalue duplicates: a near-real complex-CONJUGATE pair (tiny
+    # imag under the global-scaled realness cut) passes as two "real"
+    # candidates whose real parts — and hence selected columns — are
+    # identical, which makes the joint Gram exactly singular downstream.
+    keep, seen = [], []
+    for i in cand:
+        li = w_all[i].real
+        if any(abs(li - l0) <= 1e-9 * abs(l0) for l0 in seen):
+            continue
+        seen.append(li)
+        keep.append(i)
+    cand = np.asarray(keep, dtype=int)
     return Vr[:, cand].real, Wl[:, cand].real
 
 

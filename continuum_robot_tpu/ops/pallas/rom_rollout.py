@@ -214,31 +214,19 @@ def _make_kernel(
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "steps", "chunk", "h", "rho_inf", "n_newton", "s_pad", "tile",
-        "precision", "nl_precision", "interpret",
-    ),
-)
-def _fused_rom_call(
-    basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col,
-    eta, etad, etadd,
-    steps: int, chunk: int, h: float, rho_inf: float, n_newton: int,
-    s_pad: int, tile: int, precision, nl_precision, interpret: bool,
-):
-    # `basis` is (phi, wt) in f32 mode or (phi_hi, phi_lo, wt_hi, wt_lo)
-    # bf16 halves in split mode — forwarded to the kernel positionally.
+def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
+              precision, nl_precision, interpret):
+    """Shared layout/spec setup for the step and frames drivers.
+
+    Returns ``(pad_state, make_call, m_p, B, Bp)``: the state padder into
+    the kernel's (modes, envs) layout, and a factory building the
+    fixed-step-count pallas_call. ``basis`` is (phi, wt) in f32 mode or
+    (phi_hi, phi_lo, wt_hi, wt_lo) bf16 halves in split mode — forwarded
+    to the kernel positionally.
+    """
     m_p = sinv.shape[0]
     B = eta.shape[0]
     Bp = _round_up(B, tile)
-    # The kernel advances `chunk` steps per invocation; an XLA scan strings
-    # chunks together in the kernel's native (modes, envs) layout. One
-    # compiled kernel thus serves every span length, and the chunk boundary
-    # costs one (m_p, Bp) state round trip (~KBs-MBs) against the chunk's
-    # VMEM-resident work.
-    chunk = min(int(chunk), int(steps)) or 1
-    n_chunks, rem = divmod(int(steps), chunk)
 
     def pad_state(s):  # (B, m) -> (m_p, Bp), modes on sublanes
         return jnp.pad(s.T, ((0, m_p - s.shape[1]), (0, Bp - B)))
@@ -272,6 +260,33 @@ def _fused_rom_call(
             interpret=interpret,
         )
 
+    return pad_state, make_call, m_p, B, Bp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "steps", "chunk", "h", "rho_inf", "n_newton", "s_pad", "tile",
+        "precision", "nl_precision", "interpret",
+    ),
+)
+def _fused_rom_call(
+    basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col,
+    eta, etad, etadd,
+    steps: int, chunk: int, h: float, rho_inf: float, n_newton: int,
+    s_pad: int, tile: int, precision, nl_precision, interpret: bool,
+):
+    # The kernel advances `chunk` steps per invocation; an XLA scan strings
+    # chunks together in the kernel's native (modes, envs) layout. One
+    # compiled kernel thus serves every span length, and the chunk boundary
+    # costs one (m_p, Bp) state round trip (~KBs-MBs) against the chunk's
+    # VMEM-resident work.
+    chunk = min(int(chunk), int(steps)) or 1
+    n_chunks, rem = divmod(int(steps), chunk)
+    pad_state, make_call, m_p, B, Bp = _plumbing(
+        basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
+        precision, nl_precision, interpret,
+    )
     consts = (*basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col)
     state = (pad_state(eta), pad_state(etad), pad_state(etadd))
     if n_chunks:
@@ -303,34 +318,11 @@ def _fused_rom_frames(
 ):
     """Frame-collecting variant: one ``substeps``-step kernel call per frame,
     state carried in the kernel's (modes, envs) layout across the span."""
-    m_p = sinv.shape[0]
-    B = eta.shape[0]
-    Bp = _round_up(B, tile)
-
-    def pad_state(s):
-        return jnp.pad(s.T, ((0, m_p - s.shape[1]), (0, Bp - B)))
-
-    grid = (Bp // tile,)
-    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    state_spec = pl.BlockSpec(
-        (m_p, tile), lambda b: (0, b), memory_space=pltpu.VMEM
+    pad_state, make_call, m_p, B, Bp = _plumbing(
+        basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
+        precision, nl_precision, interpret,
     )
-    out_shape = jax.ShapeDtypeStruct((m_p, Bp), jnp.float32)
-    kernel = _make_kernel(
-        int(substeps), float(h), float(rho_inf), int(n_newton),
-        int(s_pad), precision, nl_precision,
-    )
-    call = pl.pallas_call(
-        kernel,
-        out_shape=(out_shape, out_shape, out_shape),
-        grid=grid,
-        in_specs=[const_spec] * (len(basis) + 7) + [state_spec] * 3,
-        out_specs=(state_spec, state_spec, state_spec),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )
+    call = make_call(substeps)
     consts = (*basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col)
     s0 = (pad_state(eta), pad_state(etad), pad_state(etadd))
 
@@ -426,27 +418,39 @@ class FusedROMRollout:
         self.s_pad = s_pad
         self.m_p = m_p
         self.m = m
+        self._ia_cache = {}
+
+    @staticmethod
+    def _as_precision(p):
+        """Normalize string spellings ('high', ...) to lax.Precision."""
+        if isinstance(p, str):
+            return jax.lax.Precision[p.upper()]
+        return p
 
     def _prep(self, eta, etad, u_modal, precision, nl_precision):
         """Shared setup: precision mapping, force column, initial accel."""
         if callable(u_modal):
             raise ValueError("fused ROM rollout takes a constant input force")
+        precision = self._as_precision(precision)
+        nl_precision = self._as_precision(nl_precision)
         prec = jax.lax.Precision.HIGHEST if precision is None else precision
         nl_prec = (
             jax.lax.Precision.HIGH if nl_precision is None else nl_precision
         )
         # Mosaic rejects Precision.HIGH on in-kernel dots; the kernel's
-        # equivalent is the manual hi/lo bf16 3-pass ("split") transform.
+        # equivalent for the correction transforms is the manual hi/lo bf16
+        # 3-pass ("split") path. The (m, m) Newton dot has no split variant
+        # — it is a negligible cost share — so HIGH there promotes to
+        # HIGHEST rather than crashing the Mosaic compile.
         split = nl_prec == jax.lax.Precision.HIGH
+        if prec == jax.lax.Precision.HIGH:
+            prec = jax.lax.Precision.HIGHEST
         u_col = np.zeros((self.m_p, 1), np.float32)
         u_host = None
         if u_modal is not None:
             u_host = np.asarray(jax.device_get(u_modal), np.float64)
             u_col[: self.m, 0] = u_host
-        etadd = self.ms.initial_accel(
-            eta, etad, None if u_modal is None else jnp.asarray(u_host),
-            precision=prec, nl_precision=nl_prec,
-        )
+        etadd = self._initial_accel(eta, etad, u_host, prec, nl_prec)
         basis = (
             (self.phi_hi, self.phi_lo, self.wt_hi, self.wt_lo)
             if split
@@ -457,6 +461,35 @@ class FusedROMRollout:
             self.L_col, self.D_col, self.A_col, self.mask_col,
         )
         return consts, etadd, prec, ("split" if split else nl_prec)
+
+    def _initial_accel(self, eta, etad, u_host, prec, nl_prec):
+        """Jitted-and-cached initial acceleration.
+
+        The engine's ``initial_accel`` evaluates the full correction
+        polynomial; running it eagerly would cost dozens of one-off
+        compiles on the axon backend plus per-call dispatch round trips
+        (CLAUDE.md), and would pollute benchmark timings of the fused
+        kernel. One cached jit per (precision pair, has-force) variant.
+        """
+        key = (prec, nl_prec, u_host is not None)
+        fn = self._ia_cache.get(key)
+        if fn is None:
+            if u_host is None:
+                fn = jax.jit(
+                    lambda e, ed: self.ms.initial_accel(
+                        e, ed, None, precision=prec, nl_precision=nl_prec
+                    )
+                )
+            else:
+                fn = jax.jit(
+                    lambda e, ed, u: self.ms.initial_accel(
+                        e, ed, u, precision=prec, nl_precision=nl_prec
+                    )
+                )
+            self._ia_cache[key] = fn
+        if u_host is None:
+            return fn(eta, etad)
+        return fn(eta, etad, jnp.asarray(u_host, jnp.float32))
 
     def __call__(
         self, eta, etad, u_modal, n_steps: int, n_newton: int = 1,
