@@ -52,8 +52,9 @@ N_MODES = int(os.environ.get("BENCH_MODES", 256))
 # bf16) tracks "highest" to 3.8e-5 relative at 7.90M env-steps/s (default);
 # "default" (1-pass bf16) hits 10.7M at 9.7e-2 — the sweep-grade dial;
 # "highest" disables the dial (5.73M). ENGINE=modal_rom_pallas (fused
-# whole-span kernel): 11.6M at "high" (manual hi/lo-bf16 3-pass, 1.1e-5),
-# 17.5M at "default", 8.5M at "highest" — ~1.5x the XLA engine per tier.
+# whole-span kernel, 256-lane env tiles): 11.7M at "high" (manual
+# hi/lo-bf16 3-pass, 1.1e-5), 19.4M at "default", 8.5M at "highest" —
+# 1.5-1.8x the XLA engine per tier.
 NL_PRECISION = os.environ.get("BENCH_NL_PRECISION", "high")
 # Stepping engine for the linear benchmark:
 #   "modal_pallas" (default) — the generalized-alpha recurrence diagonalized
@@ -168,7 +169,7 @@ def run_modal_rom(jax, jnp, model, n_red):
         "highest": jax.lax.Precision.HIGHEST,
     }[NL_PRECISION]
     if ENGINE == "modal_rom_pallas":
-        fused = ms.make_pallas_rollout(tile=int(os.environ.get("BENCH_TILE", 128)))
+        fused = ms.make_pallas_rollout(tile=int(os.environ.get("BENCH_TILE", 256)))
 
         def roll(e, ed):
             return fused(e, ed, u_m, N_STEPS, n_newton=1,
