@@ -1333,6 +1333,65 @@ def make_modal_rollout_fn(
     return rollout
 
 
+def _simulate_pallas(
+    model, x0, n_steps, dt, method, u, forces_func, substeps, n_newton,
+    rho_inf, n_modes, nl_precision, static_vectors, modal_derivatives,
+):
+    """Fused-kernel drive behind ``simulate(engine="pallas")``.
+
+    Host-side wrapper around the whole-span VMEM kernels
+    (``ModalGenAlpha.rollout_frames_pallas`` /
+    ``FusedROMRollout.frames``); the heavy work is inside the kernels'
+    own jits, so this function deliberately runs un-jitted (the fused ROM
+    prep performs host-side padding/layout). Interpret mode is selected
+    automatically on the CPU backend.
+    """
+    interpret = jax.default_backend() == "cpu"
+    squeeze = x0.ndim == 1
+    if squeeze:
+        x0 = x0[None, :]
+    n = x0.shape[-1] // 2
+
+    if method == "modal":
+        ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
+        if forces_func is not None:
+            raise ValueError(
+                "method='modal' cannot include state-dependent forces"
+            )
+        u_modal = None if u is None else ms.project_force_host(u)
+        eta, etad = jax.jit(ms.to_modal)(x0[..., :n], x0[..., n:])
+        ts, etas, etads = ms.rollout_frames_pallas(
+            eta, etad, u_modal, n_steps, substeps=substeps,
+            interpret=interpret,
+        )
+        qs, vs = jax.jit(ms.from_modal)(etas, etads)
+    else:
+        ms = make_modal_rom(
+            model, dt / substeps, rho_inf=rho_inf, n_modes=n_modes,
+            forces_func=forces_func, static_vectors=static_vectors,
+            modal_derivatives=modal_derivatives,
+        )
+        fused = ms.make_pallas_rollout()
+        u_modal = None if u is None else jnp.asarray(
+            ms.project_force_host(u), jnp.float32
+        )
+        eta, etad = jax.jit(ms.to_modal)(x0[..., :n], x0[..., n:])
+        # The fused ROM kernel is f32 (its operator layout is); under an
+        # x64 session the modal projection above promotes.
+        eta = eta.astype(jnp.float32)
+        etad = etad.astype(jnp.float32)
+        ts, etas, etads = fused.frames(
+            eta, etad, u_modal, n_steps, substeps=substeps,
+            n_newton=n_newton, nl_precision=nl_precision,
+            interpret=interpret,
+        )
+        qs, vs = jax.jit(ms.from_modal)(etas, etads)
+    ys = jnp.concatenate([qs, vs], axis=-1)
+    if squeeze:
+        ys = ys[:, 0, :]
+    return SimulationResult(ts=ts, ys=ys, stats=None)
+
+
 def simulate(
     model,
     x0,
@@ -1351,6 +1410,7 @@ def simulate(
     nl_precision=None,
     static_vectors=None,
     modal_derivatives: int = 0,
+    engine: str = "xla",
     jit: bool = True,
 ) -> SimulationResult:
     """Run a complete rollout on device.
@@ -1375,10 +1435,33 @@ def simulate(
         static_vectors, modal_derivatives: ``modal_rom`` only — basis
             enrichment for load-dominated responses (see
             :func:`make_modal_rom`).
+        engine: ``modal`` / ``modal_rom`` only — ``"xla"`` (default) or
+            ``"pallas"`` for the fused whole-span VMEM kernels (constant
+            input force, no external forces; interpreted automatically on
+            the CPU backend).
     """
     x0 = jnp.asarray(x0)
     n_steps = int(round(t_final / dt))
     rhs = model.build_rhs(forces_func)
+
+    if engine not in ("xla", "pallas"):
+        raise ValueError(f"Unknown engine: {engine!r} (use 'xla'|'pallas')")
+    if engine == "pallas":
+        if method not in ("modal", "modal_rom"):
+            raise ValueError(
+                "engine='pallas' applies to method='modal'/'modal_rom'"
+            )
+        if callable(u):
+            raise ValueError(
+                "engine='pallas' requires a constant input force (the "
+                "fused kernels bake the modal force in); use engine='xla' "
+                "for time-varying inputs"
+            )
+        return _simulate_pallas(
+            model, x0, n_steps, dt, method, u, forces_func, substeps,
+            n_newton, rho_inf, n_modes, nl_precision, static_vectors,
+            modal_derivatives,
+        )
 
     if method == "rk4":
 

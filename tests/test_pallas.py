@@ -259,3 +259,71 @@ class TestFusedROMRollout:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=1e-6 * scale
             )
+
+
+class TestSimulatePallasEngine:
+    """simulate(engine='pallas'): the fused kernels behind the public API."""
+
+    def test_modal_rom_engine_matches_xla(self):
+        from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+        from continuum_robot_tpu.models.simulate import simulate
+        from tests import helpers
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.nonlinear_csv(8, include_fluid=False)
+        )
+        n = model.n_pos_states
+        x0 = np.zeros((3, 2 * n))
+        x0[:, n - 2] = [1e-3, 2e-3, 3e-3]
+        u = np.zeros(n)
+        u[-2] = 2.0
+        kw = dict(t_final=0.01, dt=1e-3, method="modal_rom", u=u,
+                  substeps=5, n_newton=2, rho_inf=0.7, n_modes=12)
+        ref = simulate(model, x0, **kw)
+        out = simulate(model, x0, engine="pallas", **kw)
+        assert out.ys.shape == ref.ys.shape
+        scale = float(jnp.abs(ref.ys).max())
+        # f32 kernel vs (x64-session) XLA path.
+        np.testing.assert_allclose(
+            np.asarray(out.ys), np.asarray(ref.ys), atol=1e-5 * scale
+        )
+
+    def test_modal_engine_matches_xla_and_squeezes(self):
+        from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+        from continuum_robot_tpu.models.simulate import simulate
+        from tests import helpers
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.linear_csv(6, include_fluid=False)
+        )
+        n = model.n_pos_states
+        x0 = np.zeros(2 * n)  # single env: output must squeeze back
+        u = np.zeros(n)
+        u[-2] = 0.1
+        kw = dict(t_final=0.01, dt=1e-3, method="modal", u=u, substeps=5,
+                  rho_inf=0.8)
+        ref = simulate(model, x0, **kw)
+        out = simulate(model, x0, engine="pallas", **kw)
+        assert out.ys.shape == ref.ys.shape
+        scale = float(jnp.abs(ref.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(out.ys), np.asarray(ref.ys), atol=1e-9 * scale
+        )
+
+    def test_engine_contracts(self):
+        from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+        from continuum_robot_tpu.models.simulate import simulate
+        from tests import helpers
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.nonlinear_csv(4, include_fluid=False)
+        )
+        n = model.n_pos_states
+        x0 = np.zeros(2 * n)
+        with pytest.raises(ValueError, match="constant input"):
+            simulate(model, x0, 0.01, 1e-3, method="modal_rom",
+                     engine="pallas", u=lambda t: jnp.zeros(n))
+        with pytest.raises(ValueError, match="applies to method"):
+            simulate(model, x0, 0.01, 1e-3, method="rk4", engine="pallas")
+        with pytest.raises(ValueError, match="Unknown engine"):
+            simulate(model, x0, 0.01, 1e-3, method="modal", engine="tpu")
