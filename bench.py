@@ -151,6 +151,32 @@ def run_modal_rom(jax, jnp, model, n_red):
     RHO_INF = 0.5  # same dissipation as the dense nonlinear benchmark
     ms = make_modal_rom(model, DT, rho_inf=RHO_INF, n_modes=N_MODES)
 
+    # Optional ECSW hyper-reduction (XLA engine only): BENCH_ECSW_TAU sets
+    # the training tolerance; the sample is trained on a short impulse
+    # rollout of the same beam.
+    ecsw_tau = os.environ.get("BENCH_ECSW_TAU")
+    ecsw_tag = ""
+    if ecsw_tau is not None:
+        if ENGINE == "modal_rom_pallas":
+            raise SystemExit(
+                "BENCH_ECSW_TAU applies to ENGINE=modal_rom (the fused "
+                "kernel does not consume the gathered-sample layout)"
+            )
+        u_tr = np.zeros(n_red, np.float32)
+        u_tr[-2] = 3.0
+        u_tr_m = jnp.asarray(ms.project_force_host(u_tr), jnp.float32)
+        z = jnp.zeros((1, ms.n_modes), jnp.float32)
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_tr_m, 30, substeps=20,
+                                          n_newton=2)
+        snaps = np.asarray(etas_tr[::3, 0, :])
+        ms, info = ms.hyper_reduce(snaps, tau=float(ecsw_tau),
+                                   return_info=True)
+        ecsw_tag = f", ECSW s={info['n_sampled']}/{N_ELEMENTS}"
+        print(
+            f"# ECSW: {info['n_sampled']} elements, train residual "
+            f"{info['train_residual']:.2e}", file=sys.stderr,
+        )
+
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(scale=1e-6, size=(N_ENVS, n_red)), jnp.float32)
     v = jnp.zeros((N_ENVS, n_red), jnp.float32)
@@ -198,7 +224,7 @@ def run_modal_rom(jax, jnp, model, n_red):
                 "metric": (
                     f"implicit generalized-alpha "
                     f"({'fused-Pallas ' if ENGINE == 'modal_rom_pallas' else ''}"
-                    f"modal-ROM m={N_MODES}) env-steps/sec/chip, "
+                    f"modal-ROM m={N_MODES}{ecsw_tag}) env-steps/sec/chip, "
                     f"{N_ELEMENTS}-element {BEAM_TYPE} beam, {N_ENVS} envs, f32"
                 ),
                 "value": round(env_steps_per_sec, 1),

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import assembly
+from . import assembly, elements
 from .config import BCInfo
 from ..ops import banded, integrators
 
@@ -758,6 +758,142 @@ class ModalROMGenAlpha:
         (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
         return eta, etad, etadd
 
+    def hyper_reduce(self, snapshots, tau: float = 1e-3,
+                     return_info: bool = False):
+        """ECSW hyper-reduction: evaluate the correction on a trained sample.
+
+        Energy-Conserving Sampling and Weighting (Farhat et al.): choose a
+        sparse set of elements with nonnegative weights ``xi`` such that
+        the weighted sampled reduced correction force reproduces the full
+        assembly over the training ``snapshots`` (modal states, ``(S, m)``)
+        to relative tolerance ``tau`` — solved by Lawson-Hanson NNLS with
+        early stopping (each outer iteration admits one element, so
+        stopping at ``tau`` yields sparsity directly).
+
+        Returns a new engine whose planar bases are GATHERED to the
+        sampled elements' six DOF rows (weights folded into the test
+        basis) and whose correction closure evaluates only those elements
+        — both the per-step transform rows and the element-force work
+        scale with the sample size instead of the mesh. The split linear
+        term ``lam * eta`` is untouched, so hyper-reduction error lives
+        entirely in the (small) correction force; accuracy is measured,
+        not assumed (tests/test_modal_rom.py).
+
+        Only the split planar fast path can be hyper-reduced (parity
+        kernel, no external forces). The fused Pallas kernel does not
+        consume the gathered layout (``make_pallas_rollout`` raises).
+        """
+        if self.lam is None or self.planar_correction is None:
+            raise ValueError(
+                "hyper_reduce requires the split planar fast path "
+                "(parity nonlinear/hybrid beam, no external forces)"
+            )
+        if self.window_params is None:
+            raise ValueError("engine is already hyper-reduced")
+        wp = self.window_params
+        L = np.asarray(wp["length"], np.float64)
+        D = np.asarray(wp["EI"], np.float64)
+        A = np.asarray(wp["EA"], np.float64)
+        nl_mask = np.asarray(wp["nonlinear_mask"], bool)
+        Phi_p = np.asarray(self.Phi_planar, np.float64)  # (3 n_sub, m)
+        W_p = np.asarray(self.PhiW_planar, np.float64)
+        m = Phi_p.shape[1]
+        n_sub = Phi_p.shape[0] // 3
+        E = n_sub - 1
+
+        def plane_rows(c):  # rows of DOF plane c (u/w/theta)
+            return slice(c * n_sub, (c + 1) * n_sub)
+
+        # Training data: per-element reduced-force contributions c_{e,i}
+        # and exact totals d_i, all host f64.
+        S = np.asarray(jax.device_get(snapshots), np.float64)
+        if S.ndim == 1:
+            S = S[None, :]
+        q_p = S @ Phi_p.T  # (S, 3 n_sub)
+        u_pl = q_p[:, plane_rows(0)]
+        w_pl = q_p[:, plane_rows(1)]
+        t_pl = q_p[:, plane_rows(2)]
+        planes = elements.nonlinear_correction_planes(
+            u_pl[:, :-1], w_pl[:, :-1], t_pl[:, :-1],
+            u_pl[:, 1:], w_pl[:, 1:], t_pl[:, 1:],
+            L, D, A,
+        )
+        planes = tuple(np.where(nl_mask, p, 0.0) for p in planes)
+        ga1, gt1, gm1, ga2, gt2, gm2 = planes  # (S, E) each, slot order
+        # W rows per element slot: node-1 rows e, node-2 rows e+1.
+        Wu, Ww, Wt = (W_p[plane_rows(c)] for c in range(3))
+        # c[e, i, :] = sum over the six slots of W_row * g_slot.
+        C = (
+            np.einsum("se,em->sem", ga1, Wu[:-1])
+            + np.einsum("se,em->sem", gt1, Ww[:-1])
+            + np.einsum("se,em->sem", gm1, Wt[:-1])
+            + np.einsum("se,em->sem", ga2, Wu[1:])
+            + np.einsum("se,em->sem", gt2, Ww[1:])
+            + np.einsum("se,em->sem", gm2, Wt[1:])
+        )  # (S, E, m)
+        n_snap = C.shape[0]
+        G = np.moveaxis(C, 1, 2).reshape(n_snap * m, E)
+        d = G.sum(axis=1)
+        xi = _ecsw_nnls(G, d, tau)
+        sel = np.flatnonzero(xi > 0)
+        if sel.size == 0:
+            raise ValueError(
+                "ECSW training selected no elements — the snapshots carry "
+                "no correction-force content (all-linear window or zero "
+                "states); hyper-reduction is meaningless here"
+            )
+
+        # Gathered six-plane bases: rows [u1; w1; t1; u2; w2; t2] x sample.
+        def gather(B, weights=None):
+            rows = []
+            for node_off in (0, 1):
+                for c in range(3):
+                    blk = B[plane_rows(c)][sel + node_off]
+                    rows.append(blk)
+            out = np.concatenate(rows, axis=0)  # (6 s, m) in plane blocks
+            if weights is not None:
+                out = out * np.tile(weights[sel], 6)[:, None]
+            return np.ascontiguousarray(out)
+
+        # Order the 6 blocks as [u1, w1, t1, u2, w2, t2] of width s each.
+        Phi6 = gather(Phi_p)
+        W6 = gather(W_p, weights=xi)
+        s = sel.size
+        L_s, D_s, A_s = L[sel], D[sel], A[sel]
+        mask_s = nl_mask[sel]
+
+        def g_sampled(q_pseudo):
+            # _force_modal hands (..., 3, 2s) pseudo-planes; reinterpret
+            # the flat 6s layout as the six gathered width-s blocks.
+            q6 = q_pseudo.reshape(*q_pseudo.shape[:-2], 6, s)
+            u1, w1, t1 = q6[..., 0, :], q6[..., 1, :], q6[..., 2, :]
+            u2, w2, t2 = q6[..., 3, :], q6[..., 4, :], q6[..., 5, :]
+            Lj = jnp.asarray(L_s, dtype=q_pseudo.dtype)
+            Dj = jnp.asarray(D_s, dtype=q_pseudo.dtype)
+            Aj = jnp.asarray(A_s, dtype=q_pseudo.dtype)
+            pl = elements.nonlinear_correction_planes(
+                u1, w1, t1, u2, w2, t2, Lj, Dj, Aj
+            )
+            if not bool(mask_s.all()):
+                mj = jnp.asarray(mask_s)
+                pl = tuple(jnp.where(mj, p, 0.0) for p in pl)
+            g1, g3, g4, g2, g5, g6_ = pl
+            out = jnp.stack([g1, g3, g4, g2, g5, g6_], axis=-2)
+            return out.reshape(q_pseudo.shape)
+
+        reduced = dataclasses.replace(
+            self,
+            Phi_planar=Phi6,
+            PhiW_planar=W6,
+            planar_correction=g_sampled,
+            window_params=None,  # marks the gathered layout (no fused kernel)
+        )
+        if return_info:
+            res = float(np.linalg.norm(G @ xi - d) / np.linalg.norm(d))
+            return reduced, {"n_sampled": s, "weights": xi,
+                             "train_residual": res}
+        return reduced
+
     def make_pallas_rollout(self, tile: int = 256):
         """Fused Pallas rollout: the whole span resident in VMEM.
 
@@ -801,6 +937,50 @@ class ModalROMGenAlpha:
         etas = jnp.concatenate([eta[None], etas], axis=0)
         etads = jnp.concatenate([etad[None], etads], axis=0)
         return ts, etas, etads
+
+
+def _ecsw_nnls(G, d, tau: float) -> np.ndarray:
+    """Sparse nonnegative weights by early-stopped Lawson-Hanson NNLS.
+
+    Solves ``min ||G xi - d||, xi >= 0`` but stops as soon as the residual
+    drops to ``tau * ||d||`` — each outer iteration admits one column
+    (element), so early stopping IS the sparsification (the ECSW training
+    step). ``tau = 0`` runs to the exact NNLS optimum.
+    """
+    n_rows, E = G.shape
+    xi = np.zeros(E)
+    passive: list = []
+    r = d.copy()
+    dn = np.linalg.norm(d)
+    if dn == 0:
+        return xi
+    for _ in range(min(E, n_rows) + 1):
+        if np.linalg.norm(r) <= tau * dn:
+            break
+        grad = G.T @ r
+        if passive:
+            grad[passive] = -np.inf
+        j = int(np.argmax(grad))
+        if grad[j] <= 0:
+            break
+        passive.append(j)
+        # Inner feasibility loop (standard Lawson-Hanson).
+        while True:
+            z = np.zeros(E)
+            sol, *_ = np.linalg.lstsq(G[:, passive], d, rcond=None)
+            z[np.asarray(passive)] = sol
+            if all(z[p] > 0 for p in passive):
+                xi = z
+                break
+            neg = [p for p in passive if z[p] <= 0]
+            alpha = min(xi[p] / (xi[p] - z[p]) for p in neg)
+            xi = xi + alpha * (z - xi)
+            passive = [p for p in passive if xi[p] > 1e-12]
+            if not passive:
+                xi = np.zeros(E)
+                break
+        r = d - G @ xi
+    return xi
 
 
 def _check_real_spectrum(w, m_keep: int) -> None:

@@ -359,6 +359,12 @@ class FusedROMRollout:
                 "fused ROM rollout does not support external forces; "
                 "use ModalROMGenAlpha.rollout"
             )
+        if ms.window_params is None:
+            raise ValueError(
+                "fused ROM rollout does not consume the hyper-reduced "
+                "(gathered-sample) layout; use the XLA rollout for "
+                "hyper-reduced engines"
+            )
         self.ms = ms
         self.tile = int(tile)
         self.chunk = int(chunk)

@@ -390,6 +390,69 @@ class TestStaticAugmentation:
         )
 
 
+class TestHyperReduction:
+    """ECSW trained-sample evaluation of the correction force."""
+
+    def _trained(self, tau=1e-3, n_seg=40):
+        model = _model(nonlinear_csv(n_seg, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=24)
+        m = ms.n_modes
+        u = np.zeros(n, np.float32)
+        u[-2] = 3.0
+        u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+        z = jnp.zeros((1, m), jnp.float32)
+        _, etas, _ = ms.rollout_frames(z, z, u_m, 30, substeps=20,
+                                       n_newton=2)
+        snaps = np.asarray(etas[::3, 0, :])
+        red, info = ms.hyper_reduce(snaps, tau=tau, return_info=True)
+        return ms, red, info, snaps, u_m, n_seg
+
+    def test_sparse_sample_tracks_full_correction(self):
+        ms, red, info, snaps, u_m, E = self._trained()
+        assert 0 < info["n_sampled"] < E  # genuinely sparse
+        assert info["train_residual"] <= 1.5e-3
+        assert np.all(info["weights"] >= 0)
+        # Held-out states: error small relative to the correction force.
+        rng = np.random.default_rng(0)
+        test = jnp.asarray(
+            snaps[-1][None] * (1 + 0.1 * rng.normal(size=(5, ms.n_modes))),
+            jnp.float32,
+        )
+        f_full = ms._force_modal(test, None, 0.0, jnp.float32, None)
+        f_hr = red._force_modal(test, None, 0.0, jnp.float32, None)
+        g = f_full - jnp.asarray(ms.lam, jnp.float32) * test
+        err = float(jnp.abs(f_hr - f_full).max())
+        assert err < 2e-2 * float(jnp.abs(g).max())
+
+    def test_rollout_stays_close_and_finite(self):
+        ms, red, info, snaps, u_m, _ = self._trained()
+        m = ms.n_modes
+        eta0 = jnp.asarray(snaps[-1][None], jnp.float32)
+        z = jnp.zeros((1, m), jnp.float32)
+        e1, _, _ = ms.rollout(eta0, z, u_m, 400, n_newton=1)
+        e2, _, _ = red.rollout(eta0, z, u_m, 400, n_newton=1)
+        scale = float(jnp.abs(e1).max())
+        assert bool(jnp.all(jnp.isfinite(e2)))
+        assert float(jnp.abs(e2 - e1).max()) < 2e-3 * scale
+
+    def test_exact_at_zero_tolerance(self):
+        """tau ~ 0: every correction-carrying element selected, machinery
+        reproduces the full assembly to roundoff on the training data."""
+        ms, red, info, snaps, u_m, E = self._trained(tau=1e-12)
+        assert info["n_sampled"] == E
+        assert info["train_residual"] < 1e-10
+
+    def test_contracts(self):
+        ms, red, _, snaps, _, _ = self._trained()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="already hyper-reduced"):
+            red.hyper_reduce(snaps)
+        with _pytest.raises(ValueError, match="hyper-reduced"):
+            red.make_pallas_rollout()
+
+
 class TestApiContracts:
     def test_rollout_frames_contract(self):
         model = _model(nonlinear_csv(4, include_fluid=False))
