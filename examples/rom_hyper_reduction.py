@@ -1,0 +1,107 @@
+"""Nonlinear ROM workflow: reduce, enrich, train a hyper-reduced sample.
+
+The production pipeline for large nonlinear beams, end to end:
+
+1. build the Petrov-Galerkin modal ROM (``make_modal_rom``) — the exact
+   element force in the residual, the reduced linear operator exactly
+   diagonal;
+2. run a training rollout of the target workload and collect modal
+   snapshots;
+3. ECSW-train a sparse nonnegative-weighted element sample
+   (``hyper_reduce``) so the per-step correction force touches a fraction
+   of the mesh;
+4. deploy: same generalized-alpha rollout, measured against the full ROM.
+
+Accuracy is measured, never assumed — the printed numbers are the honest
+contract (see docs/design.md "Nonlinear path" for the measured
+training-coverage requirements).
+
+Notes: the wall-clock win appears at scale on accelerator batches (the
+benchmark's 1000-element/4096-env configuration measures 69.5M
+env-steps/s at a 41-element sample vs 19.4M unsampled); at this demo size
+on CPU the sampled gather overhead can exceed the saved element work —
+the printed numbers tell the truth either way. On the TPU tunnel the
+first run pays several scan-program compiles (minutes); pass
+``jax.config.update('jax_platforms', 'cpu')`` for a quick look.
+
+Usage: python examples/rom_hyper_reduction.py [n_elements] (default 100)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from example_utilities import get_material_properties
+
+from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+from continuum_robot_tpu.models.simulate import make_modal_rom
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    props = get_material_properties()
+    df = pd.DataFrame(
+        {
+            "length": [props["length"]] * n,
+            "elastic_modulus": [props["E"]] * n,
+            "moment_inertia": [props["MInertia"]] * n,
+            "density": [props["rho"]] * n,
+            "cross_area": [props["A"]] * n,
+            "type": ["nonlinear"] * n,
+            "boundary_condition": ["FIXED"] + ["NONE"] * (n - 1),
+        }
+    )
+    model = DynamicEulerBernoulliBeam(df)
+    nred = model.n_pos_states
+    m = min(64, nred)
+    ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=m)
+    print(f"{n}-element nonlinear beam, {nred} DOFs -> {ms.n_modes}-mode ROM")
+
+    # Target workload: constant tip force driving a visibly nonlinear
+    # response; training snapshots cover the FULL deployment horizon
+    # (measured requirement — under-covered training caps accuracy).
+    u = np.zeros(nred, np.float32)
+    u[-2] = 2.0
+    u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+    z = jnp.zeros((1, ms.n_modes), jnp.float32)
+    n_steps = 2000
+    t0 = time.time()
+    _, etas, _ = ms.rollout_frames(z, z, u_m, 40, substeps=n_steps // 40,
+                                   n_newton=2)
+    snaps = np.asarray(etas[:, 0, :])
+    t_train_roll = time.time() - t0
+
+    t0 = time.time()
+    red, info = ms.hyper_reduce(snaps, tau=1e-4, return_info=True)
+    t_nnls = time.time() - t0
+    print(f"ECSW training: {info['n_sampled']}/{n} elements "
+          f"(train residual {info['train_residual']:.2e}; "
+          f"snapshot rollout {t_train_roll:.1f}s, NNLS {t_nnls:.1f}s)")
+
+    # Deploy both engines on the same workload and compare.
+    def timed_rollout(engine):
+        t0 = time.time()
+        e, ed, _ = engine.rollout(z, z, u_m, n_steps, n_newton=1)
+        q, _ = engine.from_modal(e, ed)
+        q = np.asarray(q)
+        return q, time.time() - t0
+
+    q_full, t_full = timed_rollout(ms)
+    q_hr, t_hr = timed_rollout(red)
+    tip_full = q_full[0, nred - 2]
+    tip_hr = q_hr[0, nred - 2]
+    scale = np.abs(q_full).max()
+    err = np.abs(q_hr - q_full).max() / scale
+    print(f"full ROM:          tip {tip_full * 1e3:.3f} mm in {t_full:.2f}s")
+    print(f"hyper-reduced ROM: tip {tip_hr * 1e3:.3f} mm in {t_hr:.2f}s")
+    print(f"trajectory deviation: {err:.2e} relative "
+          f"(sample {info['n_sampled']}/{n} elements)")
+
+
+if __name__ == "__main__":
+    main()
