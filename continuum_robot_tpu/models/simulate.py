@@ -788,6 +788,15 @@ class ModalROMGenAlpha:
                 "hyper_reduce requires the split planar fast path "
                 "(parity nonlinear/hybrid beam, no external forces)"
             )
+        if self.external_force is not None:
+            # _force_modal only takes the split (sampled) path when no
+            # external forces are registered — without this check the
+            # returned engine would silently never use the trained sample.
+            raise ValueError(
+                "hyper_reduce does not support engines with external "
+                "forces (registry or forces_func): the correction sample "
+                "is only evaluated on the split fast path"
+            )
         if self.window_params is None:
             raise ValueError("engine is already hyper-reduced")
         wp = self.window_params
@@ -809,6 +818,12 @@ class ModalROMGenAlpha:
         S = np.asarray(jax.device_get(snapshots), np.float64)
         if S.ndim == 1:
             S = S[None, :]
+        if not np.isfinite(S).all():
+            raise ValueError(
+                "snapshots contain non-finite values — the training "
+                "rollout diverged; rerun it with a stable configuration "
+                "before hyper-reducing"
+            )
         q_p = S @ Phi_p.T  # (S, 3 n_sub)
         u_pl = q_p[:, plane_rows(0)]
         w_pl = q_p[:, plane_rows(1)]
@@ -945,23 +960,35 @@ def _ecsw_nnls(G, d, tau: float) -> np.ndarray:
     Solves ``min ||G xi - d||, xi >= 0`` but stops as soon as the residual
     drops to ``tau * ||d||`` — each outer iteration admits one column
     (element), so early stopping IS the sparsification (the ECSW training
-    step). ``tau = 0`` runs to the exact NNLS optimum.
+    step). ``tau = 0`` runs to the NNLS stationary point. Degenerate
+    admissions (a new column whose least-squares coefficient is already
+    nonpositive — linearly dependent snapshot content) are banned rather
+    than looped on; if the iteration budget runs out before the target
+    residual, a warning reports the achieved one.
     """
+    import warnings
+
     n_rows, E = G.shape
     xi = np.zeros(E)
     passive: list = []
+    banned: set = set()
     r = d.copy()
     dn = np.linalg.norm(d)
     if dn == 0:
         return xi
-    for _ in range(min(E, n_rows) + 1):
+    # The inner loop can eject previously admitted columns, so the outer
+    # budget must exceed one-admission-per-column.
+    budget = 3 * min(E, n_rows) + 1
+    for _ in range(budget):
         if np.linalg.norm(r) <= tau * dn:
             break
         grad = G.T @ r
         if passive:
             grad[passive] = -np.inf
+        if banned:
+            grad[list(banned)] = -np.inf
         j = int(np.argmax(grad))
-        if grad[j] <= 0:
+        if not np.isfinite(grad[j]) or grad[j] <= 0:
             break
         passive.append(j)
         # Inner feasibility loop (standard Lawson-Hanson).
@@ -973,13 +1000,30 @@ def _ecsw_nnls(G, d, tau: float) -> np.ndarray:
                 xi = z
                 break
             neg = [p for p in passive if z[p] <= 0]
-            alpha = min(xi[p] / (xi[p] - z[p]) for p in neg)
+            movable = [p for p in neg if xi[p] - z[p] > 0]
+            if not movable:
+                # 0/0 step (the just-admitted column came back at exactly
+                # zero): revert the admission and never retry it.
+                if j in passive:
+                    passive.remove(j)
+                banned.add(j)
+                break
+            alpha = min(xi[p] / (xi[p] - z[p]) for p in movable)
             xi = xi + alpha * (z - xi)
             passive = [p for p in passive if xi[p] > 1e-12]
             if not passive:
                 xi = np.zeros(E)
                 break
         r = d - G @ xi
+    else:
+        res = np.linalg.norm(r) / dn
+        if res > tau:
+            warnings.warn(
+                f"ECSW NNLS iteration budget exhausted at relative "
+                f"residual {res:.2e} (target {tau:.2e}); the returned "
+                f"sample under-fits the snapshots",
+                stacklevel=2,
+            )
     return xi
 
 

@@ -58,13 +58,19 @@ def main():
     )
     model = DynamicEulerBernoulliBeam(df)
     nred = model.n_pos_states
-    m = min(64, nred)
+    # Retain at most a third of the spectrum: the parity tangent's upper
+    # band turns complex/ill-conditioned as meshes refine (docs/design.md),
+    # and modal bases brushing against it destabilize the rollout.
+    m = min(64, max(8, nred // 3))
     ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=m)
     print(f"{n}-element nonlinear beam, {nred} DOFs -> {ms.n_modes}-mode ROM")
 
-    # Target workload: constant tip force driving a visibly nonlinear
-    # response; training snapshots cover the FULL deployment horizon
-    # (measured requirement — under-covered training caps accuracy).
+    # Target workload: constant 2 N tip force. In the membrane-dominated
+    # regime F ~ EA (w/L)^3, so a fixed force yields a fixed
+    # deflection-to-length ratio across mesh sizes — a genuinely nonlinear
+    # response everywhere. Training snapshots cover the FULL deployment
+    # horizon (measured requirement — under-covered training caps
+    # accuracy).
     u = np.zeros(nred, np.float32)
     u[-2] = 2.0
     u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
@@ -83,23 +89,26 @@ def main():
           f"(train residual {info['train_residual']:.2e}; "
           f"snapshot rollout {t_train_roll:.1f}s, NNLS {t_nnls:.1f}s)")
 
-    # Deploy both engines on the same workload and compare.
-    def timed_rollout(engine):
+    # Deploy both engines and compare the WHOLE trajectory (frames), not
+    # just the settled endpoint — mid-span divergence must show.
+    def timed_frames(engine):
         t0 = time.time()
-        e, ed, _ = engine.rollout(z, z, u_m, n_steps, n_newton=1)
-        q, _ = engine.from_modal(e, ed)
-        q = np.asarray(q)
-        return q, time.time() - t0
+        _, etas_f, etads_f = engine.rollout_frames(
+            z, z, u_m, 40, substeps=n_steps // 40, n_newton=1
+        )
+        qs, _ = engine.from_modal(etas_f, etads_f)
+        qs = np.asarray(qs)
+        return qs, time.time() - t0
 
-    q_full, t_full = timed_rollout(ms)
-    q_hr, t_hr = timed_rollout(red)
-    tip_full = q_full[0, nred - 2]
-    tip_hr = q_hr[0, nred - 2]
-    scale = np.abs(q_full).max()
-    err = np.abs(q_hr - q_full).max() / scale
+    qs_full, t_full = timed_frames(ms)
+    qs_hr, t_hr = timed_frames(red)
+    tip_full = qs_full[-1, 0, nred - 2]
+    tip_hr = qs_hr[-1, 0, nred - 2]
+    scale = np.abs(qs_full).max()
+    err = np.abs(qs_hr - qs_full).max() / scale
     print(f"full ROM:          tip {tip_full * 1e3:.3f} mm in {t_full:.2f}s")
     print(f"hyper-reduced ROM: tip {tip_hr * 1e3:.3f} mm in {t_hr:.2f}s")
-    print(f"trajectory deviation: {err:.2e} relative "
+    print(f"trajectory deviation (all frames, all DOFs): {err:.2e} relative "
           f"(sample {info['n_sampled']}/{n} elements)")
 
 

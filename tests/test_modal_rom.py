@@ -451,6 +451,20 @@ class TestHyperReduction:
             red.hyper_reduce(snaps)
         with _pytest.raises(ValueError, match="hyper-reduced"):
             red.make_pallas_rollout()
+        # Diverged training rollouts must fail loudly, not as LAPACK noise.
+        bad = snaps.copy()
+        bad[0, 0] = np.nan
+        with _pytest.raises(ValueError, match="non-finite"):
+            ms.hyper_reduce(bad)
+
+    def test_external_forces_rejected(self):
+        """With registry forces the split path is bypassed — a trained
+        sample would silently never be evaluated, so refuse."""
+        fp = ForceParams(fluid_density=1000.0, enable_fluid_effects=True)
+        model = _model(nonlinear_csv(8), fp)
+        ms = make_modal_rom(model, 1e-4, n_modes=10)
+        with pytest.raises(ValueError, match="external"):
+            ms.hyper_reduce(np.zeros((2, 10)))
 
 
 class TestApiContracts:
