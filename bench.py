@@ -29,7 +29,10 @@ import numpy as np
 
 # Reference single-env RHS throughput at 1000 linear elements (evals/sec),
 # measured on this host (see module docstring). One implicit step >= one RHS
-# eval, so this favors the reference.
+# eval, so this favors the reference. `python bench.py --measure-baseline`
+# (or BENCH_MEASURE_BASELINE=1) re-measures this in-situ by importing and
+# timing the actual reference RHS from /root/reference/src, making
+# `vs_baseline` self-verifying instead of frozen.
 REF_EVALS_PER_SEC = 17.4
 
 N_ELEMENTS = int(os.environ.get("BENCH_ELEMENTS", 1000))
@@ -72,6 +75,79 @@ ENGINE = os.environ.get(
 DT = 1e-4
 # Reference nonlinear RHS: 129.2 ms/eval (7.7 evals/s), same host/date.
 REF_EVALS_PER_SEC_NONLINEAR = 7.7
+
+
+def measure_baseline(n_elements: int, beam_type: str):
+    """Time the actual reference RHS (``/root/reference/src``) on this host.
+
+    Builds the same ``n_elements``-element cantilever the benchmark runs
+    (reference ``dynamic_beam_model.py`` / ``euler_bernoulli_beam.py:181-195``
+    sequential-loop RHS) and returns measured single-env evals/sec, or None
+    when the reference checkout is absent (frozen constants then apply).
+    """
+    ref_src = os.environ.get("REFERENCE_SRC", "/root/reference/src")
+    if not os.path.isdir(ref_src):
+        print(
+            f"# --measure-baseline: no reference at {ref_src}; "
+            "using frozen constants",
+            file=sys.stderr,
+        )
+        return None
+    sys.path.insert(0, ref_src)
+    import tempfile
+
+    import pandas as pd
+    from continuum_robot.models.dynamic_beam_model import (
+        DynamicEulerBernoulliBeam as RefDyn,
+    )
+
+    L_el, E, r, rho = 0.25 / 6, 75e9, 0.005, 6450.0
+    I = np.pi * r**4 / 4
+    A = np.pi * r**2
+    df = pd.DataFrame(
+        {
+            "length": [L_el] * n_elements,
+            "elastic_modulus": [E] * n_elements,
+            "moment_inertia": [I] * n_elements,
+            "density": [rho] * n_elements,
+            "cross_area": [A] * n_elements,
+            "type": [beam_type] * n_elements,
+            "boundary_condition": ["FIXED"] + ["NONE"] * (n_elements - 1),
+        }
+    )
+    t_build = time.time()
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+        df.to_csv(f.name, index=False)
+        csv_path = f.name
+    try:
+        model = RefDyn(csv_path)
+    finally:
+        os.unlink(csv_path)
+    model.create_system_func()
+    model.create_input_func()
+    dyn = model.get_dynamic_system()
+    n = model.beam_model.M.shape[0]
+    rng = np.random.default_rng(0)
+    x = rng.normal(scale=1e-6, size=2 * n)
+    u = np.zeros(n)
+    u[-2] = 0.1
+    t_build = time.time() - t_build
+
+    dyn(0.0, x, u)  # warm caches
+    n_evals, t0 = 0, time.time()
+    while (time.time() - t0 < 3.0 or n_evals < 3) and n_evals < 100:
+        dyn(0.0, x, u)
+        n_evals += 1
+    wall = time.time() - t0
+    evals_per_sec = n_evals / wall
+    print(
+        f"# --measure-baseline: reference {beam_type} RHS at {n_elements} "
+        f"elements: {1e3 * wall / n_evals:.1f} ms/eval = "
+        f"{evals_per_sec:.2f} evals/s ({n_evals} evals; model build "
+        f"{t_build:.1f} s)",
+        file=sys.stderr,
+    )
+    return evals_per_sec
 
 
 def run_modal(jax, jnp, model, n_red, use_pallas=True):
@@ -238,6 +314,18 @@ def run_modal_rom(jax, jnp, model, n_red):
 
 
 def main():
+    global REF_EVALS_PER_SEC, REF_EVALS_PER_SEC_NONLINEAR
+    if (
+        "--measure-baseline" in sys.argv
+        or os.environ.get("BENCH_MEASURE_BASELINE") == "1"
+    ):
+        measured = measure_baseline(N_ELEMENTS, BEAM_TYPE)
+        if measured is not None:
+            if BEAM_TYPE == "linear":
+                REF_EVALS_PER_SEC = measured
+            else:
+                REF_EVALS_PER_SEC_NONLINEAR = measured
+
     import jax
 
     # TPU matmuls default to bfloat16 multiplication; the implicit solve

@@ -36,7 +36,13 @@ from .abstractions import (
 )
 from .config import ForceParams
 from .euler_bernoulli_beam import EulerBernoulliBeam
-from .forces import FluidDragForce, ForceRegistry, GravityForce, InputRegistry
+from .forces import (
+    FluidDragForce,
+    ForceRegistry,
+    GravityForce,
+    InputRegistry,
+    force_trace_uid,
+)
 
 
 class DynamicEulerBernoulliBeam:
@@ -235,10 +241,18 @@ class DynamicEulerBernoulliBeam:
             if state["eager"]:
                 return base_system(x, t)
             if external:
+                # forces_func is captured by this closure, so it cannot be
+                # collected while the system function is alive — its id is
+                # stable for the cache's lifetime.
                 key = ("external", id(forces_func))
             else:
+                # Never-reused uid tokens (forces.force_trace_uid): a force
+                # that is GC'd and replaced by a new object at the recycled
+                # address still yields a fresh key and a fresh trace.
                 key = tuple(
-                    id(f) for f in registry.get_registered_forces() if f.is_enabled()
+                    force_trace_uid(f)
+                    for f in registry.get_registered_forces()
+                    if f.is_enabled()
                 )
             try:
                 return keyed_system(jnp.asarray(x), t, key)

@@ -252,6 +252,28 @@ class GravityForce(AbstractForce):
 # ---------------------------------------------------------------------------
 
 
+import itertools
+
+# Process-wide monotone counter stamping every registered force with a
+# never-reused identity token. jit-cache keys built from these tokens stay
+# collision-free even when a garbage-collected force's address is recycled
+# by a new object (``id()`` alone is NOT unique across lifetimes — keying
+# on it can serve a stale compiled program).
+_FORCE_UID = itertools.count(1)
+
+
+def force_trace_uid(force) -> int:
+    """Stable, never-reused identity token for jit-cache keys."""
+    uid = getattr(force, "_trace_uid", None)
+    if uid is None:
+        uid = next(_FORCE_UID)
+        try:
+            force._trace_uid = uid
+        except AttributeError:  # __slots__ objects: fall back per-call
+            return id(force)
+    return uid
+
+
 class ForceRegistry:
     """Runtime-composable force list (parity: ``force_registry.py:6-89``)."""
 
@@ -260,6 +282,7 @@ class ForceRegistry:
 
     def register(self, force_instance: AbstractForce) -> None:
         if force_instance.is_enabled():
+            force_trace_uid(force_instance)
             self._forces.append(force_instance)
 
     def unregister(self, force_instance: AbstractForce) -> bool:

@@ -245,3 +245,62 @@ class TestIntegrationRoundTrip:
         ys = np.asarray(res.ys)
         assert np.all(np.isfinite(ys))
         assert np.abs(ys).max() > 0
+
+
+class TracingForce(AbstractForce):
+    """Force with a trace-time side effect counting XLA program traces."""
+
+    n_traces = 0
+
+    def __init__(self, value):
+        self.value = value
+
+    def compute_forces(self, x, t):
+        type(self).n_traces += 1  # runs at trace time only
+        n = x.shape[-1] // 2
+        return jnp.zeros((*x.shape[:-1], n), dtype=x.dtype).at[..., 0].set(
+            self.value
+        )
+
+    def is_enabled(self):
+        return True
+
+
+class TestRetraceCacheIdentity:
+    def test_gc_recycled_force_gets_fresh_trace(self, linear_file):
+        """A GC'd force replaced by a new object must retrace, never serve a
+        stale program (round-1 verdict: ``id()``-keyed cache collision)."""
+        import gc
+
+        from continuum_robot_tpu.models.forces import force_trace_uid
+
+        beam = DynamicEulerBernoulliBeam(linear_file)
+        beam.create_system_func()
+        n = beam.n_pos_states
+        x = np.zeros(2 * n)
+
+        TracingForce.n_traces = 0
+        f1 = TracingForce(1.0)
+        beam.force_registry.register(f1)
+        y1 = np.asarray(beam.system_func(x))
+        assert TracingForce.n_traces == 1
+        uid1 = force_trace_uid(f1)
+
+        beam.force_registry.unregister(f1)
+        del f1
+        gc.collect()
+
+        # Even if this allocation lands on the recycled address, its uid —
+        # and therefore the jit-cache key — must differ.
+        f2 = TracingForce(2.0)
+        beam.force_registry.register(f2)
+        assert force_trace_uid(f2) != uid1
+        y2 = np.asarray(beam.system_func(x))
+        assert TracingForce.n_traces == 2, "stale compiled program served"
+        assert not np.allclose(y1, y2)
+
+    def test_uid_stable_per_object(self):
+        from continuum_robot_tpu.models.forces import force_trace_uid
+
+        f = TracingForce(1.0)
+        assert force_trace_uid(f) == force_trace_uid(f)
