@@ -5,16 +5,27 @@ Runs the pure-Python reference (``/root/reference/src``) and records:
 * ``element_kernels.npz`` — reference linear K/M matrices and nonlinear
   f1..f6 outputs at random element states (``segments.py:8-472``).
 * ``trajectories.npz`` — tight-tolerance LSODA trajectories
-  (rtol 1e-10 / atol 1e-12) of the 6-segment Nitinol cantilever tip-impulse
-  workload (``example_utilities.py:116-170``) for six force/element configs.
+  (rtol 1e-11 / atol 1e-13) of the Nitinol cantilever tip-impulse workload
+  at the reference's FULL horizon — 1 s @ 1 ms output grid
+  (``example_utilities.py:20-21, 153-159``) — for six 6-segment
+  force/element configs PLUS one production-scale stiff config: the same
+  1.5 m beam meshed with 60 elements (10x finer -> ~100x higher omega_max),
+  exposing stiffness-accumulation effects the 6-segment configs cannot.
 * ``lqr.npz`` — scipy CARE solution for the reference LQR design problem
   (``examples/lqr_control.py:59-66``; the reference's slycot backend is not
   available here, scipy's solver is the independent oracle).
+* ``lqr_closed_loop.npz`` — the full reference LQR workload trajectories
+  (``examples/lqr_control.py:87-130``: 6-segment linear beam + gravity,
+  10 N tip impulse, u = K(0 - x) feedback), uncontrolled AND controlled,
+  integrated by the reference dynamics under LSODA at tight tolerance
+  (the example itself runs rtol 1e-8; the golden is generated tighter so
+  comparison error is ours, not the oracle's).
 
 The outputs are committed under ``tests/goldens/`` so the test suite never
 needs the reference at runtime. Provenance: reference @ 2025-10-03.
 
-Usage: python tools/make_goldens.py
+Usage: python tools/make_goldens.py [elements] [trajectories] [lqr] [lqr_cl]
+(no args = all sections).
 """
 
 from __future__ import annotations
@@ -69,36 +80,48 @@ def element_kernel_goldens():
     print("element_kernels.npz written")
 
 
+RTOL, ATOL = 1e-11, 1e-13
+T_FINAL, DT = 1.0, 0.001  # the reference workload horizon/grid
+# The stiff config: same 1.5 m Nitinol beam, 10x finer mesh.
+STIFF_N = 60
+STIFF_LEN = 6 * helpers.LENGTH / STIFF_N
+
+TRAJ_CONFIGS = {
+    "linear": (["linear"] * 6, {}, helpers.LENGTH),
+    "nonlinear": (["nonlinear"] * 6, {}, helpers.LENGTH),
+    "mixed": (["linear"] * 3 + ["nonlinear"] * 3, {}, helpers.LENGTH),
+    "linear_fluid": (
+        ["linear"] * 6,
+        {"enable_fluid_effects": True, "fluid_density": 1000.0},
+        helpers.LENGTH,
+    ),
+    "linear_gravity": (["linear"] * 6, {"enable_gravity_effects": True},
+                       helpers.LENGTH),
+    "nonlinear_fluid_gravity": (
+        ["nonlinear"] * 6,
+        {
+            "enable_fluid_effects": True,
+            "fluid_density": 1000.0,
+            "enable_gravity_effects": True,
+        },
+        helpers.LENGTH,
+    ),
+    "stiff60": (["linear"] * STIFF_N, {}, STIFF_LEN),
+}
+
+
 def trajectory_goldens():
+    import time
+
     from scipy.integrate import solve_ivp
     from continuum_robot.models.dynamic_beam_model import (
         DynamicEulerBernoulliBeam as RefDyn,
     )
     from continuum_robot.models.force_params import ForceParams as RefFP
 
-    configs = {
-        "linear": (["linear"] * 6, {}),
-        "nonlinear": (["nonlinear"] * 6, {}),
-        "mixed": (["linear"] * 3 + ["nonlinear"] * 3, {}),
-        "linear_fluid": (
-            ["linear"] * 6,
-            {"enable_fluid_effects": True, "fluid_density": 1000.0},
-        ),
-        "linear_gravity": (["linear"] * 6, {"enable_gravity_effects": True}),
-        "nonlinear_fluid_gravity": (
-            ["nonlinear"] * 6,
-            {
-                "enable_fluid_effects": True,
-                "fluid_density": 1000.0,
-                "enable_gravity_effects": True,
-            },
-        ),
-    }
-
-    t_final, dt = 0.1, 0.001
     out = {}
-    for name, (types, fp_kw) in configs.items():
-        csv = helpers.write_beam_csv(types)
+    for name, (types, fp_kw, seg_len) in TRAJ_CONFIGS.items():
+        csv = helpers.write_beam_csv(types, length=seg_len)
         beam = RefDyn(csv, RefFP(**fp_kw))
         beam.create_system_func()
         beam.create_input_func()
@@ -112,29 +135,36 @@ def trajectory_goldens():
             return v
 
         dyn = beam.get_dynamic_system()
+        t0 = time.time()
         sol = solve_ivp(
             lambda t, x: dyn(t, x, u(t)),
-            (0, t_final),
+            (0, T_FINAL),
             x0,
             method="LSODA",
-            t_eval=np.arange(0, t_final + dt / 2, dt),
-            rtol=1e-10,
-            atol=1e-12,
+            t_eval=np.arange(0, T_FINAL + DT / 2, DT),
+            rtol=RTOL,
+            atol=ATOL,
         )
-        assert sol.success
+        assert sol.success, f"{name}: {sol.message}"
         out[f"{name}_t"] = sol.t
         out[f"{name}_y"] = sol.y
         os.unlink(csv)
-        print(f"  {name}: nfev={sol.nfev} |y|max={np.abs(sol.y).max():.3e}")
+        print(
+            f"  {name}: nfev={sol.nfev} |y|max={np.abs(sol.y).max():.3e} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
 
     meta = dict(
-        t_final=t_final,
-        dt=dt,
+        t_final=T_FINAL,
+        dt=DT,
         impulse_amplitude=0.1,
         impulse_t_end=0.01,
-        rtol=1e-10,
-        atol=1e-12,
+        rtol=RTOL,
+        atol=ATOL,
         method="LSODA",
+        stiff_n_elements=STIFF_N,
+        stiff_segment_length=STIFF_LEN,
         reference="cram9030/continuum-robot @ 2025-10-03",
     )
     np.savez(os.path.join(GOLDEN_DIR, "trajectories.npz"), **out)
@@ -177,8 +207,90 @@ def lqr_goldens():
     print("lqr.npz written")
 
 
+def lqr_closed_loop_goldens():
+    """Reference LQR workload trajectories (``examples/lqr_control.py``).
+
+    Gain from the scipy CARE oracle (the reference's ``ct.lqr``/slycot path
+    is just a CARE solve); dynamics are the actual reference beam WITH
+    gravity; disturbance is the example's 10 N / 10 ms tip impulse; control
+    is ``u = K (0 - x)`` (``full_state_linear.py:58``). Integrated at
+    rtol 1e-11 (tighter than the example's 1e-8 so the oracle error is far
+    below the parity bar).
+    """
+    import time
+
+    from scipy.integrate import solve_ivp
+    from scipy.linalg import solve_continuous_are
+    from continuum_robot.models.dynamic_beam_model import (
+        DynamicEulerBernoulliBeam as RefDyn,
+    )
+    from continuum_robot.models.force_params import ForceParams as RefFP
+
+    csv = helpers.write_beam_csv(["linear"] * 6)
+    beam = RefDyn(csv, RefFP(enable_gravity_effects=True))
+    beam.create_system_func()
+    beam.create_input_func()
+    Kb = beam.beam_model.get_stiffness_matrix()
+    Mb = beam.beam_model.get_mass_matrix()
+    n = Kb.shape[0]
+    # Reference weights (lqr_control.py:59-66).
+    Q = np.eye(2 * n)
+    Q[:n, :n] *= 100.0
+    Q[n:, n:] *= 10.0
+    R = np.eye(n)
+    Minv = np.linalg.inv(Mb)
+    A = np.zeros((2 * n, 2 * n))
+    A[:n, n:] = np.eye(n)
+    A[n:, :n] = -Minv @ Kb
+    B = np.zeros((2 * n, n))
+    B[n:, :] = Minv
+    P = solve_continuous_are(A, B, Q, R)
+    K_gain = np.linalg.solve(R, B.T @ P)
+
+    amplitude, duration = 10.0, 0.01  # lqr_control.py:282
+    dyn = beam.get_dynamic_system()
+
+    def rhs(t, x, controlled):
+        u_vec = np.zeros(n)
+        if t < duration:
+            u_vec[-2] = amplitude
+        if controlled:
+            u_vec = u_vec + K_gain @ (np.zeros(2 * n) - x)
+        return dyn(t, x, u_vec)
+
+    out = {"K_gain": K_gain}
+    for tag, controlled in [("uncontrolled", False), ("controlled", True)]:
+        t0 = time.time()
+        sol = solve_ivp(
+            lambda t, x: rhs(t, x, controlled),
+            (0, T_FINAL),
+            np.zeros(2 * n),
+            method="LSODA",
+            t_eval=np.arange(0, T_FINAL + DT / 2, DT),
+            rtol=RTOL,
+            atol=ATOL,
+        )
+        assert sol.success, f"{tag}: {sol.message}"
+        out[f"{tag}_t"] = sol.t
+        out[f"{tag}_y"] = sol.y
+        print(
+            f"  lqr {tag}: nfev={sol.nfev} |y|max={np.abs(sol.y).max():.3e} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    os.unlink(csv)
+    np.savez(os.path.join(GOLDEN_DIR, "lqr_closed_loop.npz"), **out)
+    print("lqr_closed_loop.npz written")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    element_kernel_goldens()
-    trajectory_goldens()
-    lqr_goldens()
+    sections = set(sys.argv[1:]) or {"elements", "trajectories", "lqr", "lqr_cl"}
+    if "elements" in sections:
+        element_kernel_goldens()
+    if "trajectories" in sections:
+        trajectory_goldens()
+    if "lqr" in sections:
+        lqr_goldens()
+    if "lqr_cl" in sections:
+        lqr_closed_loop_goldens()
