@@ -10,7 +10,7 @@ tasks here run sequentially as compiled rollouts (already ~100x faster each),
 and the genuinely parallel version — all variants as one vmapped batch — is
 in ``examples/batched_rollouts.py``.
 
-Usage: python examples/beam_comparison_fluid.py [--plot]
+Usage: python examples/beam_comparison_fluid.py [--plot] [--animate]
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ from example_utilities import (
     N_SEGMENTS,
     SimulationTask,
     T_FINAL,
+    animate_beam_shapes,
     calculate_natural_frequencies,
     cleanup_temp_files,
     create_beam_parameters,
@@ -109,8 +110,17 @@ def main():
         fig.savefig("beam_comparison_fluid.png", dpi=120)
         print("wrote beam_comparison_fluid.png")
 
-    # beam shapes extraction exercised for parity with the reference API
-    extract_beam_shapes(results["Linear (No Fluid)"], N_SEGMENTS, props["length"])
+    # Beam-shape animation (reference FuncAnimation, :224-239): headless
+    # parity writes a GIF of the same frames instead of a live window.
+    if "--animate" in sys.argv:
+        shapes = {
+            name: extract_beam_shapes(res, N_SEGMENTS, props["length"])
+            for name, res in results.items()
+        }
+        animate_beam_shapes(shapes, "beam_comparison_fluid.gif", dt=DT)
+    else:
+        # beam shapes extraction exercised for parity with the reference API
+        extract_beam_shapes(results["Linear (No Fluid)"], N_SEGMENTS, props["length"])
     cleanup_temp_files(linear_file, nonlinear_file, mixed_file)
 
 

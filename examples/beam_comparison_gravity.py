@@ -4,7 +4,7 @@ Port of ``examples/beam_comparison_gravity.py`` (reference): linear /
 nonlinear / mixed cantilevers sagging under standard gravity with a tip
 impulse, followed by the performance table and tip statistics.
 
-Usage: python examples/beam_comparison_gravity.py [--plot]
+Usage: python examples/beam_comparison_gravity.py [--plot] [--animate]
 """
 
 from __future__ import annotations
@@ -18,9 +18,11 @@ from example_utilities import (
     DT,
     N_SEGMENTS,
     SimulationTask,
+    animate_beam_shapes,
     calculate_natural_frequencies,
     cleanup_temp_files,
     create_beam_parameters,
+    extract_beam_shapes,
     get_material_properties,
     print_performance_table,
     simulate_single_beam,
@@ -76,6 +78,15 @@ def main():
         fig.tight_layout()
         fig.savefig("beam_comparison_gravity.png", dpi=120)
         print("wrote beam_comparison_gravity.png")
+
+    # Beam-shape animation parity (reference drives FuncAnimation; headless
+    # parity writes the same frames as a GIF).
+    if "--animate" in sys.argv:
+        shapes = {
+            name: extract_beam_shapes(res, N_SEGMENTS, props["length"])
+            for name, res in results.items()
+        }
+        animate_beam_shapes(shapes, "beam_comparison_gravity.gif", dt=DT)
 
     cleanup_temp_files(linear_file, nonlinear_file, mixed_file)
 

@@ -153,6 +153,61 @@ def extract_beam_shapes(res, n_segments: int, dx: float):
     return x, y
 
 
+def animate_beam_shapes(
+    shapes: dict,
+    filename: str = "beam_animation.gif",
+    dt: float = None,
+    stride: int = 10,
+    fps: int = 25,
+):
+    """Animated beam deflection shapes (reference ``beam_comparison_fluid.py:224-239``).
+
+    ``shapes``: ``{name: (x (frames, nodes), y (frames, nodes))}`` from
+    :func:`extract_beam_shapes`. The reference drives a live
+    ``FuncAnimation`` window; headless parity here renders the same
+    animation with the Agg backend and writes a GIF (``PillowWriter``).
+    ``stride`` subsamples frames (the 1 ms grid is far above GIF rates).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    lines = {}
+    y_max = max(np.abs(y).max() for _, y in shapes.values()) or 1e-6
+    x_max = max(x.max() for x, _ in shapes.values())
+    for name, (x, y) in shapes.items():
+        (lines[name],) = ax.plot(x[0], y[0], lw=2, label=name)
+    ax.set(
+        xlim=(0, 1.05 * x_max),
+        ylim=(-1.2 * y_max, 1.2 * y_max),
+        xlabel="x [m]",
+        ylabel="w [m]",
+        title="Beam deflection",
+    )
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=7)
+
+    n_frames = min(len(x) for x, _ in shapes.values())
+    frame_ids = range(0, n_frames, max(1, stride))
+
+    def animate(frame):
+        for name, (x, y) in shapes.items():
+            lines[name].set_data(x[frame], y[frame])
+        return list(lines.values())
+
+    anim = FuncAnimation(
+        fig, animate, frames=frame_ids,
+        interval=(dt or 0.001) * 1000 * stride, blit=True,
+    )
+    anim.save(filename, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    print(f"wrote {filename} ({len(list(frame_ids))} frames)")
+    return anim
+
+
 def calculate_natural_frequencies(
     length, elastic_modulus, moment_inertia, density, cross_area
 ):
