@@ -200,10 +200,29 @@ def make_newmark_operator(
             arrays, free, n_full, use_consistent=use_consistent
         )
 
-    def factors_at(q_full, c, a=1.0):
-        kd, kl, ku = assembly.tangent_block_tridiagonal(
-            arrays, q_full, use_consistent=use_consistent
+    # For all-linear beams (tangent constant) and modified Newton (tangent
+    # frozen at q=0) the element-tangent blocks are state-independent:
+    # compute them ONCE on the host so adaptive steppers — whose traced-dt
+    # solves cannot be prefactored — only pay the band combine + Thomas
+    # factorization per step, not a per-step jacfwd assembly.
+    _tangent_cached = None
+    if all_linear or use_modified_newton:
+        _tangent_cached = jax.tree_util.tree_map(
+            np.asarray,
+            jax.jit(
+                lambda q: assembly.tangent_block_tridiagonal(
+                    arrays, q, use_consistent=use_consistent
+                )
+            )(jnp.zeros(n_full)),
         )
+
+    def factors_at(q_full, c, a=1.0):
+        if _tangent_cached is not None:
+            kd, kl, ku = (jnp.asarray(t) for t in _tangent_cached)
+        else:
+            kd, kl, ku = assembly.tangent_block_tridiagonal(
+                arrays, q_full, use_consistent=use_consistent
+            )
         jd = a * mm_diag + c * kd
         jl = a * mm_lower + c * kl
         ju = a * mm_upper + c * ku
@@ -240,7 +259,14 @@ def make_newmark_operator(
                 )
 
     def solve(q_red, c, a=1.0):
-        key = (float(a), float(c))
+        # Adaptive steppers pass a TRACED c = f(dt): no prefactor can exist
+        # for a continuum of dt, so those solves always factor at the
+        # linearization point (key=None path).
+        try:
+            key = (float(a), float(c))
+        except (TypeError, jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            key = None
 
         def do_solve(r_red):
             if key in dense_inverses:
@@ -1646,6 +1672,11 @@ def simulate(
         t_final, dt: horizon and output-frame spacing (the reference's 1 s /
             1 ms grid, ``example_utilities.py:20-21``).
         method: ``rk4`` | ``dopri5`` | ``newmark`` | ``generalized_alpha`` |
+            ``generalized_alpha_adaptive`` (error-controlled implicit:
+            ``rtol``/``atol`` drive the step size, no manual dt — the
+            LSODA-capability replacement for stiff workloads) |
+            ``sdirk3`` (adaptive L-stable 3rd-order DIRK with a true
+            embedded error estimate: the accuracy-grade stiff engine) |
             ``modal`` (linear beams, exact diagonalized recurrence) |
             ``modal_rom`` (nonlinear/hybrid Petrov-Galerkin reduction;
             ``n_modes`` truncates the basis).
@@ -1666,7 +1697,6 @@ def simulate(
     """
     x0 = jnp.asarray(x0)
     n_steps = int(round(t_final / dt))
-    rhs = model.build_rhs(forces_func)
 
     if engine not in ("xla", "pallas"):
         raise ValueError(f"Unknown engine: {engine!r} (use 'xla'|'pallas')")
@@ -1688,6 +1718,7 @@ def simulate(
         )
 
     if method == "rk4":
+        rhs = model.build_rhs(forces_func)
 
         def run(x0):
             ts, xs = integrators.integrate_fixed(
@@ -1696,6 +1727,7 @@ def simulate(
             return ts, xs, None
 
     elif method == "dopri5":
+        rhs = model.build_rhs(forces_func)
         t_eval = jnp.arange(n_steps + 1) * dt
 
         def run(x0):
@@ -1745,6 +1777,43 @@ def simulate(
                 u=u, rho_inf=rho_inf, n_newton=n_newton, substeps=substeps,
             )
             return ts, jnp.concatenate([qs, vs], axis=-1), None
+
+    elif method in ("generalized_alpha_adaptive", "implicit_adaptive"):
+        # Error-controlled implicit stepping (the LSODA-capability answer):
+        # no hand-picked dt — the Zienkiewicz-Xie estimate + PI control pick
+        # it (ops/integrators.integrate_generalized_alpha_adaptive).
+        op = make_newmark_operator(
+            model, forces_func=forces_func, dt=None,
+            linear_solver=linear_solver,
+        )
+        n = x0.shape[-1] // 2
+        t_eval = jnp.arange(n_steps + 1) * dt
+
+        def run(x0):
+            q0, v0 = x0[..., :n], x0[..., n:]
+            qs, vs, stats = integrators.integrate_generalized_alpha_adaptive(
+                op, q0, v0, t_eval, u=u, rho_inf=rho_inf,
+                rtol=rtol, atol=atol, n_newton=n_newton,
+            )
+            return t_eval, jnp.concatenate([qs, vs], axis=-1), stats
+
+    elif method in ("sdirk3", "sdirk3_adaptive"):
+        # L-stable 3rd-order stiff adaptive (true embedded error estimate):
+        # the accuracy-grade LSODA replacement.
+        op = make_newmark_operator(
+            model, forces_func=forces_func, dt=None,
+            linear_solver=linear_solver,
+        )
+        n = x0.shape[-1] // 2
+        t_eval = jnp.arange(n_steps + 1) * dt
+
+        def run(x0):
+            q0, v0 = x0[..., :n], x0[..., n:]
+            qs, vs, stats = integrators.integrate_sdirk3_adaptive(
+                op, q0, v0, t_eval, u=u,
+                rtol=rtol, atol=atol, n_newton=n_newton,
+            )
+            return t_eval, jnp.concatenate([qs, vs], axis=-1), stats
 
     elif method == "modal_rom":
         ms = make_modal_rom(

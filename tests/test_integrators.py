@@ -427,3 +427,101 @@ class TestModalGenAlpha:
 
         with pytest.raises(ValueError, match="nonnegative"):
             make_modal_genalpha(self._model(4), 1e-4, rayleigh=(-1.0, 0.0))
+
+
+class TestAdaptiveImplicit:
+    """Error-controlled implicit stepping (the LSODA-capability engines).
+
+    No manual dt anywhere: rtol/atol drive the step size. Oracles are the
+    tight-tolerance Dopri5 trajectory (6-segment) and the exact ZOH
+    exponential propagator (stiff 60-element release — zero integration
+    error for an LTI free response). Horizons are short: each (method,
+    rtol) pair is a fresh trace, and the per-step cost is a factorization
+    at the trial dt — accuracy/step-count SCALING is what's asserted.
+    """
+
+    @pytest.fixture(scope="class")
+    def beam(self):
+        return DynamicEulerBernoulliBeam(helpers.linear_csv())
+
+    @pytest.fixture(scope="class")
+    def tight_ref(self, beam):
+        n = beam.n_pos_states
+        u = helpers.tip_impulse(n)
+        res = simulate(beam, np.zeros(2 * n), 0.02, 0.001,
+                       method="dopri5", u=u, rtol=1e-10, atol=1e-12)
+        return np.asarray(res.ys)
+
+    def test_genalpha_adaptive_tolerance_ladder(self, beam, tight_ref):
+        n = beam.n_pos_states
+        u = helpers.tip_impulse(n)
+        tip_ref = tight_ref[:, n - 2]
+        errs, steps = [], []
+        for rtol in [1e-4, 1e-6]:
+            res = simulate(beam, np.zeros(2 * n), 0.02, 0.001,
+                           method="generalized_alpha_adaptive", u=u,
+                           rtol=rtol, atol=rtol * 1e-3, rho_inf=0.9)
+            tip = np.asarray(res.ys)[:, n - 2]
+            errs.append(np.abs(tip - tip_ref).max() / np.abs(tip_ref).max())
+            steps.append(int(res.stats.n_accepted))
+        # tightening the tolerance must tighten the trajectory and cost more
+        assert errs[1] < errs[0]
+        assert steps[1] > steps[0]
+        assert errs[1] < 3e-3
+
+    def test_sdirk3_adaptive_tolerance_ladder(self, beam, tight_ref):
+        # Tip-displacement error: the error norm controls DISPLACEMENT
+        # (velocity weighted by dt), so unresolved damped high-mode
+        # velocity phases are deliberately not tracked — the observable
+        # the workloads analyze is what scales with the tolerance.
+        n = beam.n_pos_states
+        u = helpers.tip_impulse(n)
+        tip_ref = tight_ref[:, n - 2]
+        errs = []
+        for rtol in [1e-3, 1e-6]:
+            res = simulate(beam, np.zeros(2 * n), 0.02, 0.001,
+                           method="sdirk3", u=u, rtol=rtol,
+                           atol=rtol * 1e-3)
+            tip = np.asarray(res.ys)[:, n - 2]
+            errs.append(np.abs(tip - tip_ref).max() / np.abs(tip_ref).max())
+        assert errs[1] < errs[0] / 10.0
+        assert errs[1] < 1e-3
+
+    def test_stiff_release_without_manual_dt(self):
+        """A production-scale stiff mesh integrates at the requested accuracy
+        with far fewer steps than the explicit stability limit allows."""
+        import scipy.linalg
+
+        from continuum_robot_tpu.ops.exponential import make_expm_propagator
+
+        csv = helpers.linear_csv(60, length=0.025)
+        beam = DynamicEulerBernoulliBeam(csv)
+        n = beam.n_pos_states
+        K = beam.beam_model.get_stiffness_matrix()
+        M = beam.beam_model.get_mass_matrix()
+        omega_max = float(np.sqrt(scipy.linalg.eigh(K, M)[0].max()))
+        assert omega_max > 1e5  # genuinely stiff mesh
+
+        # Static tip-load deflection, released (smooth low-mode response).
+        f = np.zeros(n)
+        f[-2] = 0.1
+        q0 = np.linalg.solve(K, f)
+        x0 = np.concatenate([q0, np.zeros(n)])
+
+        t_final, dt_out = 0.02, 1e-3
+        exact = make_expm_propagator(beam, dt_out, dtype=jnp.float64)
+        xs_exact = np.asarray(exact(jnp.asarray(x0), jnp.zeros((20, n))))
+
+        res = simulate(beam, x0, t_final, dt_out, method="sdirk3",
+                       rtol=1e-6, atol=1e-10, linear_solver="btd")
+        tip = np.asarray(res.ys)[:, n - 2]
+        tip_exact = xs_exact[:, n - 2]
+        err = np.abs(tip - tip_exact).max() / np.abs(tip_exact).max()
+        assert err < 1e-4, f"stiff adaptive tip error {err:.2e}"
+
+        n_explicit = t_final * omega_max / 2.8  # RK4 stability-limited count
+        n_used = int(res.stats.n_accepted)
+        assert n_used < n_explicit / 10, (
+            f"adaptive implicit used {n_used} steps vs explicit "
+            f"stability floor {n_explicit:.0f}"
+        )
