@@ -529,3 +529,78 @@ class TestApiContracts:
         )
         ms = make_modal_rom(model, 1e-3, n_modes=5)
         np.testing.assert_allclose(ms.PhiW, ms.Phi, atol=1e-12)
+
+
+class TestEcswGuard:
+    """Runtime envelope audit: out-of-envelope states are DETECTED, not
+    silently wrong (round-1 verdict weakness #5)."""
+
+    def _trained(self, tau=1e-3, n_seg=40):
+        model = _model(nonlinear_csv(n_seg, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=24)
+        m = ms.n_modes
+        u = np.zeros(n, np.float32)
+        u[-2] = 3.0
+        u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+        z = jnp.zeros((1, m), jnp.float32)
+        _, etas, _ = ms.rollout_frames(z, z, u_m, 30, substeps=20,
+                                       n_newton=2)
+        snaps = np.asarray(etas[::3, 0, :])
+        red, info = ms.hyper_reduce(snaps, tau=tau, return_info=True)
+        return ms, red, info, snaps, u_m
+
+    def test_residual_small_in_envelope_large_outside(self):
+        ms, red, info, snaps, u_m = self._trained()
+        inside = jnp.asarray(snaps[-3:], jnp.float32)
+        rho_in = np.asarray(red.ecsw_residual(inside))
+        # Outside the trained envelope = different MODE CONTENT (the
+        # failure mode docs/design.md measured at 13-18% error): states
+        # whose correction the sample never saw. (Pure amplitude scaling
+        # of a trained direction stays near-covered — the correction is
+        # order-dominated — which is exactly why a runtime audit is
+        # needed rather than an amplitude heuristic.)
+        rng = np.random.default_rng(1)
+        amp = float(np.abs(snaps).max())
+        outside = jnp.asarray(
+            rng.normal(size=(5, ms.n_modes)) * amp / np.sqrt(ms.n_modes),
+            jnp.float32,
+        )
+        rho_out = np.asarray(red.ecsw_residual(outside))
+        assert rho_in.max() < 0.05
+        assert rho_out.max() > 0.2
+
+    def test_guarded_rollout_flags_out_of_envelope(self):
+        ms, red, info, snaps, u_m = self._trained()
+        m = ms.n_modes
+        z = jnp.zeros((1, m), jnp.float32)
+        # In-envelope: same forcing as training -> no flag.
+        ts, e_in, _, guard_in = red.rollout_frames_guarded(
+            z, z, u_m, 10, substeps=10, n_newton=1
+        )
+        assert not bool(np.any(np.asarray(guard_in["flagged"])))
+        # Out-of-envelope: a near-clamp transverse force pattern the
+        # tip-impulse training never produced drives different curvature
+        # content -> flagged, not silently wrong.
+        n = ms.Phi.shape[0]
+        u2 = np.zeros(n, np.float32)
+        u2[1] = 3.0
+        u2_m = jnp.asarray(ms.project_force_host(u2), jnp.float32)
+        ts, e_out, _, guard_out = red.rollout_frames_guarded(
+            z, z, u2_m, 10, substeps=10, n_newton=1
+        )
+        assert bool(np.any(np.asarray(guard_out["flagged"]))), (
+            f"max residual {float(np.max(np.asarray(guard_out['max_residual']))):.3f} "
+            f"did not exceed guard_tol {guard_out['guard_tol']:.3f}"
+        )
+
+    def test_guard_requires_hyper_reduction(self):
+        ms, red, *_ = self._trained()
+        with pytest.raises(ValueError, match="hyper-reduce"):
+            ms.ecsw_residual(jnp.zeros((1, ms.n_modes), jnp.float32))
+
+    def test_coverage_diagnostics_reported(self):
+        ms, red, info, snaps, u_m = self._trained()
+        assert "snapshot_residual_max" in info
+        assert info["snapshot_residuals"].shape[0] == snaps.shape[0]
+        assert info["snapshot_residual_max"] < 0.05
