@@ -245,6 +245,158 @@ def make_traced_genalpha_operator(
     )
 
 
+def parametric_modal_rom_rollout(
+    ms,
+    bc_info,
+    arrays_batch: BeamArrays,
+    eta0_batch,
+    etad0_batch,
+    u_modal=None,
+    n_steps: int = 100,
+    rho_inf: float = 0.5,
+    n_newton: int = 1,
+    use_consistent: bool = False,
+    remat: bool = False,
+    save_every: int = 0,
+):
+    """Differentiable modal-ROM rollout: gradients at ROM speed.
+
+    Round-1 gradients flowed only through the DENSE parametric engines
+    (:func:`parametric_genalpha_rollout` — O(N) banded work per step). This
+    runs the Petrov-Galerkin ROM recurrence with the beam parameters as
+    TRACED inputs and the round-1 engine's bases FROZEN at their trained
+    configuration (``ms``), so system identification works at 1000-element
+    scale at ROM per-step cost: two ``(n x m)`` basis transforms + the
+    exact element force + ``m x m`` reduced solves.
+
+    FROZEN-BASIS CAVEAT: ``Phi``/``PhiW`` are treated as constants — the
+    gradient is the exact derivative OF THE ROM whose basis was trained at
+    the nominal parameters, not of the re-trained ROM. Valid exactly like
+    the ROM itself: for parameter neighborhoods where the trained basis
+    still spans the response (the standard basis-fixed adjoint assumption;
+    re-train the basis and re-linearize for large parameter steps — the
+    ECSW guard's direction-residual logic applies here too). Unlike the
+    fixed-configuration engine, the reduced operators are rebuilt from the
+    traced parameters: ``Mr = W^T M(theta) Phi``, ``K0r = W^T K0(theta)
+    Phi`` and the effective inverse via ``jnp.linalg.inv`` (m x m,
+    differentiable), so biorthonormality is NOT assumed away from the
+    nominal configuration.
+
+    Returns ``(etas, etads)`` — final states, or frame stacks (every
+    ``save_every`` steps, frame axis leading) when ``save_every > 0``.
+    Batched over ``(arrays_batch, eta0_batch)`` via vmap; ``remat``
+    checkpoints each step under reverse-mode autodiff.
+    """
+    free = np.asarray(bc_info.free_dofs)
+    n_full = bc_info.n_dofs_full
+    n_nodes = bc_info.n_nodes
+    mask_nodes = jnp.asarray(bc_info.free_mask.reshape(n_nodes, 3))
+
+    am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+    af = rho_inf / (rho_inf + 1.0)
+    beta = 0.25 * (1.0 - am + af) ** 2
+    gamma = 0.5 - am + af
+    dt = ms.dt
+    c_eff = (1.0 - af) * beta * dt * dt
+    a_eff = 1.0 - am
+
+    eta0_batch = jnp.asarray(eta0_batch)
+    dtype = eta0_batch.dtype
+    Phi = jnp.asarray(ms.Phi, dtype)  # (n_red, m) FROZEN
+    W = jnp.asarray(ms.PhiW, dtype)
+    m = Phi.shape[1]
+
+    def pad(r):
+        return assembly.pad_to_full(r, free, n_full)
+
+    def red(v):
+        return assembly.reduce_from_full(v, free)
+
+    def one(arrays, eta0, etad0, u_m):
+        # Reduced operators from the TRACED parameters, frozen bases.
+        m_diag, m_off = assembly.mass_block_tridiagonal(arrays)
+        m_lower = jnp.swapaxes(m_off, -1, -2)
+        md, mlw, mup = banded.btd_apply_bc(
+            m_diag, m_lower, m_off, mask_nodes
+        )
+        Phi_nodes = pad(Phi.T).reshape(m, n_nodes, 3)
+        MPhi = banded.btd_matvec(md, mlw, mup, Phi_nodes)
+        MPhi_red = red(MPhi.reshape(m, n_full)).T  # (n_red, m)
+        Mr = W.T @ MPhi_red
+
+        q_zero = jnp.zeros(n_full, dtype)
+        kd, kl, ku = assembly.tangent_block_tridiagonal(
+            arrays, q_zero, use_consistent=use_consistent
+        )
+        kd, kl, ku = banded.btd_apply_bc(kd, kl, ku, mask_nodes)
+        KPhi = banded.btd_matvec(kd, kl, ku, Phi_nodes)
+        K0r = W.T @ red(KPhi.reshape(m, n_full)).T
+        Sinv = jnp.linalg.inv(a_eff * Mr + c_eff * K0r)
+        Mr_inv = jnp.linalg.inv(Mr)
+
+        def force_modal(eta_af):
+            q = Phi @ eta_af
+            k_full = assembly.internal_force_full(
+                arrays, pad(q), use_consistent=use_consistent
+            )
+            return W.T @ red(k_full)
+
+        if u_m is None:
+            u_m = jnp.zeros(m, dtype)
+        etadd0 = Mr_inv @ (u_m - force_modal(eta0))
+
+        def step(carry):
+            eta, etad, etadd = carry
+            eta_pred = eta + dt * etad + (0.5 - beta) * dt * dt * etadd
+            etad_pred = etad + (1.0 - gamma) * dt * etadd
+
+            def newton(_, a1):
+                eta1 = eta_pred + beta * dt * dt * a1
+                eta_af = (1.0 - af) * eta1 + af * eta
+                a_am = (1.0 - am) * a1 + am * etadd
+                r = Mr @ a_am + force_modal(eta_af) - u_m
+                return a1 - Sinv @ r
+
+            a1 = jax.lax.fori_loop(0, n_newton, newton, etadd)
+            eta1 = eta_pred + beta * dt * dt * a1
+            etad1 = etad_pred + gamma * dt * a1
+            return (eta1, etad1, a1)
+
+        maybe_remat = jax.checkpoint(step) if remat else step
+        if save_every > 0:
+            n_frames = n_steps // save_every
+
+            def frame(carry, _):
+                def inner(c, _):
+                    return maybe_remat(c), None
+
+                carry, _ = jax.lax.scan(
+                    inner, carry, None, length=save_every
+                )
+                return carry, (carry[0], carry[1])
+
+            _, (etas, etads) = jax.lax.scan(
+                frame, (eta0, etad0, etadd0), None, length=n_frames
+            )
+            return etas, etads
+        else:
+
+            def body(c, _):
+                return maybe_remat(c), None
+
+            (eta, etad, _), _ = jax.lax.scan(
+                body, (eta0, etad0, etadd0), None, length=n_steps
+            )
+            return eta, etad
+
+    u_b = None if u_modal is None else jnp.asarray(u_modal, dtype)
+    in_axes = (0, 0, 0, None)
+    out = jax.vmap(one, in_axes=in_axes)(
+        arrays_batch, eta0_batch, jnp.asarray(etad0_batch), u_b
+    )
+    return out
+
+
 def parametric_genalpha_rollout(
     bc_info,
     arrays_batch: BeamArrays,

@@ -227,3 +227,79 @@ class TestParametricImplicit:
         g_plain = jax.grad(lambda E: loss(E, False))(E0)
         g_remat = jax.grad(lambda E: loss(E, True))(E0)
         np.testing.assert_allclose(float(g_remat), float(g_plain), rtol=1e-10)
+
+
+class TestParametricModalROM:
+    """Differentiable ROM path: gradients at ROM speed, frozen basis."""
+
+    def test_grad_matches_finite_difference(self):
+        from continuum_robot_tpu.models.simulate import make_modal_rom
+        from continuum_robot_tpu.parallel.sweep import (
+            override_arrays,
+            parametric_modal_rom_rollout,
+        )
+
+        beam = DynamicEulerBernoulliBeam(
+            helpers.nonlinear_csv(40, include_fluid=False)
+        )
+        n = beam.n_pos_states
+        ms = make_modal_rom(beam, 1e-4, rho_inf=0.5, n_modes=16)
+        bc = beam.beam_model.bc_info
+        u = np.zeros(n)
+        u[-2] = 2.0
+        u_m = ms.project_force_host(u)
+        m = ms.n_modes
+        eta0 = jnp.zeros((1, m))
+        etad0 = jnp.zeros((1, m))
+        E0 = float(np.asarray(beam.beam_model.arrays.elastic_modulus)[0])
+
+        def loss(scale):
+            arrs = override_arrays(
+                beam.beam_model.arrays,
+                elastic_modulus=(scale * E0) * jnp.ones((1, 1)),
+            )
+            eta, _ = parametric_modal_rom_rollout(
+                ms, bc, arrs, eta0, etad0, u_modal=u_m,
+                n_steps=50, n_newton=2,
+            )
+            return jnp.sum(eta**2) * 1e6
+
+        g = float(jax.grad(loss)(1.0))
+        eps = 1e-5
+        fd = float((loss(1.0 + eps) - loss(1.0 - eps)) / (2 * eps))
+        assert abs(g - fd) / abs(fd) < 1e-6, f"grad {g} vs fd {fd}"
+
+    def test_remat_matches_plain(self):
+        from continuum_robot_tpu.models.simulate import make_modal_rom
+        from continuum_robot_tpu.parallel.sweep import (
+            override_arrays,
+            parametric_modal_rom_rollout,
+        )
+
+        beam = DynamicEulerBernoulliBeam(
+            helpers.nonlinear_csv(20, include_fluid=False)
+        )
+        n = beam.n_pos_states
+        ms = make_modal_rom(beam, 1e-4, rho_inf=0.5, n_modes=8)
+        bc = beam.beam_model.bc_info
+        u = np.zeros(n)
+        u[-2] = 1.0
+        u_m = ms.project_force_host(u)
+        eta0 = jnp.zeros((1, ms.n_modes))
+
+        def loss(scale, remat):
+            arrs = override_arrays(
+                beam.beam_model.arrays,
+                density=scale * jnp.asarray(
+                    np.asarray(beam.beam_model.arrays.density)[None, :]
+                ),
+            )
+            eta, _ = parametric_modal_rom_rollout(
+                ms, bc, arrs, eta0, eta0, u_modal=u_m,
+                n_steps=20, remat=remat,
+            )
+            return jnp.sum(eta**2) * 1e6
+
+        g_plain = float(jax.grad(lambda s: loss(s, False))(1.0))
+        g_remat = float(jax.grad(lambda s: loss(s, True))(1.0))
+        np.testing.assert_allclose(g_remat, g_plain, rtol=1e-10)
