@@ -9,11 +9,17 @@ from .spatial import (
     reduced_to_node_layout,
     spatial_rollout,
 )
+from .spatial_implicit import (
+    build_spatial_genalpha,
+    spike_prepare,
+    spike_solve,
+)
 from .sweep import (
     make_parametric_rhs,
     make_traced_genalpha_operator,
     override_arrays,
     parametric_genalpha_rollout,
+    parametric_modal_rom_rollout,
     parametric_rollout,
     tile_arrays,
 )
@@ -23,13 +29,17 @@ __all__ = [
     "batch_sharding",
     "batched_rollout",
     "build_rollout_fn",
+    "build_spatial_genalpha",
     "build_spatial_rhs",
     "make_mesh",
+    "spike_prepare",
+    "spike_solve",
     "make_parametric_rhs",
     "make_spatial_beam",
     "make_traced_genalpha_operator",
     "override_arrays",
     "parametric_genalpha_rollout",
+    "parametric_modal_rom_rollout",
     "parametric_rollout",
     "reduced_to_node_layout",
     "replicated",

@@ -179,13 +179,20 @@ def build_spatial_rhs(
     beam: SpatialBeam,
     cg_iters: int = 16,
     use_consistent: bool = False,
+    cg_tol: float = 1e-8,
 ) -> Callable:
     """Fully sharded ``rhs(t, x, u)`` over the ``sp`` axis via shard_map.
 
     ``x``: (2, Np, 3) = stacked (positions, velocities) in node layout,
     sharded on the node axis. ``u``: (Np, 3) force layout or None.
     The mass solve is Jacobi-preconditioned CG with halo-exchange matvecs
-    and ``psum`` reductions — fixed iteration count for jit.
+    and ``psum`` reductions, stopped by a RELATIVE RESIDUAL TOLERANCE
+    inside ``lax.while_loop`` (``|r| <= cg_tol |r0|``), with ``cg_iters``
+    as the iteration CAP — accuracy no longer silently depends on an
+    iteration count. Pass ``cg_tol=None`` to recover the fixed-iteration
+    scan (cheapest trace; e.g. when a measured count is known sufficient).
+    For implicit stepping use the exact SPIKE solver instead
+    (``parallel/spatial_implicit.py``).
     """
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
     arrays = beam.arrays
@@ -256,9 +263,10 @@ def build_spatial_rhs(
         z0 = jnp.einsum("nij,nj->ni", mdi, r0)
         p0 = z0
         rz0 = pdot(r0, z0)
+        rr0 = pdot(r0, r0)
 
-        def cg_step(carry, _):
-            a, r, p, rz = carry
+        def cg_body(carry):
+            a, r, p, rz, rr, i = carry
             Ap = matvec(p)
             alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
             a = a + alpha * p
@@ -267,11 +275,25 @@ def build_spatial_rhs(
             rz_new = pdot(r, z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             p = z + beta * p
-            return (a, r, p, rz_new), None
+            return (a, r, p, rz_new, pdot(r, r), i + 1)
 
-        (acc, _, _, _), _ = jax.lax.scan(
-            cg_step, (a0, r0, p0, rz0), None, length=cg_iters
-        )
+        if cg_tol is None:
+            (acc, _, _, _, _, _), _ = jax.lax.scan(
+                lambda c, _: (cg_body(c), None),
+                (a0, r0, p0, rz0, rr0, 0),
+                None,
+                length=cg_iters,
+            )
+        else:
+            tol2 = jnp.asarray(cg_tol, f.dtype) ** 2
+
+            def cg_cond(carry):
+                _, _, _, _, rr, i = carry
+                return jnp.logical_and(rr > tol2 * rr0, i < cg_iters)
+
+            acc, _, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body, (a0, r0, p0, rz0, rr0, 0)
+            )
         acc = acc * m_mask
         return jnp.stack([v * m_mask, acc], axis=0)
 
@@ -295,6 +317,7 @@ def spatial_rollout(
     substeps: int = 1,
     cg_iters: int = 16,
     use_consistent: bool = False,
+    cg_tol: float = 1e-8,
 ):
     """RK4 rollout of a node-sharded beam: the full CP-analogue pipeline.
 
@@ -306,7 +329,9 @@ def spatial_rollout(
     """
     from ..ops import integrators
 
-    rhs = build_spatial_rhs(beam, cg_iters=cg_iters, use_consistent=use_consistent)
+    rhs = build_spatial_rhs(
+        beam, cg_iters=cg_iters, use_consistent=use_consistent, cg_tol=cg_tol
+    )
     n_steps = int(round(t_final / dt))
 
     def run(x0):

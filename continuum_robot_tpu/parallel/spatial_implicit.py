@@ -1,0 +1,387 @@
+"""Spatially-sharded IMPLICIT stepping: distributed SPIKE solves + gen-alpha.
+
+Round-1 left the spatial (beam-axis) path explicit-only: a beam too long for
+one chip could not use the production implicit engines at all. This module
+brings generalized-alpha to the ``sp`` mesh axis with an EXACT distributed
+block-tridiagonal solve — the SPIKE / substructuring algorithm — instead of
+the fixed-iteration CG the explicit path used for its mass solve.
+
+SPIKE decomposition of ``T x = r`` for a block-tridiagonal ``T`` sharded by
+node runs (S shards, m nodes each; inter-shard coupling blocks ``L_k``
+(shard k's first node <- left neighbor's last) and ``U_k`` (last node ->
+right neighbor's first)):
+
+1. local block-Thomas factorization of each shard's m-node chain (O(m) scan,
+   once per tangent refresh — ONCE total for linear beams / modified Newton);
+2. local "spike" columns ``V = A_k^{-1} e_0 L_k`` and ``W = A_k^{-1} e_last
+   U_k`` (two 3-column solves, cached with the factors);
+3. per solve: one local substitution ``y = A_k^{-1} r`` + ONE ``all_gather``
+   of 6 floats per shard (the interface values of ``y``) + a replicated
+   ``(6S, 6S)`` interface solve (cached inverse) + one local axpy.
+
+Per-step communication is therefore two 3-DOF ``ppermute`` halos for the
+force/mass applies plus a 6-float-per-shard ``all_gather`` per Newton
+solve — latency-bound tiny payloads riding ICI, no serial cross-shard
+recursion anywhere. Compare ``parallel/spatial.py``'s CG mass solve: ~16
+iterations x (2 ppermutes + 2 psums) per application, with accuracy set by
+an iteration count; SPIKE is exact in one round.
+
+Batching: the core runs one environment inside ``shard_map``; batch with
+``jax.vmap`` outside (a ``dp x sp`` mesh) exactly like the explicit path.
+
+No reference counterpart: the reference has no distributed runtime at all
+(SURVEY §2.2); this is the TPU-native scale-out of its implicit capability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import assembly
+from ..models.config import BeamArrays
+from ..ops import banded
+from .spatial import (
+    SpatialBeam,
+    _left_perm,
+    _right_perm,
+    spatial_internal_force_local,
+)
+
+
+# ---------------------------------------------------------------------------
+# Local (per-shard) operator assembly
+# ---------------------------------------------------------------------------
+
+
+def _local_arrays(a_len, a_E, a_I, a_A, a_nl) -> BeamArrays:
+    zero = a_len * 0
+    return BeamArrays(
+        length=a_len, elastic_modulus=a_E, moment_inertia=a_I,
+        density=zero, cross_area=a_A, wetted_area=zero, drag_coef=zero,
+        nonlinear_mask=a_nl,
+    )
+
+
+def spatial_tangent_aligned(
+    q_local, arr_local: BeamArrays, axis: str, n_shards: int,
+    use_consistent: bool = False,
+):
+    """Shard-aligned tangent-stiffness blocks with halo exchange.
+
+    Returns ``(kd (m,3,3), klow (m,3,3), kup (m,3,3))`` in the same aligned
+    convention as the mass bands of ``build_spatial_rhs``: ``klow[0]``
+    couples the first local node to the LEFT neighbor's last node,
+    ``kup[m-1]`` couples the last local node to the RIGHT neighbor's first.
+    Two ppermutes: pull the right halo node, push the bridging element's
+    (K21, K22) contributions to their owner.
+    """
+    halo = jax.lax.ppermute(q_local[:1], axis, _left_perm(n_shards))
+    q_ext = jnp.concatenate([q_local, halo], axis=0)  # (m+1, 3)
+    q6 = jnp.concatenate([q_ext[:-1], q_ext[1:]], axis=-1)  # (m, 6)
+    Kt = assembly.element_tangent_stiffness(
+        arr_local, q6, use_consistent=use_consistent
+    )  # (m, 6, 6)
+    m = q_local.shape[0]
+    kd = jnp.zeros((m, 3, 3), Kt.dtype)
+    kd = kd.at[:, :, :].add(Kt[:, 0:3, 0:3])  # K11 of element j -> node j
+    kd = kd.at[1:, :, :].add(Kt[:-1, 3:6, 3:6])  # K22 of element j -> node j+1
+    kup = jnp.zeros((m, 3, 3), Kt.dtype)
+    kup = kup.at[:-1].set(Kt[:-1, 0:3, 3:6])
+    kup = kup.at[-1].set(Kt[-1, 0:3, 3:6])  # U_k: last node -> right halo
+    klow = jnp.zeros((m, 3, 3), Kt.dtype)
+    klow = klow.at[1:].set(Kt[:-1, 3:6, 0:3])
+    # Bridging element's far-node blocks belong to the right neighbor:
+    # K22 joins its diagonal node 0, K21 becomes its L_k.
+    send = jnp.stack([Kt[-1, 3:6, 3:6], Kt[-1, 3:6, 0:3]])
+    recv = jax.lax.ppermute(send, axis, _right_perm(n_shards))
+    kd = kd.at[0].add(recv[0])
+    klow = klow.at[0].set(recv[1])
+    return kd, klow, kup
+
+
+def mask_aligned_blocks(jd, jlow, jup, mask_local, left_last_mask,
+                        right_first_mask):
+    """BC-mask shard-aligned blocks; unit pivots on constrained diagonals.
+
+    ``mask_local``: (m, 3); ``left_last_mask`` / ``right_first_mask``: (3,)
+    — the STATIC free-masks of the neighbor nodes the halo entries couple to
+    (precomputed host-side; padding nodes are constrained, which also zeroes
+    the ring's wraparound couplings exactly).
+    """
+    m3 = mask_local
+    eye = jnp.eye(3, dtype=jd.dtype)
+    jd = jd * m3[:, :, None] * m3[:, None, :] + (1.0 - m3)[:, :, None] * eye
+    col_low = jnp.concatenate([left_last_mask[None], m3[:-1]], axis=0)
+    jlow = jlow * m3[:, :, None] * col_low[:, None, :]
+    col_up = jnp.concatenate([m3[1:], right_first_mask[None]], axis=0)
+    jup = jup * m3[:, :, None] * col_up[:, None, :]
+    return jd, jlow, jup
+
+
+def mass_matvec_aligned(v_local, md, mlow, mup, axis, n_shards):
+    """Masked matvec in the aligned-band convention (one halo each way)."""
+    left_halo = jax.lax.ppermute(v_local[-1:], axis, _right_perm(n_shards))
+    right_halo = jax.lax.ppermute(v_local[:1], axis, _left_perm(n_shards))
+    v_ext = jnp.concatenate([left_halo, v_local, right_halo], axis=0)
+    y = jnp.einsum("nij,nj->ni", md, v_local)
+    y = y + jnp.einsum("nij,nj->ni", mlow, v_ext[:-2])
+    y = y + jnp.einsum("nij,nj->ni", mup, v_ext[2:])
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Distributed SPIKE solve
+# ---------------------------------------------------------------------------
+
+
+def spike_prepare(jd, jlow, jup, axis: str, n_shards: int):
+    """Factor a shard-aligned block-tridiagonal operator for SPIKE solves.
+
+    ``jlow[0]`` is ``L_k`` (left inter-shard coupling), ``jup[-1]`` is
+    ``U_k``. Returns an opaque pytree consumed by :func:`spike_solve`:
+    local Thomas factors, the two spike column blocks, and the replicated
+    inverse of the (6S, 6S) interface system.
+    """
+    m = jd.shape[0]
+    Lk, Uk = jlow[0], jup[-1]
+    jl_in, ju_in = jlow[1:], jup[:-1]
+    factors = banded.btd_factor(jd, jl_in, ju_in)
+
+    def solve_cols(rhs_blocks):
+        # (m, 3, 3) block rhs -> solve each of the 3 columns.
+        b = jnp.moveaxis(rhs_blocks, -1, 0)  # (3, m, 3)
+        x = banded.btd_solve(factors, b)
+        return jnp.moveaxis(x, 0, -1)  # (m, 3, 3)
+
+    V = solve_cols(jnp.zeros_like(jd).at[0, :, :].set(Lk))
+    W = solve_cols(jnp.zeros_like(jd).at[m - 1, :, :].set(Uk))
+
+    S = n_shards
+    gV0 = jax.lax.all_gather(V[0], axis)  # (S, 3, 3)
+    gVl = jax.lax.all_gather(V[-1], axis)
+    gW0 = jax.lax.all_gather(W[0], axis)
+    gWl = jax.lax.all_gather(W[-1], axis)
+
+    dtype = jd.dtype
+    eye = jnp.eye(3, dtype=dtype)
+    Mred = jnp.zeros((S, 2, 3, S, 2, 3), dtype)
+    idx = jnp.arange(S)
+    km1 = (idx - 1) % S
+    kp1 = (idx + 1) % S
+    Mred = Mred.at[idx, 0, :, idx, 0, :].set(eye)
+    Mred = Mred.at[idx, 1, :, idx, 1, :].set(eye)
+    Mred = Mred.at[idx, 0, :, km1, 1, :].add(gV0)
+    Mred = Mred.at[idx, 1, :, km1, 1, :].add(gVl)
+    Mred = Mred.at[idx, 0, :, kp1, 0, :].add(gW0)
+    Mred = Mred.at[idx, 1, :, kp1, 0, :].add(gWl)
+    Mred_inv = jnp.linalg.inv(Mred.reshape(6 * S, 6 * S))
+    return {"factors": factors, "V": V, "W": W, "Mred_inv": Mred_inv}
+
+
+def spike_solve(prep, r_local, axis: str, n_shards: int):
+    """Exact distributed solve ``T x = r`` from :func:`spike_prepare`.
+
+    Per call: one local Thomas substitution, one all_gather of the 6
+    interface floats per shard, one replicated (6S, 6S) matvec, one local
+    rank-2 correction.
+    """
+    S = n_shards
+    y = banded.btd_solve(prep["factors"], r_local)  # (m, 3)
+    g = jax.lax.all_gather(jnp.stack([y[0], y[-1]]), axis)  # (S, 2, 3)
+    z = (prep["Mred_inv"] @ g.reshape(6 * S)).reshape(S, 2, 3)
+    k = jax.lax.axis_index(axis)
+    l_left = z[(k - 1) % S, 1]
+    f_right = z[(k + 1) % S, 0]
+    x = (
+        y
+        - jnp.einsum("nij,j->ni", prep["V"], l_left)
+        - jnp.einsum("nij,j->ni", prep["W"], f_right)
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Sharded generalized-alpha stepping
+# ---------------------------------------------------------------------------
+
+
+def build_spatial_genalpha(
+    beam: SpatialBeam,
+    dt: float,
+    rho_inf: float = 0.8,
+    n_newton: int = 1,
+    use_consistent: bool = False,
+) -> Callable:
+    """Implicit generalized-alpha rollout over the ``sp`` mesh axis.
+
+    Returns ``rollout(x0, n_frames, u=None, substeps=1) -> (ts, xs)`` where
+    ``x0`` is ``(2, Np, 3)`` node-layout state (leading env batch allowed —
+    vmapped over ``dp``), ``u`` a constant ``(Np, 3)`` force layout, and
+    ``xs`` has the frame axis leading, ``xs[0] = x0``.
+
+    Modified Newton with the zero-state tangent: the SPIKE preparation
+    (local factorization + spike columns + interface inverse) happens ONCE
+    at trace time for both the effective Jacobian and the mass operator;
+    each step then costs 2 halo ppermutes (internal force), 2 (mass matvec)
+    and one 6-float all_gather per Newton correction. The recurrence is
+    identical to the single-chip dense engine — equality to 1e-8 on a fake
+    mesh is pinned in tests/test_sharding.py.
+    """
+    mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
+    arrays = beam.arrays
+    Np = beam.n_nodes
+    mask_nodes = np.asarray(beam.free_mask, dtype=np.float64)
+
+    am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+    af = rho_inf / (rho_inf + 1.0)
+    beta = 0.25 * (1.0 - am + af) ** 2
+    gamma = 0.5 - am + af
+    c_jac = (1.0 - af) * beta * dt * dt
+    a_jac = 1.0 - am
+
+    # Host-side shard-aligned mass bands (same construction as the explicit
+    # path), WITHOUT BC masking — masking is applied once on the combined
+    # operator below and on the matvec inputs.
+    mdiag, moff = assembly.mass_block_tridiagonal(arrays)
+    mdiag = np.asarray(mdiag)[:Np]
+    moff = np.asarray(moff)[: Np - 1]
+    zeros33 = np.zeros((1, 3, 3), dtype=mdiag.dtype)
+    mlow = np.concatenate([zeros33, np.swapaxes(moff, -1, -2)], axis=0)
+    mup = np.concatenate([moff, zeros33], axis=0)
+
+    # Static neighbor masks for the inter-shard coupling columns: shard k's
+    # rows are the free-masks of (left neighbor's last node, right
+    # neighbor's first node); ring seams get zeros, which also zeroes the
+    # wraparound couplings exactly. Shape (S, 3): sharded to (1, 3) each.
+    m_per = Np // S
+    left_last_node = np.vstack(
+        [np.zeros(3), mask_nodes[m_per - 1 :: m_per][: S - 1]]
+    )
+    right_first_node = np.vstack(
+        [mask_nodes[m_per::m_per][: S - 1], np.zeros(3)]
+    )
+
+    arr_fields = (
+        arrays.length, arrays.elastic_modulus, arrays.moment_inertia,
+        arrays.cross_area, arrays.nonlinear_mask,
+    )
+
+    from jax.sharding import PartitionSpec
+
+    p_node = PartitionSpec(axis, None)
+    p_block = PartitionSpec(axis, None, None)
+    p_el = PartitionSpec(axis)
+    p_x = PartitionSpec(None, axis, None)
+    m_local = Np // S
+
+    def make_core(n_frames: int, substeps: int):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(p_x, p_node, p_node, p_block, p_block, p_block,
+                      p_node, p_node, p_el, p_el, p_el, p_el, p_el),
+            out_specs=(PartitionSpec(None, None, axis, None)),
+        )
+        def rollout_core(x, u_node, m_mask, md, ml, mu, llm, rfm,
+                         a_len, a_E, a_I, a_A, a_nl):
+            dtype = md.dtype
+            arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
+            llm3, rfm3 = llm[0], rfm[0]  # (3,) static neighbor masks
+            m3 = m_mask
+
+            # BC-masked mass bands (for the matvec and the c=0 solve).
+            md_bc, ml_bc, mu_bc = mask_aligned_blocks(
+                md, ml, mu, m3, llm3, rfm3
+            )
+
+            # Zero-state tangent (modified Newton): env-independent — a
+            # STATIC zero state, so under an outer vmap the whole SPIKE
+            # preparation stays unbatched (one prep shared by all envs).
+            q0_loc = jnp.zeros((m_local, 3), dtype)
+            kd, klow, kup = spatial_tangent_aligned(
+                q0_loc, arr_local, axis, S, use_consistent
+            )
+            jd = a_jac * md + c_jac * kd
+            jl = a_jac * ml + c_jac * klow
+            ju = a_jac * mu + c_jac * kup
+            jd, jl, ju = mask_aligned_blocks(jd, jl, ju, m3, llm3, rfm3)
+            prep_jac = spike_prepare(jd, jl, ju, axis, S)
+            prep_mass = spike_prepare(md_bc, ml_bc, mu_bc, axis, S)
+
+            def internal(q):
+                return spatial_internal_force_local(
+                    q * m3, arr_local, m3, axis, S, use_consistent
+                )
+
+            def mass_apply(a_vec):
+                return mass_matvec_aligned(
+                    a_vec * m3, md_bc, ml_bc, mu_bc, axis, S
+                ) * m3
+
+            u_m = u_node * m3
+            q, v = x[0] * m3, x[1] * m3
+            f0 = (u_m - internal(q)) * m3
+            a = spike_solve(prep_mass, f0, axis, S) * m3
+
+            def substep(carry, _):
+                q, v, a = carry
+                q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
+                v_pred = v + (1.0 - gamma) * dt * a
+
+                def newton(_, a1):
+                    q1 = q_pred + beta * dt * dt * a1
+                    q_af = (1.0 - af) * q1 + af * q
+                    a_am = (1.0 - am) * a1 + am * a
+                    r = mass_apply(a_am) + internal(q_af) - u_m
+                    da = spike_solve(prep_jac, r * m3, axis, S) * m3
+                    return a1 - da
+
+                a1 = jax.lax.fori_loop(0, n_newton, newton, a)
+                q1 = q_pred + beta * dt * dt * a1
+                v1 = v_pred + gamma * dt * a1
+                return (q1, v1, a1), None
+
+            def frame(carry, _):
+                carry, _ = jax.lax.scan(
+                    substep, carry, None, length=substeps
+                )
+                qf, vf, _ = carry
+                return carry, jnp.stack([qf, vf])
+
+            _, xs = jax.lax.scan(frame, (q, v, a), None, length=n_frames)
+            return jnp.concatenate([jnp.stack([q, v])[None], xs], axis=0)
+
+        return rollout_core
+
+    def rollout(x0, n_frames: int, u=None, substeps: int = 1):
+        core = make_core(int(n_frames), int(substeps))
+        x0 = jnp.asarray(x0)
+        if u is None:
+            u_node = jnp.zeros((Np, 3), dtype=x0.dtype)
+        else:
+            u_node = jnp.asarray(u, dtype=x0.dtype)
+        mask = jnp.asarray(mask_nodes, dtype=x0.dtype)
+
+        def run_one(x_single):
+            return core(
+                x_single, u_node, mask,
+                jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
+                jnp.asarray(mup, x0.dtype),
+                jnp.asarray(left_last_node, x0.dtype),
+                jnp.asarray(right_first_node, x0.dtype),
+                *arr_fields,
+            )
+
+        if x0.ndim == 4:  # (envs, 2, Np, 3) -> vmap over dp
+            xs = jax.vmap(run_one, out_axes=1)(x0)
+        else:
+            xs = run_one(x0)
+        ts = (dt * substeps) * jnp.arange(n_frames + 1)
+        return ts, xs
+
+    return rollout

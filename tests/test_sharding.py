@@ -233,3 +233,182 @@ class TestMeshHelpers:
     def test_named_axes(self):
         mesh = make_mesh({"dp": 2, "sp": 4})
         assert mesh.shape["dp"] == 2 and mesh.shape["sp"] == 4
+
+
+class TestSpatialImplicit:
+    """Distributed SPIKE solves + sharded generalized-alpha
+    (parallel/spatial_implicit.py): the implicit engines past one chip."""
+
+    @staticmethod
+    def _node_layouts(model, Np, x_red, u_red):
+        bc = model.beam_model.bc_info
+        free = np.asarray(bc.free_dofs)
+        nf = bc.n_dofs_full
+
+        def to_node(vec):
+            full = np.zeros(nf)
+            full[free] = vec
+            out = np.zeros((Np, 3))
+            out[: nf // 3] = full.reshape(-1, 3)
+            return out
+
+        n = x_red.shape[-1] // 2
+        if x_red.ndim == 1:
+            x_node = np.stack([to_node(x_red[:n]), to_node(x_red[n:])])
+        else:
+            x_node = np.stack(
+                [
+                    np.stack([to_node(xb[:n]), to_node(xb[n:])])
+                    for xb in x_red
+                ]
+            )
+        return x_node, to_node(u_red), free, nf
+
+    def test_spike_solve_matches_dense(self):
+        """SPIKE == dense solve on the BC-masked effective Jacobian."""
+        from scipy.linalg import solve as dense_solve
+
+        from continuum_robot_tpu.models import assembly
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            mask_aligned_blocks,
+            spike_prepare,
+            spike_solve,
+        )
+        from jax.sharding import PartitionSpec
+        from functools import partial
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        Np, S = beam.n_nodes, 4
+        m = Np // S
+        mdiag, moff = assembly.mass_block_tridiagonal(beam.arrays)
+        mdiag = np.asarray(mdiag)[:Np]
+        moff = np.asarray(moff)[: Np - 1]
+        z33 = np.zeros((1, 3, 3))
+        mlow = np.concatenate([z33, np.swapaxes(moff, -1, -2)])
+        mup = np.concatenate([moff, z33])
+        mask = np.asarray(beam.free_mask, float)
+        llm = np.vstack([np.zeros(3), mask[m - 1 :: m][: S - 1]])
+        rfm = np.vstack([mask[m::m][: S - 1], np.zeros(3)])
+
+        rng = np.random.default_rng(3)
+        r = rng.normal(size=(Np, 3)) * mask
+
+        p_n = PartitionSpec("sp", None)
+        p_b = PartitionSpec("sp", None, None)
+
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(p_b, p_b, p_b, p_n, p_n, p_n, p_n),
+            out_specs=p_n,
+        )
+        def solve_sharded(md, ml, mu, m3, llm_, rfm_, r_):
+            md, ml, mu = mask_aligned_blocks(
+                md, ml, mu, m3, llm_[0], rfm_[0]
+            )
+            prep = spike_prepare(md, ml, mu, "sp", S)
+            return spike_solve(prep, r_, "sp", S)
+
+        x_spike = np.asarray(
+            solve_sharded(mdiag, mlow, mup, mask, llm, rfm, r)
+        )
+
+        # Dense oracle: assemble the masked operator globally.
+        T = np.zeros((3 * Np, 3 * Np))
+        for i in range(Np):
+            mi = np.diag(mask[i])
+            blk = mi @ mdiag[i] @ mi + np.diag(1.0 - mask[i])
+            T[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] = blk
+        for i in range(Np - 1):
+            mi, mj = np.diag(mask[i]), np.diag(mask[i + 1])
+            T[3 * i : 3 * i + 3, 3 * i + 3 : 3 * i + 6] = mi @ moff[i] @ mj
+            T[3 * i + 3 : 3 * i + 6, 3 * i : 3 * i + 3] = (
+                mj @ moff[i].T @ mi
+            )
+        x_dense = dense_solve(T, r.reshape(-1)).reshape(Np, 3)
+        err = np.abs(x_spike - x_dense).max() / np.abs(x_dense).max()
+        assert err < 1e-10, f"SPIKE vs dense solve: {err:.3e}"
+
+    @pytest.mark.parametrize("kind", ["linear", "hybrid"])
+    def test_sharded_genalpha_matches_dense_engine(self, kind):
+        """Sharded implicit rollout == single-chip dense generalized-alpha
+        (same recurrence) to 1e-8 — batched over a dp x sp mesh."""
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import build_spatial_genalpha
+
+        csv = (
+            helpers.linear_csv(14) if kind == "linear"
+            else helpers.mixed_csv(14)
+        )
+        model = DynamicEulerBernoulliBeam(csv)
+        n = model.n_pos_states
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        rng = np.random.default_rng(0)
+        B = 3
+        x_red = rng.normal(scale=1e-4, size=(B, 2 * n))
+        u_red = np.zeros(n)
+        u_red[-2] = 0.1
+        x_node, u_node, free, nf = self._node_layouts(
+            model, beam.n_nodes, x_red, u_red
+        )
+
+        dt, n_frames, substeps = 1e-4, 4, 3
+        rollout = build_spatial_genalpha(
+            beam, dt, rho_inf=0.8, n_newton=2
+        )
+        _, xs = rollout(
+            jnp.asarray(x_node), n_frames, u=u_node, substeps=substeps
+        )
+        xs = np.asarray(xs)  # (frames+1, B, 2, Np, 3)
+
+        res = simulate(
+            model, x_red, n_frames * substeps * dt, substeps * dt,
+            method="generalized_alpha", u=jnp.asarray(u_red),
+            rho_inf=0.8, n_newton=2, substeps=substeps,
+            linear_solver="btd",
+        )
+        ys = np.asarray(res.ys)
+
+        err = 0.0
+        for f in range(n_frames + 1):
+            for b in range(B):
+                got = np.concatenate(
+                    [
+                        xs[f, b, 0, : nf // 3].reshape(-1)[free],
+                        xs[f, b, 1, : nf // 3].reshape(-1)[free],
+                    ]
+                )
+                err = max(err, np.abs(got - ys[f, b]).max())
+        rel = err / np.abs(ys).max()
+        assert rel < 1e-8, f"{kind}: sharded vs dense gen-alpha {rel:.3e}"
+
+
+class TestToleranceCG:
+    def test_cg_tol_matches_fixed_iters(self):
+        """Tolerance-stopped CG reaches the same RHS as a generous fixed
+        count, and the iteration cap is no longer load-bearing."""
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        rng = np.random.default_rng(1)
+        x = rng.normal(scale=1e-4, size=(2, beam.n_nodes, 3))
+        x = x * np.asarray(beam.free_mask, float)
+        rhs_tol = build_spatial_rhs(beam, cg_iters=64, cg_tol=1e-10)
+        rhs_fix = build_spatial_rhs(beam, cg_iters=64, cg_tol=None)
+        a = np.asarray(rhs_tol(0.0, jnp.asarray(x)))
+        b = np.asarray(rhs_fix(0.0, jnp.asarray(x)))
+        assert np.abs(a - b).max() / np.abs(b).max() < 1e-9
