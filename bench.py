@@ -75,6 +75,43 @@ ENGINE = os.environ.get(
 DT = 1e-4
 # Reference nonlinear RHS: 129.2 ms/eval (7.7 evals/s), same host/date.
 REF_EVALS_PER_SEC_NONLINEAR = 7.7
+# BENCH_TOL=<rtol>: run the ERROR-CONTROLLED implicit engine instead of the
+# fixed-dt recurrence — adaptive generalized-alpha (Zienkiewicz-Xie estimate
+# + PI control) picks every step size from the tolerance; dt above becomes
+# just the output-frame grid. The verdict's answer to "dt=1e-4 with no
+# evidence mechanism": state a tolerance, get the dt that meets it.
+BENCH_TOL = os.environ.get("BENCH_TOL")
+
+
+def roofline_fields(cost, wall_s, tier="f32", model_tag="xla"):
+    """Utilization block for the bench JSON (verdict: auditable FLOP/s).
+
+    ``cost``: {"flops", "bytes"} for the WHOLE timed program (one rollout
+    call), from XLA cost analysis or an analytic count; ``model_tag`` says
+    which. Ceilings are measured on-device right here (BENCH_ROOFLINE=0
+    skips the whole block). Returns {} when skipped or unavailable.
+    """
+    if os.environ.get("BENCH_ROOFLINE", "1") != "1" or cost is None:
+        return {}
+    from continuum_robot_tpu.utils.roofline import (
+        measure_ceilings,
+        utilization,
+    )
+
+    ceilings = measure_ceilings(quick=os.environ.get("BENCH_QUICK") == "1")
+    util = utilization(cost["flops"], cost["bytes"], wall_s, ceilings, tier)
+    return {
+        "flops_per_sec": round(util["flops_per_sec"], 1),
+        "hbm_gbps": round(util["hbm_gbps"], 2),
+        "roofline_frac": round(util["roofline_frac"], 4),
+        "bound": util["bound"],
+        "cost_model": model_tag,
+        "ceiling_mxu_f32_tflops": round(ceilings["mxu_f32_flops"] / 1e12, 2),
+        "ceiling_mxu_bf16_tflops": round(
+            ceilings["mxu_bf16_flops"] / 1e12, 2
+        ),
+        "ceiling_hbm_gbps": round(ceilings["hbm_bytes_per_sec"] / 1e9, 1),
+    }
 
 
 def measure_baseline(n_elements: int, beam_type: str):
@@ -197,6 +234,17 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
 
     env_steps_per_sec = N_STEPS * N_ENVS / wall
     engine = "fused-Pallas modal" if use_pallas else "modal"
+    # Work model: XLA's cost analysis of the identical-recurrence XLA
+    # engine (the Pallas kernel is a custom call XLA cannot analyze; it
+    # runs the same arithmetic with fewer HBM roundtrips, so the XLA count
+    # is a faithful FLOP model and a conservative byte model).
+    from continuum_robot_tpu.utils.roofline import program_cost
+
+    cost = program_cost(lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS), eta, etad)
+    extra = roofline_fields(
+        cost, wall, tier="f32",
+        model_tag="xla" if not use_pallas else "xla-twin",
+    )
     print(
         json.dumps(
             {
@@ -207,6 +255,7 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
                 "value": round(env_steps_per_sec, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(env_steps_per_sec / REF_EVALS_PER_SEC, 1),
+                **extra,
             }
         )
     )
@@ -294,6 +343,17 @@ def run_modal_rom(jax, jnp, model, n_red):
     assert bool(jnp.all(jnp.isfinite(q2))), "non-finite states in benchmark"
 
     env_steps_per_sec = N_STEPS * N_ENVS / wall
+    from continuum_robot_tpu.utils.roofline import program_cost
+
+    cost = program_cost(
+        lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
+                                 precision=prec, nl_precision=nl_prec),
+        eta, etad,
+    )
+    extra = roofline_fields(
+        cost, wall, tier="f32",
+        model_tag="xla" if ENGINE == "modal_rom" else "xla-twin",
+    )
     print(
         json.dumps(
             {
@@ -308,6 +368,74 @@ def run_modal_rom(jax, jnp, model, n_red):
                 "vs_baseline": round(
                     env_steps_per_sec / REF_EVALS_PER_SEC_NONLINEAR, 1
                 ),
+                **extra,
+            }
+        )
+    )
+
+
+def run_adaptive(jax, jnp, model, n_red, rtol):
+    """BENCH_TOL mode: error-controlled implicit stepping, no manual dt.
+
+    Adaptive generalized-alpha over the same batched workload; the step
+    size comes from the tolerance (shared across the env batch — the error
+    norm contracts over all envs). env-steps/s counts ACCEPTED steps x
+    envs, so the number is directly comparable to the fixed-dt engines at
+    whatever dt the controller actually earned.
+    """
+    import time as _time
+
+    from continuum_robot_tpu.models.simulate import make_newmark_operator
+    from continuum_robot_tpu.ops.integrators import (
+        integrate_generalized_alpha_adaptive,
+    )
+
+    # Mixed operator set: dense mass/stiffness applies (MXU), per-step
+    # banded factorization at the trial dt (prefactoring is impossible for
+    # a traced dt). Keeping one dense component also dodges the all-btd
+    # fusion miscompile (docs/design.md pitfall 4).
+    op = make_newmark_operator(model, dt=None, linear_solver="dense_inv")
+
+    span = N_STEPS * DT
+    n_frames = 20
+    t_eval = jnp.linspace(0.0, span, n_frames + 1)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(scale=1e-6, size=(N_ENVS, n_red)), jnp.float32)
+    v = jnp.zeros((N_ENVS, n_red), jnp.float32)
+    u = jnp.zeros(n_red, jnp.float32).at[-2].set(0.1)
+
+    run = jax.jit(
+        lambda q, v: integrate_generalized_alpha_adaptive(
+            op, q, v, t_eval, u=u, rho_inf=0.8,
+            rtol=rtol, atol=rtol * 1e-3, n_newton=1, dt0=1e-5,
+        )
+    )
+    qs, vs, stats = run(q, v)
+    float(jnp.sum(qs[-1]))
+    t0 = _time.time()
+    qs, vs, stats = run(q, v)
+    float(jnp.sum(qs[-1]))
+    wall = _time.time() - t0
+
+    n_acc = int(stats.n_accepted)
+    n_rej = int(stats.n_rejected)
+    assert bool(jnp.all(jnp.isfinite(qs))), "non-finite states in benchmark"
+    env_steps_per_sec = n_acc * N_ENVS / wall
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"ERROR-CONTROLLED implicit generalized-alpha (rtol={rtol:g}, "
+                    f"ZX estimate + PI control, no manual dt) env-steps/sec/chip, "
+                    f"{N_ELEMENTS}-element {BEAM_TYPE} beam, {N_ENVS} envs, f32"
+                ),
+                "value": round(env_steps_per_sec, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(env_steps_per_sec / REF_EVALS_PER_SEC, 1),
+                "accepted_steps": n_acc,
+                "rejected_steps": n_rej,
+                "mean_dt": round(span / max(n_acc, 1), 9),
             }
         )
     )
@@ -361,6 +489,8 @@ def main():
     model = DynamicEulerBernoulliBeam(df)
     n_red = model.n_pos_states
 
+    if BENCH_TOL is not None:
+        return run_adaptive(jax, jnp, model, n_red, float(BENCH_TOL))
     if ENGINE in ("modal", "modal_pallas") and BEAM_TYPE == "linear":
         return run_modal(jax, jnp, model, n_red, use_pallas=(ENGINE == "modal_pallas"))
     if ENGINE == "modal_rom_pallas" and BEAM_TYPE == "linear":
@@ -434,6 +564,14 @@ def main():
     ref = REF_EVALS_PER_SEC if BEAM_TYPE == "linear" else REF_EVALS_PER_SEC_NONLINEAR
     vs_baseline = env_steps_per_sec / ref
 
+    from continuum_robot_tpu.utils.roofline import program_cost
+
+    cost = program_cost(run, q1, v1, a1, u)
+    extra = roofline_fields(
+        cost, wall,
+        tier="bf16" if PRECISION == "default" else "f32",
+        model_tag="xla",
+    )
     print(
         json.dumps(
             {
@@ -444,6 +582,7 @@ def main():
                 "value": round(env_steps_per_sec, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(vs_baseline, 1),
+                **extra,
             }
         )
     )
