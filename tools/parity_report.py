@@ -121,18 +121,98 @@ def trajectory_parity():
             {"enable_fluid_effects": True, "fluid_density": 1000.0,
              "enable_gravity_effects": True}),
     }
+    horizon = meta["t_final"]
     for name, (types, fp) in configs.items():
         csv = helpers.write_beam_csv(types)
         beam = DynamicEulerBernoulliBeam(csv, ForceParams(**fp))
         n = beam.n_pos_states
         u = helpers.tip_impulse(n, meta["impulse_amplitude"], meta["impulse_t_end"])
-        res = simulate(beam, np.zeros(2 * n), meta["t_final"], meta["dt"],
-                       method="dopri5", u=u, rtol=1e-10, atol=1e-12)
+        res = simulate(beam, np.zeros(2 * n), horizon, meta["dt"],
+                       method="dopri5", u=u, rtol=1e-11, atol=1e-13)
         y_ref = data[f"{name}_y"]
         y_new = np.asarray(res.ys).T[:, : y_ref.shape[1]]
-        row("trajectory (0.1s)", name,
-            np.abs(y_new - y_ref).max() / np.abs(y_ref).max(), 1e-5)
+        row(f"trajectory ({horizon:g}s)", name,
+            np.abs(y_new - y_ref).max() / np.abs(y_ref).max(), 1e-6)
         os.unlink(csv)
+
+    # Production-scale stiff config: the same 1.5 m beam at 60 elements
+    # (~100x higher omega_max). Linear + no forces -> the exact ZOH
+    # propagator is the right engine (zero integration error for the
+    # piecewise-constant impulse), run in f64.
+    if "stiff60_y" in data:
+        from continuum_robot_tpu.ops.exponential import make_expm_propagator
+        import jax.numpy as jnp
+
+        n_el = int(meta["stiff_n_elements"])
+        csv = helpers.write_beam_csv(
+            ["linear"] * n_el, length=meta["stiff_segment_length"]
+        )
+        beam = DynamicEulerBernoulliBeam(csv)
+        n = beam.n_pos_states
+        prop = make_expm_propagator(beam, meta["dt"], dtype=jnp.float64)
+        n_frames = int(round(horizon / meta["dt"]))
+        u_frames = np.zeros((n_frames, n))
+        n_imp = int(round(meta["impulse_t_end"] / meta["dt"]))
+        u_frames[:n_imp, -2] = meta["impulse_amplitude"]
+        ys = np.asarray(prop(jnp.zeros(2 * n), jnp.asarray(u_frames)))
+        y_ref = data["stiff60_y"]
+        y_new = ys.T[:, : y_ref.shape[1]]
+        row(f"trajectory ({horizon:g}s)", f"stiff60 ({n_el} elements, exact ZOH)",
+            np.abs(y_new - y_ref).max() / np.abs(y_ref).max(), 1e-6)
+        os.unlink(csv)
+
+
+def lqr_closed_loop_parity():
+    """Full reference LQR workload: gravity beam, CARE gain, closed loop.
+
+    Matches ``examples/lqr_control.py:87-130`` — uncontrolled and
+    controlled trajectories vs the committed tight-tolerance LSODA golden
+    (``tools/make_goldens.lqr_closed_loop_goldens``).
+    """
+    import jax.numpy as jnp
+
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam, ForceParams
+    from continuum_robot_tpu.models.simulate import simulate
+
+    path = os.path.join(REPO, "tests", "goldens", "lqr_closed_loop.npz")
+    if not os.path.exists(path):
+        ROWS.append("LQR closed loop      (skipped: golden not present)")
+        return
+    g = np.load(path)
+    csv = helpers.write_beam_csv(["linear"] * 6)
+    beam = DynamicEulerBernoulliBeam(
+        csv, ForceParams(enable_gravity_effects=True)
+    )
+    n = beam.n_pos_states
+    K_gain = jnp.asarray(g["K_gain"])
+    amplitude, duration = 10.0, 0.01
+    base = jnp.zeros(n)
+    tip = base.at[-2].set(amplitude)
+
+    rhs = beam.build_rhs()
+    from continuum_robot_tpu.ops import integrators
+
+    for tag, controlled in [("uncontrolled", False), ("controlled", True)]:
+        # The feedback force is state-dependent, so it rides inside the
+        # rhs rather than through the t-only ``u`` channel.
+        def rhs_cl(t, x, _u=None, controlled=controlled):
+            dist = jnp.where(t < duration, tip, base)
+            u_vec = dist
+            if controlled:
+                u_vec = u_vec - jnp.einsum("ij,...j->...i", K_gain, x)
+            return rhs(t, x, u_vec)
+
+        t_eval = jnp.arange(0.0, 1.0 + 5e-4, 1e-3)
+        xs, _ = jax.jit(
+            lambda x0, f=rhs_cl: integrators.integrate_adaptive(
+                f, x0, t_eval, rtol=1e-11, atol=1e-13
+            )
+        )(jnp.zeros(2 * n, jnp.float64))
+        y_ref = g[f"{tag}_y"]
+        y_new = np.asarray(xs).T[:, : y_ref.shape[1]]
+        row("LQR closed loop (1s)", tag,
+            np.abs(y_new - y_ref).max() / np.abs(y_ref).max(), 1e-6)
+    os.unlink(csv)
 
 
 def modal_engine_parity():
@@ -191,6 +271,7 @@ if __name__ == "__main__":
     trajectory_parity()
     modal_engine_parity()
     lqr_parity()
+    lqr_closed_loop_parity()
     print("\nPARITY REPORT — continuum-robot-tpu vs reference")
     print("=" * 86)
     for r in ROWS:
