@@ -110,6 +110,7 @@ def roofline_fields(cost, wall_s, tier="f32", model_tag="xla"):
         "ceiling_mxu_bf16_tflops": round(
             ceilings["mxu_bf16_flops"] / 1e12, 2
         ),
+        "ceiling_vpu_f32_tflops": round(ceilings["vpu_f32_flops"] / 1e12, 2),
         "ceiling_hbm_gbps": round(ceilings["hbm_bytes_per_sec"] / 1e9, 1),
     }
 
@@ -234,17 +235,31 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
 
     env_steps_per_sec = N_STEPS * N_ENVS / wall
     engine = "fused-Pallas modal" if use_pallas else "modal"
-    # Work model: XLA's cost analysis of the identical-recurrence XLA
-    # engine (the Pallas kernel is a custom call XLA cannot analyze; it
-    # runs the same arithmetic with fewer HBM roundtrips, so the XLA count
-    # is a faithful FLOP model and a conservative byte model).
-    from continuum_robot_tpu.utils.roofline import program_cost
+    # Work model: XLA's cost analysis of ONE STEP of the identical-
+    # recurrence XLA engine, scaled by the step count (cost_analysis counts
+    # a scan body once regardless of trip count — see scan_program_cost).
+    # The Pallas kernel is a custom call XLA cannot analyze; it runs the
+    # same arithmetic with fewer HBM roundtrips, so the XLA count is a
+    # faithful FLOP model and a conservative byte model.
+    from continuum_robot_tpu.utils.roofline import scan_program_cost
 
-    cost = program_cost(lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS), eta, etad)
-    extra = roofline_fields(
-        cost, wall, tier="f32",
-        model_tag="xla" if not use_pallas else "xla-twin",
+    step = ms._step_fn(jnp.asarray(eta).dtype, u_m)
+    cost = scan_program_cost(
+        step, (e1, ed1, e1), jnp.asarray(0.0, jnp.asarray(eta).dtype), N_STEPS
     )
+    model_tag = "xla" if not use_pallas else "xla-twin"
+    if cost is not None and use_pallas:
+        # The fused kernel keeps the (eta, etad, etadd) carry in VMEM for
+        # the whole span: actual HBM traffic is the carry in + out once
+        # per ROLLOUT (plus O(modes) constants), not once per step. The
+        # per-step byte model is the XLA engine's — honest there, 1000x
+        # overstated here — so swap in the analytic traffic.
+        state_bytes = 3 * int(np.prod(jnp.asarray(eta).shape)) * eta.dtype.itemsize
+        cost = {"flops": cost["flops"], "bytes": 2.0 * state_bytes}
+        model_tag = "xla-twin-flops/analytic-bytes"
+    # The modal recurrence is pure elementwise work: its compute ceiling
+    # is the VPU, not the MXU.
+    extra = roofline_fields(cost, wall, tier="vpu", model_tag=model_tag)
     print(
         json.dumps(
             {
@@ -343,12 +358,13 @@ def run_modal_rom(jax, jnp, model, n_red):
     assert bool(jnp.all(jnp.isfinite(q2))), "non-finite states in benchmark"
 
     env_steps_per_sec = N_STEPS * N_ENVS / wall
-    from continuum_robot_tpu.utils.roofline import program_cost
+    # Single-step XLA cost x step count (see scan_program_cost: XLA's
+    # cost_analysis counts a scan body once regardless of trip count).
+    from continuum_robot_tpu.utils.roofline import scan_program_cost
 
-    cost = program_cost(
-        lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
-                                 precision=prec, nl_precision=nl_prec),
-        eta, etad,
+    step = ms._step_fn(jnp.float32, u_m, 1, prec, nl_prec)
+    cost = scan_program_cost(
+        step, (e1, ed1, e1), jnp.asarray(0.0, jnp.float32), N_STEPS
     )
     extra = roofline_fields(
         cost, wall, tier="f32",
@@ -564,9 +580,20 @@ def main():
     ref = REF_EVALS_PER_SEC if BEAM_TYPE == "linear" else REF_EVALS_PER_SEC_NONLINEAR
     vs_baseline = env_steps_per_sec / ref
 
-    from continuum_robot_tpu.utils.roofline import program_cost
+    # Single-step XLA cost x step count (see scan_program_cost: XLA's
+    # cost_analysis counts a scan body once regardless of trip count).
+    from continuum_robot_tpu.utils.roofline import scan_program_cost
 
-    cost = program_cost(run, q1, v1, a1, u)
+    def one_step(carry, _t):
+        qq, vv, aa = carry
+        qq, vv, aa = generalized_alpha_step(
+            op, 0.0, qq, vv, aa, DT, u, rho_inf=RHO_INF, n_newton=n_newton
+        )
+        return (qq, vv, aa), None
+
+    cost = scan_program_cost(
+        one_step, (q1, v1, a1), jnp.zeros((), dtype), N_STEPS
+    )
     extra = roofline_fields(
         cost, wall,
         tier="bf16" if PRECISION == "default" else "f32",

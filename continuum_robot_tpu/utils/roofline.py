@@ -35,15 +35,60 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
+def _timed(fn, arg, reps=2) -> float:
+    """Best-of-``reps`` wall time of one synced call (fn must be warm)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(fn(arg))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _autoscale_rate(build, work_per_iter, iters0=8, min_wall=0.5, rounds=4):
+    """Differential rate of ``build(iters) -> (jitted_fn, arg)`` programs.
+
+    On the axon backend every jitted call carries a fixed multi-ms tunnel
+    overhead (measured ~40 ms), which contaminates any single-call timing:
+    short runs under-report by up to 10x (the 8-iter HBM copy reported
+    66 GB/s for an ~800 GB/s part) and near-threshold runs mis-report
+    unpredictably. Two steps make the ceiling honest:
+
+    1. Grow the scan length until one call's wall clock reaches
+       ``min_wall`` (so the marginal times below are overhead-dominated
+       by real work); ``rounds`` bounds the recompiles.
+    2. Time the program at ``iters`` and ``2*iters`` and return the
+       MARGINAL rate ``iters*work_per_iter / (wall2 - wall1)`` — the
+       fixed per-call overhead cancels exactly.
+    """
+    iters, wall = iters0, 0.0
+    for _ in range(rounds):
+        fn, arg = build(iters)
+        _sync(fn(arg))  # compile + warm
+        wall = _timed(fn, arg, reps=1)
+        if wall >= min_wall:
+            break
+        # At least 2x, at most 64x per round; aim 1.5x past the target so
+        # one growth round usually suffices.
+        scale = min(max(1.5 * min_wall / max(wall, 1e-4), 2.0), 64.0)
+        iters = int(np.ceil(iters * scale))
+    wall1 = _timed(fn, arg)
+    fn2, arg2 = build(2 * iters)
+    _sync(fn2(arg2))
+    wall2 = _timed(fn2, arg2)
+    return work_per_iter * iters / max(wall2 - wall1, 1e-6)
+
+
 def measure_matmul_ceiling(
-    n: int = 4096, precision=None, dtype=jnp.float32, iters: int = 8
+    n: int = 4096, precision=None, dtype=jnp.float32, min_wall: float = 0.5
 ) -> float:
     """Measured matmul FLOP/s at the given precision tier (one device).
 
-    ``iters`` chained matmuls amortize dispatch; 2 n^3 FLOPs each. The
-    HIGHEST tier is the ceiling for this framework's solve path (true-f32
-    accumulate); DEFAULT is the bf16 headline the sweep-grade dials can
-    reach.
+    Chained matmuls (2 n^3 FLOPs each) inside one scan amortize dispatch;
+    the chain length auto-scales until the run is long enough to swamp the
+    axon tunnel overhead (see ``_autoscale_rate``). The HIGHEST tier is
+    the ceiling for this framework's solve path (true-f32 accumulate);
+    DEFAULT is the bf16 headline the sweep-grade dials can reach.
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -51,49 +96,94 @@ def measure_matmul_ceiling(
         np.random.default_rng(0).normal(size=(n, n)) / np.sqrt(n), dtype
     )
 
-    @jax.jit
-    def chain(x):
-        def body(c, _):
-            return jnp.dot(c, x, precision=precision), None
+    def build(iters):
+        @jax.jit
+        def chain(x):
+            def body(c, _):
+                return jnp.dot(c, x, precision=precision), None
 
-        out, _ = jax.lax.scan(body, x, None, length=iters)
-        return out
+            out, _ = jax.lax.scan(body, x, None, length=iters)
+            return out
 
-    _sync(chain(a))  # compile + warm
-    t0 = time.perf_counter()
-    _sync(chain(a))
-    wall = time.perf_counter() - t0
-    return 2.0 * n**3 * iters / wall
+        return chain, a
+
+    return _autoscale_rate(build, 2.0 * n**3, min_wall=min_wall)
 
 
-def measure_hbm_ceiling(mbytes: int = 512, iters: int = 8) -> float:
+def measure_hbm_ceiling(mbytes: int = 512, min_wall: float = 0.5) -> float:
     """Measured HBM streaming bandwidth (bytes/s, read+write of a copy)."""
     n = mbytes * 1024 * 1024 // 4
     x = jnp.zeros((n,), jnp.float32)
 
-    @jax.jit
-    def chain(v):
-        def body(c, _):
-            return c + 1.0, None  # one read + one write per element
+    def build(iters):
+        @jax.jit
+        def chain(v):
+            def body(c, _):
+                return c + 1.0, None  # one read + one write per element
 
-        out, _ = jax.lax.scan(body, v, None, length=iters)
-        return out
+            out, _ = jax.lax.scan(body, v, None, length=iters)
+            return out
 
-    _sync(chain(x))
-    t0 = time.perf_counter()
-    _sync(chain(x))
-    wall = time.perf_counter() - t0
-    return 2.0 * 4 * n * iters / wall
+        return chain, x
+
+    return _autoscale_rate(build, 2.0 * 4 * n, min_wall=min_wall)
+
+
+def measure_vpu_ceiling(
+    mbytes: int = 64, chain: int = 256, min_wall: float = 0.5
+) -> float:
+    """Measured elementwise (VPU) f32 FLOP/s.
+
+    The modal engines are pure elementwise recurrences — their compute
+    ceiling is the vector unit, not the MXU. The probe is a ``chain``-long
+    dependent elementwise chain ``y <- y*y + eps`` fused over one array:
+    one FMA per element per link, counted as 2 FLOPs (the standard FMA
+    convention — the earlier 3-FLOP count of ``y*y*eps + y`` overcounted
+    what the VPU issues as mul+FMA). Arithmetic intensity is
+    ``2*chain/8`` FLOP/byte — far above the HBM knee, so the measurement
+    is genuinely compute-bound; an outer scan auto-scales total work past
+    the tunnel overhead.
+    """
+    n = mbytes * 1024 * 1024 // 4
+    x = jnp.full((n,), 0.5, jnp.float32)
+    eps = jnp.float32(1e-7)
+
+    def build(iters):
+        @jax.jit
+        def run(y):
+            def body(c, _):
+                for _ in range(chain):
+                    c = c * c + eps
+                return c, None
+
+            out, _ = jax.lax.scan(body, y, None, length=iters)
+            return out
+
+        return run, x
+
+    return _autoscale_rate(build, 2.0 * n * chain, iters0=2, min_wall=min_wall)
 
 
 def measure_ceilings(quick: bool = False) -> dict:
-    """Both rooflines, measured on the current default device."""
+    """All rooflines, measured on the current default device.
+
+    ``quick`` shrinks the per-iteration problem, not the total timed work
+    — auto-scaling keeps even quick runs past the tunnel-overhead floor
+    (at a shorter 0.15 s target), so quick ceilings stay within ~10% of
+    full ones instead of 10x under.
+    """
     n = 2048 if quick else 4096
     mb = 128 if quick else 512
+    mw = 0.15 if quick else 0.5
     return {
-        "mxu_f32_flops": measure_matmul_ceiling(n, jax.lax.Precision.HIGHEST),
-        "mxu_bf16_flops": measure_matmul_ceiling(n, jax.lax.Precision.DEFAULT),
-        "hbm_bytes_per_sec": measure_hbm_ceiling(mb),
+        "mxu_f32_flops": measure_matmul_ceiling(
+            n, jax.lax.Precision.HIGHEST, min_wall=mw
+        ),
+        "mxu_bf16_flops": measure_matmul_ceiling(
+            n, jax.lax.Precision.DEFAULT, min_wall=mw
+        ),
+        "vpu_f32_flops": measure_vpu_ceiling(16 if quick else 64, min_wall=mw),
+        "hbm_bytes_per_sec": measure_hbm_ceiling(mb, min_wall=mw),
     }
 
 
@@ -122,6 +212,28 @@ def program_cost(fn: Callable, *args, static_argnums=()) -> Optional[dict]:
         return None
 
 
+def scan_program_cost(step_fn, carry, xs_elt, n_steps: int) -> Optional[dict]:
+    """Cost of ``n_steps`` iterations of a scan body.
+
+    XLA's ``cost_analysis()`` counts a while/scan body ONCE regardless of
+    trip count (verified on this backend: scan lengths 10/100/1000 report
+    identical flops), so analyzing a whole rollout under-reports the work
+    by the step count. This analyzes the jitted SINGLE-STEP program
+    ``step_fn(carry, xs_elt)`` and scales by ``n_steps`` — the honest model
+    for step-dominated rollouts. Bytes are per-step state+constant traffic
+    times steps, which matches the one-HBM-roundtrip-per-step XLA engines
+    exactly and is deliberately conservative for fused kernels that keep
+    the carry in VMEM.
+    """
+    c = program_cost(step_fn, carry, xs_elt)
+    if c is None:
+        return None
+    return {
+        "flops": c["flops"] * n_steps,
+        "bytes": c["bytes"] * n_steps,
+    }
+
+
 def utilization(
     flops: float,
     nbytes: float,
@@ -132,11 +244,15 @@ def utilization(
     """Achieved rates vs measured ceilings.
 
     ``roofline_frac`` is achieved/ceiling on the binding resource: compute
-    (against the tier's MXU ceiling) or memory (against HBM), whichever
-    fraction is higher — i.e. how close the program is to SOME hardware
-    limit.
+    (against the tier's compute-unit ceiling — MXU for matmul-dominated
+    programs, VPU for elementwise recurrences via ``precision_tier="vpu"``)
+    or memory (against HBM), whichever fraction is higher — i.e. how close
+    the program is to SOME hardware limit.
     """
-    mxu_key = "mxu_bf16_flops" if precision_tier == "bf16" else "mxu_f32_flops"
+    mxu_key = {
+        "bf16": "mxu_bf16_flops",
+        "vpu": "vpu_f32_flops",
+    }.get(precision_tier, "mxu_f32_flops")
     flops_per_sec = flops / wall_s
     bytes_per_sec = nbytes / wall_s
     frac_compute = flops_per_sec / ceilings[mxu_key]
