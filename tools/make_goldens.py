@@ -167,7 +167,12 @@ def trajectory_goldens(only=None):
             atol=ATOL,
         )
         assert sol.success, f"{name}: {sol.message}"
-        np.savez(part, t=sol.t, y=sol.y)
+        # Embed the oracle settings: merge refuses parts from an older
+        # generation (a stale part silently mixed into trajectories.npz
+        # once shipped an rtol-1e-10 golden whose own LSODA phase drift
+        # exceeded the parity bar).
+        np.savez(part, t=sol.t, y=sol.y, rtol=RTOL, atol=ATOL,
+                 t_final=T_FINAL)
         os.unlink(csv)
         print(
             f"  {name}: nfev={sol.nfev} |y|max={np.abs(sol.y).max():.3e} "
@@ -242,7 +247,7 @@ def exact_zoh_golden(name, types, seg_len):
     for k in range(n_frames):
         xs[k + 1] = Phi @ xs[k] + (g_imp if k < n_imp else 0.0)
     t = np.arange(n_frames + 1) * DT
-    np.savez(part, t=t, y=xs.T)
+    np.savez(part, t=t, y=xs.T, method="exact_zoh", t_final=T_FINAL)
     print(
         f"  {name}: exact ZOH |y|max={np.abs(xs).max():.3e} "
         f"({time.time() - t0:.0f}s)",
@@ -260,6 +265,20 @@ def merge_trajectory_parts():
             missing.append(name)
             continue
         d = np.load(part)
+        # Generation guard: refuse parts whose recorded oracle settings
+        # don't match this module's (or legacy parts with none recorded).
+        if "method" in d:  # exact-ZOH part
+            stale = float(d["t_final"]) != T_FINAL
+        elif "rtol" in d:
+            stale = (float(d["rtol"]) != RTOL or float(d["atol"]) != ATOL
+                     or float(d["t_final"]) != T_FINAL)
+        else:
+            stale = True
+        if stale:
+            raise SystemExit(
+                f"merge: {part} was generated with different oracle "
+                "settings (or none recorded) — delete it and regenerate"
+            )
         out[f"{name}_t"] = d["t"]
         out[f"{name}_y"] = d["y"]
     if missing:
