@@ -100,9 +100,15 @@ def roofline_fields(cost, wall_s, tier="f32", model_tag="xla"):
 
     ceilings = measure_ceilings(quick=os.environ.get("BENCH_QUICK") == "1")
     util = utilization(cost["flops"], cost["bytes"], wall_s, ceilings, tier)
+    extra_bytes = (
+        {"hbm_gbps_logical": round(cost["bytes_logical"] / wall_s / 1e9, 2)}
+        if "bytes_logical" in cost
+        else {}
+    )
     return {
         "flops_per_sec": round(util["flops_per_sec"], 1),
         "hbm_gbps": round(util["hbm_gbps"], 2),
+        **extra_bytes,
         "roofline_frac": round(util["roofline_frac"], 4),
         "bound": util["bound"],
         "cost_model": model_tag,
@@ -248,15 +254,28 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
         step, (e1, ed1, e1), jnp.asarray(0.0, jnp.asarray(eta).dtype), N_STEPS
     )
     model_tag = "xla" if not use_pallas else "xla-twin"
-    if cost is not None and use_pallas:
-        # The fused kernel keeps the (eta, etad, etadd) carry in VMEM for
-        # the whole span: actual HBM traffic is the carry in + out once
-        # per ROLLOUT (plus O(modes) constants), not once per step. The
-        # per-step byte model is the XLA engine's — honest there, 1000x
-        # overstated here — so swap in the analytic traffic.
+    if cost is not None:
         state_bytes = 3 * int(np.prod(jnp.asarray(eta).shape)) * eta.dtype.itemsize
-        cost = {"flops": cost["flops"], "bytes": 2.0 * state_bytes}
-        model_tag = "xla-twin-flops/analytic-bytes"
+        if use_pallas:
+            # The fused kernel keeps the (eta, etad, etadd) carry in VMEM
+            # for the whole span: actual HBM traffic is the carry in + out
+            # once per ROLLOUT (plus O(modes) constants), not once per
+            # step. The per-step byte model is the XLA twin's — ~1000x
+            # overstated here — so swap in the analytic traffic.
+            cost = {"flops": cost["flops"], "bytes": 2.0 * state_bytes}
+            model_tag = "xla-twin-flops/analytic-bytes"
+        else:
+            # XLA cost_analysis bytes are logical accesses (fusion keeps
+            # most off HBM); use the per-step compulsory IO (carry in+out
+            # + coefficient columns) as the physical floor and report the
+            # logical count alongside (see run_modal_rom for rationale).
+            col_bytes = 3 * int(jnp.asarray(eta).shape[-1]) * 4
+            cost = {
+                "flops": cost["flops"],
+                "bytes": (2.0 * state_bytes + col_bytes) * N_STEPS,
+                "bytes_logical": cost["bytes"],
+            }
+            model_tag = "xla-flops/io-bytes"
     # The modal recurrence is pure elementwise work: its compute ceiling
     # is the VPU, not the MXU.
     extra = roofline_fields(cost, wall, tier="vpu", model_tag=model_tag)
@@ -366,10 +385,51 @@ def run_modal_rom(jax, jnp, model, n_red):
     cost = scan_program_cost(
         step, (e1, ed1, e1), jnp.asarray(0.0, jnp.float32), N_STEPS
     )
-    extra = roofline_fields(
-        cost, wall, tier="f32",
-        model_tag="xla" if ENGINE == "modal_rom" else "xla-twin",
+    model_tag = "xla" if ENGINE == "modal_rom" else "xla-twin"
+    if cost is not None:
+        state_bytes = 3 * N_ENVS * ms.n_modes * 4
+        const_bytes = sum(
+            int(np.prod(np.shape(a))) * 4
+            for a in (ms.Phi, ms.PhiW, ms.Sinv)
+        )
+        if ENGINE == "modal_rom_pallas":
+            # The fused kernel keeps states AND bases/operators
+            # VMEM-resident across the whole span; per-rollout HBM traffic
+            # is the state carry in+out plus one read of the constants —
+            # not the XLA twin's per-step roundtrips (which overstated
+            # bytes ~N_STEPS x and put the reported bandwidth 5x above the
+            # measured ceiling).
+            cost = {
+                "flops": cost["flops"],
+                "bytes": 2.0 * state_bytes + const_bytes,
+            }
+            model_tag = "xla-twin-flops/analytic-bytes"
+        else:
+            # XLA cost_analysis "bytes" counts LOGICAL buffer accesses of
+            # every op — fusion keeps most of those out of HBM, so using
+            # it as traffic reported 3.5x the measured ceiling. The
+            # physical floor is the per-step compulsory IO: scan carry
+            # in+out plus one stream of the reduced operators. Real
+            # traffic sits in [io, logical]; roofline_frac uses the floor
+            # (a LOWER bound on memory-side utilization) and the logical
+            # count is reported alongside.
+            cost = {
+                "flops": cost["flops"],
+                "bytes": (2.0 * state_bytes + const_bytes) * N_STEPS,
+                "bytes_logical": cost["bytes"],
+            }
+            model_tag = "xla-flops/io-bytes"
+    # Tier: the ROM step's matmuls run at PRECISION (linear/solve) and
+    # NL_PRECISION (element-force transforms). Unless both are HIGHEST,
+    # passes execute on the bf16 MXU datapath, so the bf16 ceiling is the
+    # only sound comparator (the f32 ceiling put roofline_frac > 1);
+    # roofline_frac is then a LOWER bound on utilization of the true
+    # mixed-precision ceiling.
+    rom_tier = (
+        "f32" if PRECISION == "highest" and NL_PRECISION == "highest"
+        else "bf16"
     )
+    extra = roofline_fields(cost, wall, tier=rom_tier, model_tag=model_tag)
     print(
         json.dumps(
             {
