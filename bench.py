@@ -310,17 +310,13 @@ def run_modal_rom(jax, jnp, model, n_red):
     RHO_INF = 0.5  # same dissipation as the dense nonlinear benchmark
     ms = make_modal_rom(model, DT, rho_inf=RHO_INF, n_modes=N_MODES)
 
-    # Optional ECSW hyper-reduction (XLA engine only): BENCH_ECSW_TAU sets
-    # the training tolerance; the sample is trained on a short impulse
-    # rollout of the same beam.
+    # Optional ECSW hyper-reduction: BENCH_ECSW_TAU sets the training
+    # tolerance; the sample is trained on a short impulse rollout of the
+    # same beam. Works with both engines — the fused kernel consumes the
+    # gathered-sample layout directly (rom_rollout.py).
     ecsw_tau = os.environ.get("BENCH_ECSW_TAU")
     ecsw_tag = ""
     if ecsw_tau is not None:
-        if ENGINE == "modal_rom_pallas":
-            raise SystemExit(
-                "BENCH_ECSW_TAU applies to ENGINE=modal_rom (the fused "
-                "kernel does not consume the gathered-sample layout)"
-            )
         u_tr = np.zeros(n_red, np.float32)
         u_tr[-2] = 3.0
         u_tr_m = jnp.asarray(ms.project_force_host(u_tr), jnp.float32)
@@ -388,9 +384,18 @@ def run_modal_rom(jax, jnp, model, n_red):
     model_tag = "xla" if ENGINE == "modal_rom" else "xla-twin"
     if cost is not None:
         state_bytes = 3 * N_ENVS * ms.n_modes * 4
+        # Constants the split fast path actually streams per step: the
+        # planar (or ECSW-gathered) bases, the diagonal linear operator,
+        # and the Newton inverse (diagonal column when the engine records
+        # one — counting the unused dense Sinv put the IO floor above the
+        # measured HBM ceiling on the ECSW run).
+        step_consts = [
+            ms.Phi_planar, ms.PhiW_planar, ms.lam,
+            ms.Sinv_diag if ms.Sinv_diag is not None else ms.Sinv,
+        ]
         const_bytes = sum(
             int(np.prod(np.shape(a))) * 4
-            for a in (ms.Phi, ms.PhiW, ms.Sinv)
+            for a in step_consts if a is not None
         )
         if ENGINE == "modal_rom_pallas":
             # The fused kernel keeps states AND bases/operators

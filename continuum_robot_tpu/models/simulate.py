@@ -653,6 +653,17 @@ class ModalROMGenAlpha:
     guard_PhiW: Optional[np.ndarray] = None
     guard_correction: Optional[Callable] = None
     guard_train_tau: Optional[float] = None
+    # Host NumPy element parameters of the ECSW sample (set by
+    # hyper_reduce): {length, EI, EA, nonlinear_mask}, each (s,). The fused
+    # Pallas rollout consumes these to evaluate the gathered-layout
+    # correction in-kernel (ECSW weights are already folded into
+    # ``PhiW_planar``). None on non-hyper-reduced engines.
+    sampled_params: Optional[dict] = None
+    # Diagonal of ``Sinv`` when the reduced effective Jacobian is diagonal
+    # to roundoff (the Petrov-Galerkin eigenbasis case — see
+    # make_modal_rom): the steppers then replace the (m, m) Newton solve
+    # dot with a per-mode multiply. None when modes genuinely couple.
+    Sinv_diag: Optional[np.ndarray] = None
 
     @property
     def n_modes(self) -> int:
@@ -741,7 +752,19 @@ class ModalROMGenAlpha:
                  nl_precision=None):
         am, af, beta, gamma = self._coeffs()
         dt = self.dt
-        Sinv = jnp.asarray(self.Sinv, dtype=dtype)
+        if self.Sinv_diag is not None:
+            sinv_d = jnp.asarray(self.Sinv_diag, dtype=dtype)
+
+            def solve(r):
+                return sinv_d * r
+
+        else:
+            Sinv = jnp.asarray(self.Sinv, dtype=dtype)
+
+            def solve(r):
+                return jnp.einsum("mk,...k->...m", Sinv, r,
+                                  precision=precision)
+
         u_at = ModalGenAlpha._force_at(u_modal, dtype)
         t_af_off = (1.0 - af) * dt
 
@@ -760,8 +783,7 @@ class ModalROMGenAlpha:
                 r = a_am + self._force_modal(
                     eta_af, etad_af, t_af, dtype, precision, nl_precision
                 ) - u_at(t_af)
-                da = jnp.einsum("mk,...k->...m", Sinv, r, precision=precision)
-                return a1 - da
+                return a1 - solve(r)
 
             a1 = jax.lax.fori_loop(0, n_newton, newton_body, etadd)
             eta1 = eta_pred + beta * dt * dt * a1
@@ -819,8 +841,9 @@ class ModalROMGenAlpha:
         not assumed (tests/test_modal_rom.py).
 
         Only the split planar fast path can be hyper-reduced (parity
-        kernel, no external forces). The fused Pallas kernel does not
-        consume the gathered layout (``make_pallas_rollout`` raises).
+        kernel, no external forces). The returned engine supports the
+        fused Pallas rollout: ``make_pallas_rollout`` builds the
+        gathered-layout kernel from ``sampled_params``.
         """
         if self.lam is None or self.planar_correction is None:
             raise ValueError(
@@ -940,11 +963,15 @@ class ModalROMGenAlpha:
             Phi_planar=Phi6,
             PhiW_planar=W6,
             planar_correction=g_sampled,
-            window_params=None,  # marks the gathered layout (no fused kernel)
+            window_params=None,  # marks the gathered layout for _force_modal
             guard_Phi=self.Phi_planar,
             guard_PhiW=self.PhiW_planar,
             guard_correction=self.planar_correction,
             guard_train_tau=float(tau),
+            sampled_params={
+                "length": L_s, "EI": D_s, "EA": A_s,
+                "nonlinear_mask": mask_s,
+            },
         )
         if return_info:
             resid = G @ xi - d
@@ -1609,6 +1636,18 @@ def make_modal_rom(
     m = V.shape[1]
     S = (1.0 - am) * np.eye(m) + (1.0 - af) * beta * dt * dt * K0r
     Sinv = np.linalg.inv(S)
+    # Petrov-Galerkin biorthonormalization makes K0r exactly diagonal in
+    # exact arithmetic; when the off-diagonal is eigensolver roundoff
+    # (measured ~1e-12 relative), the Newton effective Jacobian is a
+    # per-mode scalar and the (m, m) solve dot in every step is wasted
+    # MXU work. Record the diagonal inverse; the steppers use it when set
+    # (the dense Sinv is kept for the augmented/defective cases where the
+    # reduced operator genuinely couples modes).
+    Sd = np.abs(np.diag(S))
+    offdiag = float(np.abs(S - np.diag(np.diag(S))).max())
+    Sinv_diag = None
+    if offdiag <= 1e-9 * float(Sd.max()):
+        Sinv_diag = np.ascontiguousarray(1.0 / np.diag(S))
 
     internal_force = assembly.make_reduced_internal_force(
         arrays, free, n_full, use_consistent=use_consistent
@@ -1668,6 +1707,7 @@ def make_modal_rom(
         PhiW_planar=W_p,
         planar_correction=planar_correction,
         window_params=window_params,
+        Sinv_diag=Sinv_diag,
     )
 
 

@@ -27,6 +27,15 @@ The element polynomials are NOT re-implemented here: the kernel calls
 ``elements.nonlinear_correction_planes`` — the same jnp function the XLA
 path uses — on VMEM-resident planes, so kernel/XLA parity is structural.
 
+ECSW hyper-reduced engines (``ModalROMGenAlpha.hyper_reduce``) are fused
+the same way from their gathered-sample layout: the six basis blocks
+[u1, w1, t1, u2, w2, t2] expand the modal state directly to per-element
+node values (the gather already duplicated shared nodes), the element
+correction evaluates on the sampled rows only, and the weight-folded test
+blocks project back — no roll adjacency at all. At the benchmark scale the
+XLA gathered engine is memory-bound at 0.82 of the measured HBM ceiling on
+per-step carry roundtrips; this kernel removes exactly that traffic.
+
 Matches ``ModalROMGenAlpha.rollout`` (same recurrence, same modified-Newton
 iteration; validated in tests/test_pallas.py and on hardware by
 ``tools/hw_validate.py``). Constant-input, no-external-force configurations
@@ -58,6 +67,8 @@ def _make_kernel(
     s_pad: int,
     precision,
     nl_precision,
+    gathered: bool = False,
+    diag_newton: bool = False,
 ):
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
@@ -65,15 +76,20 @@ def _make_kernel(
     gamma = 0.5 - am + af
     bh2 = beta * h * h
     split = nl_precision == "split"
+    # Basis row blocks: 3 DOF planes of the contiguous element window, or —
+    # for the ECSW gathered-sample layout — the six per-element-node blocks
+    # [u1, w1, t1, u2, w2, t2] (shared nodes already duplicated by the
+    # gather, so no roll/scatter adjacency is needed).
+    n_blk = 6 if gathered else 3
 
     def kernel(
         *refs,
         # Layout (split=False):
-        #   phi (3 s_pad, m_p) f32 trial basis, planar rows;
-        #   wt (m_p, 3 s_pad) f32 test basis, pre-transposed;
+        #   phi (n_blk s_pad, m_p) f32 trial basis, planar rows;
+        #   wt (m_p, n_blk s_pad) f32 test basis, pre-transposed;
         # Layout (split=True, nl_precision="split"):
-        #   phi_hi, phi_lo (3 s_pad, m_p) bf16; wt_hi, wt_lo (m_p, 3 s_pad)
-        #   bf16 — hi/lo halves as separate 2-D arrays;
+        #   phi_hi, phi_lo (n_blk s_pad, m_p) bf16; wt_hi, wt_lo
+        #   (m_p, n_blk s_pad) bf16 — hi/lo halves as separate 2-D arrays;
         # then, both modes:
         #   sinv (m_p, m_p); lam (m_p, 1); u (m_p, 1) constant modal force;
         #   L, D, A (s_pad, 1) element length/EI/EA columns (L = 1.0 in
@@ -144,10 +160,8 @@ def _make_kernel(
 
             def expand(eta_af):
                 b_pair = split_bf16(eta_af)
-                return (
-                    transform(0, s_pad, b_pair),
-                    transform(s_pad, s_pad, b_pair),
-                    transform(2 * s_pad, s_pad, b_pair),
+                return tuple(
+                    transform(k * s_pad, s_pad, b_pair) for k in range(n_blk)
                 )
 
         else:
@@ -158,34 +172,63 @@ def _make_kernel(
                 return dot(wt[:, col0 : col0 + s_pad], g, nl_precision)
 
             def expand(eta_af):
-                return (
-                    dot(phi[0:s_pad, :], eta_af, nl_precision),
-                    dot(phi[s_pad : 2 * s_pad, :], eta_af, nl_precision),
-                    dot(phi[2 * s_pad : 3 * s_pad, :], eta_af, nl_precision),
+                return tuple(
+                    dot(phi[k * s_pad : (k + 1) * s_pad, :], eta_af,
+                        nl_precision)
+                    for k in range(n_blk)
                 )
 
-        def modal_force(eta_af):
-            """lam * eta_af + W^T g(Phi eta_af), all VMEM-resident.
+        if gathered:
 
-            Expansion and projection run per DOF plane (three (s_pad, m)
-            dots each instead of one (3 s_pad, m) dot) so the full-space
-            state/force never materialize as single (3 s_pad, tile)
-            buffers — that form blows the 16 MB VMEM scoped-stack limit at
-            the benchmark scale (measured: 20.6 MB).
-            """
-            u_p, w_p, t_p = expand(eta_af)
-            # pltpu.roll requires non-negative shifts: -1 == s_pad - 1.
-            u2 = pltpu.roll(u_p, s_pad - 1, 0)
-            w2 = pltpu.roll(w_p, s_pad - 1, 0)
-            t2 = pltpu.roll(t_p, s_pad - 1, 0)
-            g1, g3, g4, g2, g5, g6 = elements.nonlinear_correction_planes(
-                u_p, w_p, t_p, u2, w2, t2, L, D, A
-            )
-            gu = mask * g1 + pltpu.roll(mask * g2, 1, 0)
-            gw = mask * g3 + pltpu.roll(mask * g5, 1, 0)
-            gt = mask * g4 + pltpu.roll(mask * g6, 1, 0)
-            g_m = project(0, gu) + project(s_pad, gw) + project(2 * s_pad, gt)
-            return lam * eta_af + g_m
+            def modal_force(eta_af):
+                """Gathered-sample (ECSW) correction, all VMEM-resident.
+
+                The six basis blocks expand eta directly to per-element
+                node states (u1, w1, t1, u2, w2, t2) — the gather already
+                duplicated shared nodes, so the element kernel applies
+                with no roll adjacency, and the six force slots project
+                back through the matching (weight-folded) test blocks.
+                Mirrors ``ModalROMGenAlpha`` + ``hyper_reduce.g_sampled``.
+                """
+                u1, w1, t1, u2, w2, t2 = expand(eta_af)
+                g_slots = elements.nonlinear_correction_planes(
+                    u1, w1, t1, u2, w2, t2, L, D, A
+                )
+                # Slot order (g1, g3, g4, g2, g5, g6) matches the gathered
+                # test-basis block order [u1, w1, t1, u2, w2, t2].
+                g_m = project(0, mask * g_slots[0])
+                for k in range(1, 6):
+                    g_m = g_m + project(k * s_pad, mask * g_slots[k])
+                return lam * eta_af + g_m
+
+        else:
+
+            def modal_force(eta_af):
+                """lam * eta_af + W^T g(Phi eta_af), all VMEM-resident.
+
+                Expansion and projection run per DOF plane (three (s_pad, m)
+                dots each instead of one (3 s_pad, m) dot) so the full-space
+                state/force never materialize as single (3 s_pad, tile)
+                buffers — that form blows the 16 MB VMEM scoped-stack limit at
+                the benchmark scale (measured: 20.6 MB).
+                """
+                u_p, w_p, t_p = expand(eta_af)
+                # pltpu.roll requires non-negative shifts: -1 == s_pad - 1.
+                u2 = pltpu.roll(u_p, s_pad - 1, 0)
+                w2 = pltpu.roll(w_p, s_pad - 1, 0)
+                t2 = pltpu.roll(t_p, s_pad - 1, 0)
+                g1, g3, g4, g2, g5, g6 = elements.nonlinear_correction_planes(
+                    u_p, w_p, t_p, u2, w2, t2, L, D, A
+                )
+                gu = mask * g1 + pltpu.roll(mask * g2, 1, 0)
+                gw = mask * g3 + pltpu.roll(mask * g5, 1, 0)
+                gt = mask * g4 + pltpu.roll(mask * g6, 1, 0)
+                g_m = (
+                    project(0, gu)
+                    + project(s_pad, gw)
+                    + project(2 * s_pad, gt)
+                )
+                return lam * eta_af + g_m
 
         def step(_, qva):
             eta, etad, etadd = qva
@@ -197,7 +240,10 @@ def _make_kernel(
                 eta_af = (1.0 - af) * eta1 + af * eta
                 a_am = (1.0 - am) * a1 + am * etadd
                 r = a_am + modal_force(eta_af) - u_m
-                a1 = a1 - dot(sinv, r, precision)
+                # Diagonal effective Jacobian (Petrov-Galerkin eigenbasis):
+                # the Newton solve is a per-mode VPU multiply, not an
+                # (m, m) MXU dot — sinv ships as an (m_p, 1) column.
+                a1 = a1 - (sinv * r if diag_newton else dot(sinv, r, precision))
             return (
                 eta_pred + bh2 * a1,
                 etad_pred + gamma * h * a1,
@@ -215,7 +261,8 @@ def _make_kernel(
 
 
 def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
-              precision, nl_precision, interpret):
+              precision, nl_precision, interpret, gathered=False,
+              diag_newton=False):
     """Shared layout/spec setup for the step and frames drivers.
 
     Returns ``(pad_state, make_call, m_p, B, Bp)``: the state padder into
@@ -241,7 +288,8 @@ def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
     def make_call(n_steps):
         kernel = _make_kernel(
             int(n_steps), float(h), float(rho_inf), int(n_newton),
-            int(s_pad), precision, nl_precision,
+            int(s_pad), precision, nl_precision, gathered=gathered,
+            diag_newton=diag_newton,
         )
         return pl.pallas_call(
             kernel,
@@ -267,7 +315,8 @@ def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
     jax.jit,
     static_argnames=(
         "steps", "chunk", "h", "rho_inf", "n_newton", "s_pad", "tile",
-        "precision", "nl_precision", "interpret",
+        "precision", "nl_precision", "interpret", "gathered",
+        "diag_newton",
     ),
 )
 def _fused_rom_call(
@@ -275,6 +324,7 @@ def _fused_rom_call(
     eta, etad, etadd,
     steps: int, chunk: int, h: float, rho_inf: float, n_newton: int,
     s_pad: int, tile: int, precision, nl_precision, interpret: bool,
+    gathered: bool = False, diag_newton: bool = False,
 ):
     # The kernel advances `chunk` steps per invocation; an XLA scan strings
     # chunks together in the kernel's native (modes, envs) layout. One
@@ -285,7 +335,8 @@ def _fused_rom_call(
     n_chunks, rem = divmod(int(steps), chunk)
     pad_state, make_call, m_p, B, Bp = _plumbing(
         basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
-        precision, nl_precision, interpret,
+        precision, nl_precision, interpret, gathered=gathered,
+        diag_newton=diag_newton,
     )
     consts = (*basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col)
     state = (pad_state(eta), pad_state(etad), pad_state(etadd))
@@ -307,7 +358,8 @@ def _fused_rom_call(
     jax.jit,
     static_argnames=(
         "n_frames", "substeps", "h", "rho_inf", "n_newton", "s_pad", "tile",
-        "precision", "nl_precision", "interpret",
+        "precision", "nl_precision", "interpret", "gathered",
+        "diag_newton",
     ),
 )
 def _fused_rom_frames(
@@ -315,12 +367,14 @@ def _fused_rom_frames(
     eta, etad, etadd,
     n_frames: int, substeps: int, h: float, rho_inf: float, n_newton: int,
     s_pad: int, tile: int, precision, nl_precision, interpret: bool,
+    gathered: bool = False, diag_newton: bool = False,
 ):
     """Frame-collecting variant: one ``substeps``-step kernel call per frame,
     state carried in the kernel's (modes, envs) layout across the span."""
     pad_state, make_call, m_p, B, Bp = _plumbing(
         basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
-        precision, nl_precision, interpret,
+        precision, nl_precision, interpret, gathered=gathered,
+        diag_newton=diag_newton,
     )
     call = make_call(substeps)
     consts = (*basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col)
@@ -359,28 +413,31 @@ class FusedROMRollout:
                 "fused ROM rollout does not support external forces; "
                 "use ModalROMGenAlpha.rollout"
             )
-        if ms.window_params is None:
+        if ms.window_params is None and ms.sampled_params is None:
             raise ValueError(
-                "fused ROM rollout does not consume the hyper-reduced "
-                "(gathered-sample) layout; use the XLA rollout for "
-                "hyper-reduced engines"
+                "engine has neither the contiguous-window nor the "
+                "ECSW gathered-sample layout; use the XLA rollout"
             )
         self.ms = ms
         self.tile = int(tile)
         self.chunk = int(chunk)
+        # ECSW gathered-sample layout: six per-element-node basis blocks
+        # (hyper_reduce), element parameters of the sample only.
+        self.gathered = ms.sampled_params is not None
+        n_blk = 6 if self.gathered else 3
 
-        Phi_p = np.asarray(ms.Phi_planar, np.float64)  # (3 n_sub, m)
+        Phi_p = np.asarray(ms.Phi_planar, np.float64)  # (n_blk n_sub, m)
         W_p = np.asarray(ms.PhiW_planar, np.float64)
-        n_sub = Phi_p.shape[0] // 3
+        n_sub = Phi_p.shape[0] // n_blk
         m = Phi_p.shape[1]
         s_pad = _round_up(n_sub, 128)
         m_p = _round_up(m, 128)
 
         def pad_basis(Bse):
-            planes = Bse.reshape(3, n_sub, m)
-            out = np.zeros((3, s_pad, m_p), np.float64)
+            planes = Bse.reshape(n_blk, n_sub, m)
+            out = np.zeros((n_blk, s_pad, m_p), np.float64)
             out[:, :n_sub, :m] = planes
-            return out.reshape(3 * s_pad, m_p)
+            return out.reshape(n_blk * s_pad, m_p)
 
         phi64 = pad_basis(Phi_p)
         wt64 = pad_basis(W_p).T
@@ -398,17 +455,26 @@ class FusedROMRollout:
         # stacked 3-D ref).
         self.phi_hi, self.phi_lo = hi_lo(phi64)
         self.wt_hi, self.wt_lo = hi_lo(wt64)
-        sinv = np.zeros((m_p, m_p), np.float64)
-        sinv[:m, :m] = np.asarray(ms.Sinv, np.float64)
+        # Diagonal effective Jacobian (see make_modal_rom.Sinv_diag):
+        # ship an (m_p, 1) column and skip the (m, m) Newton dot.
+        self.diag_newton = ms.Sinv_diag is not None
+        if self.diag_newton:
+            sinv = np.zeros((m_p, 1), np.float64)
+            sinv[:m, 0] = np.asarray(ms.Sinv_diag, np.float64)
+        else:
+            sinv = np.zeros((m_p, m_p), np.float64)
+            sinv[:m, :m] = np.asarray(ms.Sinv, np.float64)
         self.sinv = jnp.asarray(sinv, jnp.float32)
         lam_col = np.zeros((m_p, 1), np.float64)
         lam_col[:m, 0] = np.asarray(ms.lam, np.float64)
         self.lam_col = jnp.asarray(lam_col, jnp.float32)
 
-        # Element parameter columns on the restricted window (the planar
-        # correction kernel the XLA path uses closes over the same values).
-        arrays = ms.window_params
-        E = arrays["length"].shape[0]  # n_sub - 1 elements in the window
+        # Element parameter columns — of the restricted window, or of the
+        # ECSW sample (the jnp correction closure the XLA path uses closes
+        # over the same values; padded rows keep L = 1.0 so the kernel's
+        # 1/L powers stay finite, with A = 0 zeroing every correction term).
+        arrays = ms.sampled_params if self.gathered else ms.window_params
+        E = arrays["length"].shape[0]
         L_col = np.ones((s_pad, 1), np.float64)
         D_col = np.zeros((s_pad, 1), np.float64)
         A_col = np.zeros((s_pad, 1), np.float64)
@@ -516,6 +582,7 @@ class FusedROMRollout:
             rho_inf=float(self.ms.rho_inf), n_newton=int(n_newton),
             s_pad=self.s_pad, tile=self.tile,
             precision=prec, nl_precision=nl_prec, interpret=interpret,
+            gathered=self.gathered, diag_newton=self.diag_newton,
         )
 
     def frames(
@@ -539,6 +606,7 @@ class FusedROMRollout:
             h=float(self.ms.dt), rho_inf=float(self.ms.rho_inf),
             n_newton=int(n_newton), s_pad=self.s_pad, tile=self.tile,
             precision=prec, nl_precision=nl_prec, interpret=interpret,
+            gathered=self.gathered, diag_newton=self.diag_newton,
         )
         ts = (self.ms.dt * substeps) * jnp.arange(n_frames + 1)
         return ts, etas, etads

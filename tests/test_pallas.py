@@ -219,6 +219,70 @@ class TestFusedROMRollout:
             np.asarray(e2), np.asarray(e1), atol=1e-6 * scale
         )
 
+    def test_matches_xla_rollout_ecsw_gathered(self):
+        """ECSW hyper-reduced engine: fused gathered kernel == XLA gathered.
+
+        Pins the gathered-layout kernel path (six basis blocks, no roll
+        adjacency, sample-only element columns) against the XLA
+        pseudo-plane path on the SAME hyper-reduced engine — identical
+        sample, identical folded weights, identical recurrence.
+        """
+        import jax
+
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(helpers.nonlinear_csv)
+        # Train the sample on a short impulse rollout (the bench recipe);
+        # tight tau keeps most elements so every code path stays live.
+        z = jnp.zeros((1, ms.n_modes), jnp.float32)
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_m, 20, substeps=5,
+                                          n_newton=2)
+        red, info = ms.hyper_reduce(
+            np.asarray(etas_tr[::2, 0, :]), tau=1e-8, return_info=True
+        )
+        assert red.sampled_params is not None
+        assert info["n_sampled"] >= 1
+        e1, ed1, ea1 = red.rollout(eta, etad, u_m, 50, n_newton=2)
+        fused = red.make_pallas_rollout(tile=128)
+        assert fused.gathered
+        e2, ed2, ea2 = fused(
+            eta, etad, u_m, 50, n_newton=2,
+            precision=jax.lax.Precision.HIGHEST,
+            nl_precision=jax.lax.Precision.HIGHEST, interpret=True,
+        )
+        for a, b in [(e1, e2), (ed1, ed2), (ea1, ea2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-6 * scale
+            )
+
+    def test_ecsw_gathered_frames(self):
+        """Frame-collecting fused rollout on the gathered layout."""
+        import jax
+
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(helpers.nonlinear_csv, B=3)
+        z = jnp.zeros((1, ms.n_modes), jnp.float32)
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_m, 20, substeps=5,
+                                          n_newton=2)
+        red = ms.hyper_reduce(np.asarray(etas_tr[::2, 0, :]), tau=1e-8)
+        ts1, e1, ed1 = red.rollout_frames(
+            eta, etad, u_m, 5, substeps=4, n_newton=1
+        )
+        fused = red.make_pallas_rollout(tile=128)
+        ts2, e2, ed2 = fused.frames(
+            eta, etad, u_m, 5, substeps=4, n_newton=1,
+            precision=jax.lax.Precision.HIGHEST,
+            nl_precision=jax.lax.Precision.HIGHEST, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ts2), np.asarray(ts1))
+        for a, b in [(e1, e2), (ed1, ed2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-6 * scale
+            )
+
     def test_rejects_external_forces(self):
         import dataclasses
 

@@ -217,6 +217,28 @@ def main():
     dev = float(jnp.abs(e_rp - e_rx).max() / jnp.abs(e_rx).max())
     report("fused ROM rollout vs XLA ROM", dev < 1e-4, f"rel dev {dev:.2e}")
 
+    # 4c. ECSW gathered-sample fused kernel vs the XLA gathered engine —
+    # the hyper-reduced layout (six basis blocks, sample-only element
+    # columns, diagonal Newton) on real hardware.
+    z = jnp.zeros((1, m_rom), jnp.float32)
+    _, etas_tr, _ = ms_rom.rollout_frames(z, z, u_rm, 20, substeps=5,
+                                          n_newton=2)
+    red = ms_rom.hyper_reduce(np.asarray(etas_tr[::2, 0, :]), tau=1e-8)
+    e_gx, _, _ = jax.jit(
+        lambda a_, b_: red.rollout(
+            a_, b_, u_rm, NS, n_newton=2, precision=P.HIGHEST,
+            nl_precision=P.HIGHEST,
+        )
+    )(eta_r, etad_r)
+    fused_g = red.make_pallas_rollout(tile=128)
+    e_gp, _, _ = fused_g(
+        eta_r, etad_r, u_rm, NS, n_newton=2,
+        precision=P.HIGHEST, nl_precision=P.HIGHEST, interpret=interpret,
+    )
+    dev = float(jnp.abs(e_gp - e_gx).max() / jnp.abs(e_gx).max())
+    report("ECSW gathered fused kernel vs XLA", dev < 1e-4,
+           f"rel dev {dev:.2e}")
+
     # 5. fused small-beam rollout vs integrator
     small = build_model(6)
     ns = small.n_pos_states
