@@ -503,6 +503,32 @@ def run_adaptive(jax, jnp, model, n_red, rtol):
     n_rej = int(stats.n_rejected)
     assert bool(jnp.all(jnp.isfinite(qs))), "non-finite states in benchmark"
     env_steps_per_sec = n_acc * N_ENVS / wall
+    # Utilization: XLA's cost_analysis counts the adaptive while-loop body
+    # (one TRIAL step: factorization at the trial dt + gen-alpha update +
+    # error estimate) exactly once, like a scan body — so the whole-program
+    # cost IS the per-trial-step cost (plus one-off setup, amortized over
+    # ~1e3 steps). Scale by the measured accepted+rejected trial count.
+    from continuum_robot_tpu.utils.roofline import program_cost
+
+    cost = program_cost(
+        lambda q0, v0: integrate_generalized_alpha_adaptive(
+            op, q0, v0, t_eval, u=u, rho_inf=0.8,
+            rtol=rtol, atol=rtol * 1e-3, n_newton=1, dt0=1e-5,
+        ),
+        q, v,
+    )
+    if cost is not None:
+        n_trial = max(n_acc + n_rej, 1)
+        cost = {
+            "flops": cost["flops"] * n_trial,
+            "bytes": cost["bytes"] * n_trial,
+            "bytes_logical": cost["bytes"] * n_trial,
+        }
+    extra = roofline_fields(
+        cost, wall,
+        tier="bf16" if PRECISION == "default" else "f32",
+        model_tag="xla-per-trial-step",
+    )
     print(
         json.dumps(
             {
@@ -517,6 +543,7 @@ def run_adaptive(jax, jnp, model, n_red, rtol):
                 "accepted_steps": n_acc,
                 "rejected_steps": n_rej,
                 "mean_dt": round(span / max(n_acc, 1), 9),
+                **extra,
             }
         )
     )

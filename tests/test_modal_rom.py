@@ -469,6 +469,35 @@ class TestHyperReduction:
 
 
 class TestApiContracts:
+    def test_diag_newton_matches_dense_solve(self):
+        """`Sinv_diag` fast path == the dense (m, m) Newton solve.
+
+        The Petrov-Galerkin reduced Jacobian is diagonal to eigensolver
+        roundoff, so make_modal_rom records the diagonal inverse and the
+        steppers skip the dense dot; forcing the dense path on the same
+        engine must give the same trajectory to that roundoff.
+        """
+        import dataclasses
+
+        model = _model(nonlinear_csv(8, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=10)
+        assert ms.Sinv_diag is not None  # plain eigenbasis: diagonal
+        ms_dense = dataclasses.replace(ms, Sinv_diag=None)
+        rng = np.random.default_rng(0)
+        eta = jnp.asarray(rng.normal(scale=3e-2, size=(4, 10)), jnp.float32)
+        etad = jnp.zeros((4, 10), jnp.float32)
+        u = np.zeros(n, np.float32)
+        u[-2] = 5.0
+        u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+        e1, ed1, _ = ms.rollout(eta, etad, u_m, 40, n_newton=2)
+        e2, ed2, _ = ms_dense.rollout(eta, etad, u_m, 40, n_newton=2)
+        for a, b in [(e1, e2), (ed1, ed2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-5 * scale
+            )
+
     def test_rollout_frames_contract(self):
         model = _model(nonlinear_csv(4, include_fluid=False))
         n = model.n_pos_states
