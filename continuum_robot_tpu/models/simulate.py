@@ -386,7 +386,16 @@ class ModalGenAlpha:
         return lambda t: u_const
 
     def _step_fn(self, dtype, u_modal):
-        """One scan-compatible generalized-alpha step in modal coordinates."""
+        """One scan-compatible generalized-alpha step in modal coordinates.
+
+        Runs the substituted single-Newton update (exact for the linear
+        system): ``a1 = winv*u + p1*a - p2*q_pred - p3*q [- p5*v_pred -
+        p6*v]`` with the per-mode coefficients of
+        ``ops.pallas.modal_rollout.mode_coeffs`` — the same expression
+        order as the fused kernel, keeping the two engines bit-identical.
+        """
+        from ..ops.pallas.modal_rollout import mode_coeffs
+
         dt = self.dt
         am = (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
         af = self.rho_inf / (self.rho_inf + 1.0)
@@ -398,25 +407,22 @@ class ModalGenAlpha:
         cdamp = (
             None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
         )
+        p1, p2, p3, p5, p6 = mode_coeffs(lam, winv, self.rho_inf, cdamp)
         u_at = self._force_at(u_modal, dtype)
         t_af_off = (1.0 - af) * dt
+        c_qp = (0.5 - beta) * dt * dt
+        c_vp = (1.0 - gamma) * dt
+        bh2 = beta * dt * dt
+        gh = gamma * dt
 
         def step(carry, t):
             q, v, a = carry
-            q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
-            v_pred = v + (1.0 - gamma) * dt * a
-            # One Newton from a1 = a (exact for the linear system).
-            q1 = q_pred + beta * dt * dt * a
-            q_af = (1.0 - af) * q1 + af * q
-            a_am = a  # (1-am) a1 + am a with a1 = a
-            r = a_am + lam * q_af - u_at(t + t_af_off)
+            q_pred = q + dt * v + c_qp * a
+            v_pred = v + c_vp * a
+            a1 = winv * u_at(t + t_af_off) + p1 * a - p2 * q_pred - p3 * q
             if cdamp is not None:
-                v_af = (1.0 - af) * (v_pred + gamma * dt * a) + af * v
-                r = r + cdamp * v_af
-            a1 = a - winv * r
-            q1 = q_pred + beta * dt * dt * a1
-            v1 = v_pred + gamma * dt * a1
-            return (q1, v1, a1), None
+                a1 = a1 - p5 * v_pred - p6 * v
+            return (q_pred + bh2 * a1, v_pred + gh * a1, a1), None
 
         return step
 

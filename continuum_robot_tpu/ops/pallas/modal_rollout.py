@@ -32,13 +32,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tiling(eta, u_modal, lam, winv, mode_tile: int, tile: int):
+def mode_coeffs(lam, winv, rho_inf: float, cdamp=None):
+    """Per-mode coefficients of the substituted gen-α Newton update.
+
+    Substituting the single Newton correction ``a1 = a - winv * r`` (exact
+    for the linear modal system) into the residual ``r = a + lam * q_af
+    [+ c * v_af] - u`` and expanding the alpha-point states gives
+
+        ``a1 = winv*u + p1*a - p2*q_pred - p3*q [- p5*v_pred - p6*v]``
+
+    with ``p1 = -am * winv`` — the ``1 - winv*(1 + lam e f [+ c e g])``
+    bracket collapses exactly because ``1/winv`` is that same bracket plus
+    ``(1 - am)`` — ``p2 = winv*lam*(1-af)``, ``p3 = winv*lam*af``,
+    ``p5 = winv*c*(1-af)``, ``p6 = winv*c*af``. The step body is then 8
+    (10 damped) pure FMAs per element against ~14 ops for the nested form,
+    and every per-step coefficient is a loop-invariant column.
+
+    Shared by the fused kernel and ``ModalGenAlpha._step_fn`` — identical
+    expression order keeps the two engines bit-identical. Works on jnp or
+    NumPy arrays of any dtype (coefficient products round in that dtype).
+    """
+    am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+    af = rho_inf / (rho_inf + 1.0)
+    wl = winv * lam
+    p1 = winv * (-am)
+    p2 = wl * (1.0 - af)
+    p3 = wl * af
+    if cdamp is None:
+        return p1, p2, p3, None, None
+    wc = winv * cdamp
+    return p1, p2, p3, wc * (1.0 - af), wc * af
+
+
+def _tiling(eta, u_modal, lam, winv, cdamp, rho_inf: float,
+            mode_tile: int, tile: int):
     """Shared layout prep: padded coefficient columns + grid/block specs.
 
     Returns ``(m_p, Bp, pad_state, cols, grid, col_spec, state_spec)`` where
     ``pad_state`` maps a ``(B, m)`` state to the kernel's ``(m_p, Bp)``
-    modes-on-sublanes layout and ``cols`` is ``(lam, winv, u)`` as
-    ``(m_p, 1)`` columns.
+    modes-on-sublanes layout and ``cols`` is the substituted-update
+    coefficients ``(p1, p2, p3, p4 [, p5, p6])`` (``mode_coeffs``; ``p4 =
+    winv * u``) as ``(m_p, 1)`` columns. Padded modes carry all-zero
+    coefficients, so zero state stays exactly zero through the recurrence.
     """
     B, m = eta.shape
     dtype = eta.dtype
@@ -51,8 +86,20 @@ def _tiling(eta, u_modal, lam, winv, mode_tile: int, tile: int):
     def pad_col(v):
         return jnp.zeros((m_p, 1), dtype).at[:m, 0].set(jnp.asarray(v, dtype))
 
-    u_col = jnp.zeros((m_p, 1), dtype) if u_modal is None else pad_col(u_modal)
-    cols = (pad_col(lam), pad_col(winv), u_col)
+    lam = jnp.asarray(lam, dtype)
+    winv = jnp.asarray(winv, dtype)
+    p1, p2, p3, p5, p6 = mode_coeffs(
+        lam, winv, rho_inf,
+        None if cdamp is None else jnp.asarray(cdamp, dtype),
+    )
+    p4 = (
+        jnp.zeros((m_p, 1), dtype)
+        if u_modal is None
+        else pad_col(winv * jnp.asarray(u_modal, dtype))
+    )
+    cols = (pad_col(p1), pad_col(p2), pad_col(p3), p4)
+    if cdamp is not None:
+        cols = (*cols, pad_col(p5), pad_col(p6))
 
     grid = (m_p // mode_tile, Bp // tile)
     col_spec = pl.BlockSpec(
@@ -70,34 +117,40 @@ def _make_kernel(steps: int, h: float, rho_inf: float, damped: bool = False):
     beta = 0.25 * (1.0 - am + af) ** 2
     gamma = 0.5 - am + af
     bh2 = beta * h * h
+    gh = gamma * h
+    c_qp = (0.5 - beta) * h * h
+    c_vp = (1.0 - gamma) * h
 
-    def body(lam, winv, u, q0, v0, a0, cdamp=None):
+    def body(pcols, q0, v0, a0):
+        # Substituted-update coefficients (mode_coeffs): 8 (10 damped)
+        # FMAs per element per step, no per-step residual assembly.
+        if damped:
+            p1, p2, p3, p4, p5, p6 = pcols
+        else:
+            p1, p2, p3, p4 = pcols
+
         def step(_, qva):
             q, v, a = qva
-            q_pred = q + h * v + (0.5 - beta) * h * h * a
-            v_pred = v + (1.0 - gamma) * h * a
-            # One Newton from a1 = a (exact for the linear modal system):
-            # a_am = (1-am) a1 + am a = a.
-            q_af = (1.0 - af) * (q_pred + bh2 * a) + af * q
-            r = a + lam * q_af - u
-            if cdamp is not None:
-                v_af = (1.0 - af) * (v_pred + gamma * h * a) + af * v
-                r = r + cdamp * v_af
-            a1 = a - winv * r
-            return (q_pred + bh2 * a1, v_pred + gamma * h * a1, a1)
+            q_pred = q + h * v + c_qp * a
+            v_pred = v + c_vp * a
+            a1 = p4 + p1 * a - p2 * q_pred - p3 * q
+            if damped:
+                a1 = a1 - p5 * v_pred - p6 * v
+            return (q_pred + bh2 * a1, v_pred + gh * a1, a1)
 
         return jax.lax.fori_loop(0, steps, step, (q0, v0, a0))
 
     if damped:
 
         def kernel(
-            lam_ref, winv_ref, u_ref, c_ref, q_ref, v_ref, a_ref,
-            qo_ref, vo_ref, ao_ref,
+            p1_ref, p2_ref, p3_ref, p4_ref, p5_ref, p6_ref,
+            q_ref, v_ref, a_ref, qo_ref, vo_ref, ao_ref,
         ):
             """One (mode_tile, env_tile) cell: S fused damped gen-α steps."""
             q, v, a = body(
-                lam_ref[:, :], winv_ref[:, :], u_ref[:, :],
-                q_ref[:, :], v_ref[:, :], a_ref[:, :], cdamp=c_ref[:, :],
+                (p1_ref[:, :], p2_ref[:, :], p3_ref[:, :], p4_ref[:, :],
+                 p5_ref[:, :], p6_ref[:, :]),
+                q_ref[:, :], v_ref[:, :], a_ref[:, :],
             )
             qo_ref[:, :] = q
             vo_ref[:, :] = v
@@ -106,12 +159,12 @@ def _make_kernel(steps: int, h: float, rho_inf: float, damped: bool = False):
     else:
 
         def kernel(
-            lam_ref, winv_ref, u_ref, q_ref, v_ref, a_ref,
+            p1_ref, p2_ref, p3_ref, p4_ref, q_ref, v_ref, a_ref,
             qo_ref, vo_ref, ao_ref,
         ):
             """One (mode_tile, env_tile) cell: S fused modal gen-alpha steps."""
             q, v, a = body(
-                lam_ref[:, :], winv_ref[:, :], u_ref[:, :],
+                (p1_ref[:, :], p2_ref[:, :], p3_ref[:, :], p4_ref[:, :]),
                 q_ref[:, :], v_ref[:, :], a_ref[:, :],
             )
             qo_ref[:, :] = q
@@ -169,15 +222,10 @@ def fused_modal_steps(
         if cdamp is not None:
             etadd = etadd - jnp.asarray(cdamp, dtype) * etad
 
-    m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
-        eta, u_modal, lam, winv, mode_tile, tile
-    )
     damped = cdamp is not None
-    if damped:
-        c_col = jnp.zeros((m_p, 1), dtype).at[:m, 0].set(
-            jnp.asarray(cdamp, dtype)
-        )
-        cols = (*cols, c_col)
+    m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
+        eta, u_modal, lam, winv, cdamp, float(rho_inf), mode_tile, tile
+    )
     kernel = _make_kernel(int(steps), float(h), float(rho_inf), damped)
     out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
     qo, vo, ao = pl.pallas_call(
@@ -236,15 +284,10 @@ def fused_modal_frames(
     if cdamp is not None:
         etadd = etadd - jnp.asarray(cdamp, dtype) * etad
 
-    m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
-        eta, u_modal, lam, winv, mode_tile, tile
-    )
     damped = cdamp is not None
-    if damped:
-        c_col = jnp.zeros((m_p, 1), dtype).at[:m, 0].set(
-            jnp.asarray(cdamp, dtype)
-        )
-        cols = (*cols, c_col)
+    m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
+        eta, u_modal, lam, winv, cdamp, float(rho_inf), mode_tile, tile
+    )
     q0, v0, a0 = pad_state(eta), pad_state(etad), pad_state(etadd)
 
     kernel = _make_kernel(int(substeps), float(h), float(rho_inf), damped)

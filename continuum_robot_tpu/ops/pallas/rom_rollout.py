@@ -147,6 +147,20 @@ def _make_kernel(
                     + dot(a_lo, b_hi, P)
                 )
 
+            def project_all(g):
+                wt_hi = wt_hi_ref[:, :]
+                wt_lo = wt_lo_ref[:, :]
+                g_hi, g_lo = split_bf16(g)
+                P = jax.lax.Precision.DEFAULT
+                return (
+                    dot(wt_hi, g_hi, P)
+                    + dot(wt_hi, g_lo, P)
+                    + dot(wt_lo, g_hi, P)
+                )
+
+            def expand_all(eta_af):
+                return transform(0, n_blk * s_pad, split_bf16(eta_af))
+
             def project(col0, g):
                 wt_hi = wt_hi_ref[:, col0 : col0 + s_pad]
                 wt_lo = wt_lo_ref[:, col0 : col0 + s_pad]
@@ -168,6 +182,12 @@ def _make_kernel(
             phi = phi_ref[:, :]
             wt = wt_ref[:, :]
 
+            def project_all(g):
+                return dot(wt, g, nl_precision)
+
+            def expand_all(eta_af):
+                return dot(phi, eta_af, nl_precision)
+
             def project(col0, g):
                 return dot(wt[:, col0 : col0 + s_pad], g, nl_precision)
 
@@ -183,23 +203,31 @@ def _make_kernel(
             def modal_force(eta_af):
                 """Gathered-sample (ECSW) correction, all VMEM-resident.
 
-                The six basis blocks expand eta directly to per-element
-                node states (u1, w1, t1, u2, w2, t2) — the gather already
-                duplicated shared nodes, so the element kernel applies
-                with no roll adjacency, and the six force slots project
-                back through the matching (weight-folded) test blocks.
-                Mirrors ``ModalROMGenAlpha`` + ``hyper_reduce.g_sampled``.
+                ONE dot expands eta through the stacked six-block basis
+                straight to per-element node states (u1, w1, t1, u2, w2,
+                t2 as 8-aligned sublane slices of the result — the gather
+                already duplicated shared nodes, so no roll adjacency),
+                and ONE dot projects the restacked force slots back
+                through the weight-folded test basis. Versus per-block
+                dots on 128-padded blocks this cuts the MXU work ~2.7x at
+                the benchmark sample size (41 -> 48 rows per block instead
+                of 41 -> 128) and issues 2 large dots per pass instead of
+                12 small ones. Mirrors ``ModalROMGenAlpha`` +
+                ``hyper_reduce.g_sampled``.
                 """
-                u1, w1, t1, u2, w2, t2 = expand(eta_af)
+                x = expand_all(eta_af)  # (6 s_pad, tile) f32
+                u1, w1, t1, u2, w2, t2 = (
+                    x[k * s_pad : (k + 1) * s_pad, :] for k in range(6)
+                )
                 g_slots = elements.nonlinear_correction_planes(
                     u1, w1, t1, u2, w2, t2, L, D, A
                 )
                 # Slot order (g1, g3, g4, g2, g5, g6) matches the gathered
                 # test-basis block order [u1, w1, t1, u2, w2, t2].
-                g_m = project(0, mask * g_slots[0])
-                for k in range(1, 6):
-                    g_m = g_m + project(k * s_pad, mask * g_slots[k])
-                return lam * eta_af + g_m
+                g_all = jnp.concatenate(
+                    [mask * g for g in g_slots], axis=0
+                )
+                return lam * eta_af + project_all(g_all)
 
         else:
 
@@ -430,7 +458,12 @@ class FusedROMRollout:
         W_p = np.asarray(ms.PhiW_planar, np.float64)
         n_sub = Phi_p.shape[0] // n_blk
         m = Phi_p.shape[1]
-        s_pad = _round_up(n_sub, 128)
+        # Contiguous-window mode slices the pre-transposed test basis on
+        # LANES (project per DOF plane), so blocks pad to 128; the gathered
+        # kernel's single-dot expand/project only ever slices the f32
+        # expand RESULT on sublanes, so the ECSW sample pads to 8 — at the
+        # benchmark sample size that alone is ~2.7x less MXU work.
+        s_pad = _round_up(n_sub, 8 if self.gathered else 128)
         m_p = _round_up(m, 128)
 
         def pad_basis(Bse):
