@@ -198,8 +198,9 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
     """Linear benchmark on the modal generalized-alpha engine.
 
     Identical recurrence to the dense path, diagonalized per mode: the
-    per-step work is ~10 elementwise ops on (envs, modes) arrays instead of
-    three (3N x 3N) @ (3N x envs) matmuls. With ``use_pallas`` the whole
+    per-step work is 8 fused multiply-adds per element on (envs, modes)
+    arrays (mode_coeffs substituted update) instead of three
+    (3N x 3N) @ (3N x envs) matmuls. With ``use_pallas`` the whole
     span runs as one fused kernel with the modal state resident in VMEM
     (bit-identical results; HBM touched once per span instead of per step).
     """

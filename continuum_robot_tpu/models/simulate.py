@@ -310,8 +310,9 @@ class ModalGenAlpha:
     simultaneously diagonalized by the generalized eigenvectors of
     ``K phi = lambda M phi``, so the *identical* generalized-alpha recurrence
     runs per mode with scalar coefficients: the per-step cost collapses from
-    three ``(3N x 3N) @ (3N x B)`` matmuls to ~15 elementwise ops on
-    ``(B, 3N)`` arrays (bandwidth-bound VPU work), with the O(N^2) basis
+    three ``(3N x 3N) @ (3N x B)`` matmuls to 8 (10 damped) fused
+    multiply-adds per element on ``(B, 3N)`` arrays (see
+    ``ops.pallas.modal_rollout.mode_coeffs``), with the O(N^2) basis
     transforms paid once per rollout, not per step. Trajectories match the
     dense generalized-alpha path to roundoff — this is modal superposition,
     not an approximation (unless ``n_modes`` truncates).

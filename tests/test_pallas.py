@@ -110,6 +110,40 @@ class TestFusedModalRollout:
         eta, etad = ms.to_modal(q0, v0)
         return ms, eta, etad, ms.project_force(u)
 
+    def test_mode_coeffs_collapse(self):
+        """The substituted-update coefficients equal the nested Newton form.
+
+        ``mode_coeffs`` hard-codes ``p1 = -am * winv`` because the
+        ``1 - winv*(1 + lam e f + c e g)`` bracket collapses exactly
+        (``1/winv`` is that bracket plus ``1 - am``); verify the identity
+        numerically in f64 across the stiffness range, damped and not.
+        """
+        from continuum_robot_tpu.ops.pallas.modal_rollout import mode_coeffs
+
+        rho_inf, h = 0.8, 1e-4
+        am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+        af = rho_inf / (rho_inf + 1.0)
+        beta = 0.25 * (1.0 - am + af) ** 2
+        gamma = 0.5 - am + af
+        lam = np.logspace(-2, 12, 29)
+        for cdamp in (None, 1e-3 * np.sqrt(lam)):
+            J = (1.0 - am) + (1.0 - af) * beta * h * h * lam
+            if cdamp is not None:
+                J = J + (1.0 - af) * gamma * h * cdamp
+            winv = 1.0 / J
+            p1, p2, p3, p5, p6 = mode_coeffs(lam, winv, rho_inf, cdamp)
+            bracket = 1.0 + lam * (1.0 - af) * beta * h * h
+            if cdamp is not None:
+                bracket = bracket + cdamp * (1.0 - af) * gamma * h
+            np.testing.assert_allclose(p1, 1.0 - winv * bracket, rtol=1e-11)
+            np.testing.assert_allclose(p2, winv * lam * (1.0 - af))
+            np.testing.assert_allclose(p3, winv * lam * af)
+            if cdamp is None:
+                assert p5 is None and p6 is None
+            else:
+                np.testing.assert_allclose(p5, winv * cdamp * (1.0 - af))
+                np.testing.assert_allclose(p6, winv * cdamp * af)
+
     def test_matches_xla_modal_rollout(self):
         ms, eta, etad, u_m = self._setup()
         e1, ed1, ea1 = ms.rollout(eta, etad, u_m, 50)
