@@ -826,6 +826,160 @@ class ModalROMGenAlpha:
         (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
         return eta, etad, etadd
 
+    def rollout_adaptive(
+        self, eta, etad, u_modal, t_eval, rtol: float = 1e-6,
+        atol: float = 1e-9, dt0: float = None, n_newton: int = 2,
+        max_steps_per_interval: int = 100_000, safety: float = 0.9,
+        precision=None, nl_precision=None,
+    ):
+        """Error-controlled ROM stepping: adaptive generalized-alpha.
+
+        The same Zienkiewicz-Xie estimate + PI controller as the dense
+        ``integrate_generalized_alpha_adaptive`` (no manual dt — the
+        LSODA-capability engine), at ROM per-step cost: because the
+        Petrov-Galerkin reduced effective Jacobian is diagonal, the
+        per-trial-dt "refactorization" is a per-mode reciprocal
+        ``1 / ((1-am) + (1-af) beta dt^2 lam)`` — there is nothing to
+        factor, so a rejected step costs one force evaluation, not a
+        solve. Error is controlled in modal coordinates (mass-orthonormal
+        scaling); ``atol`` is in modal units.
+
+        Batched inputs share one step size (the error norm contracts over
+        all axes). Requires the diagonal reduced Jacobian (``Sinv_diag``,
+        the normal eigenbasis case). Returns ``(etas, etads,
+        AdaptiveStats)`` with frame axis leading and ``etas[0] = eta``
+        (the ``solve_ivp(t_eval=...)`` contract).
+        """
+        from ..ops.integrators import AdaptiveStats
+
+        if self.Sinv_diag is None:
+            raise ValueError(
+                "rollout_adaptive requires the diagonal reduced effective "
+                "Jacobian (Sinv_diag) — augmented/defective bases with a "
+                "genuinely coupled reduced operator need a dense "
+                "factorization per trial dt; use the fixed-step rollout"
+            )
+        am, af, beta, gamma = self._coeffs()
+        # Reduced linear-operator diagonal in f64: the split fast path
+        # stores it; otherwise invert the Sinv_diag relation at self.dt.
+        if self.lam is not None:
+            lam64 = np.asarray(self.lam, np.float64)
+        else:
+            lam64 = (
+                1.0 / np.asarray(self.Sinv_diag, np.float64) - (1.0 - am)
+            ) / ((1.0 - af) * beta * self.dt * self.dt)
+
+        if dt0 is None:
+            if isinstance(t_eval, jax.core.Tracer):
+                raise ValueError("dt0 is required when t_eval is traced")
+            te = np.asarray(jax.device_get(t_eval))
+            dt0 = float(te[1] - te[0]) / 16.0
+        t_eval = jnp.asarray(t_eval)
+        dtype = jnp.asarray(eta).dtype
+        lam_j = jnp.asarray(lam64, dtype)
+        u_at = ModalGenAlpha._force_at(u_modal, dtype)
+        zx_coeff = abs(float(beta - 1.0 / 6.0))
+        eps = float(jnp.finfo(dtype).eps)
+        rtol = max(float(rtol), 50.0 * eps)
+        atol = max(float(atol), 50.0 * eps * 1e-3)
+        t_eps = 32.0 * eps
+
+        etadd = self.initial_accel(
+            eta, etad, u_modal, t_eval[0], precision, nl_precision
+        )
+
+        def trial_step(t, dt, eta0, etad0, etadd0):
+            jd = (1.0 - am) + ((1.0 - af) * beta) * dt * dt * lam_j
+            t_af = t + (1.0 - af) * dt
+            eta_pred = eta0 + dt * etad0 + (0.5 - beta) * dt * dt * etadd0
+            etad_pred = etad0 + (1.0 - gamma) * dt * etadd0
+
+            def newton_body(i, a1):
+                eta1 = eta_pred + beta * dt * dt * a1
+                etad1 = etad_pred + gamma * dt * a1
+                eta_af = (1.0 - af) * eta1 + af * eta0
+                etad_af = (1.0 - af) * etad1 + af * etad0
+                a_am = (1.0 - am) * a1 + am * etadd0
+                r = a_am + self._force_modal(
+                    eta_af, etad_af, t_af, dtype, precision, nl_precision
+                ) - u_at(t_af)
+                return a1 - r / jd
+
+            a1 = jax.lax.fori_loop(0, n_newton, newton_body, etadd0)
+            return (
+                eta_pred + beta * dt * dt * a1,
+                etad_pred + gamma * dt * a1,
+                a1,
+            )
+
+        def err_norm(e, q_old, q_new):
+            scale = atol + rtol * jnp.maximum(jnp.abs(q_old), jnp.abs(q_new))
+            return jnp.sqrt(jnp.mean((e / scale) ** 2))
+
+        def advance_interval(carry, t_pair):
+            q, v, a, dt_est, stats = carry
+            t_start, t_end = t_pair[0], t_pair[1]
+            t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
+
+            def cond(state):
+                t = state[0]
+                n = state[4]
+                return jnp.logical_and(
+                    t < t_end - t_close, n < max_steps_per_interval
+                )
+
+            def body(state):
+                t, (q, v, a), dt_est, _, n, acc, rej = state
+                dt = jnp.minimum(dt_est, t_end - t)
+                q1, v1, a1 = trial_step(t, dt, q, v, a)
+                e = zx_coeff * dt * dt * (a1 - a)
+                en = err_norm(e, q, q1)
+                accept = en <= 1.0
+                factor = jnp.clip(
+                    safety * jnp.power(jnp.maximum(en, 1e-16), -1.0 / 3.0),
+                    0.2,
+                    5.0,
+                )
+                dt_next = dt * factor
+                t = jnp.where(accept, t + dt, t)
+                q = jnp.where(accept, q1, q)
+                v = jnp.where(accept, v1, v)
+                a = jnp.where(accept, a1, a)
+                return (
+                    t,
+                    (q, v, a),
+                    dt_next,
+                    dt,
+                    n + 1,
+                    acc + accept.astype(jnp.int32),
+                    rej + (1 - accept.astype(jnp.int32)),
+                )
+
+            t_f, (q, v, a), dt_f, _, n, acc, rej = jax.lax.while_loop(
+                cond, body, (t_start, (q, v, a), dt_est, dt_est, 0, 0, 0)
+            )
+            new_stats = AdaptiveStats(
+                stats.n_steps + n,
+                stats.n_accepted + acc,
+                stats.n_rejected + rej,
+            )
+            return (q, v, a, dt_f, new_stats), (q, v)
+
+        stats0 = AdaptiveStats(
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+        pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=-1)
+        (_, _, _, _, stats), (etas, etads) = jax.lax.scan(
+            advance_interval,
+            (eta, etad, etadd, jnp.asarray(dt0, dtype), stats0),
+            pairs,
+        )
+        etas = jnp.concatenate([eta[None], etas], axis=0)
+        etads = jnp.concatenate([etad[None], etads], axis=0)
+        return etas, etads, stats
+
     def hyper_reduce(self, snapshots, tau: float = 1e-3,
                      return_info: bool = False):
         """ECSW hyper-reduction: evaluate the correction on a trained sample.
@@ -1855,7 +2009,11 @@ def simulate(
             embedded error estimate: the accuracy-grade stiff engine) |
             ``modal`` (linear beams, exact diagonalized recurrence) |
             ``modal_rom`` (nonlinear/hybrid Petrov-Galerkin reduction;
-            ``n_modes`` truncates the basis).
+            ``n_modes`` truncates the basis) |
+            ``modal_rom_adaptive`` (error-controlled stepping at ROM
+            per-step cost — the diagonal reduced Jacobian makes a trial-dt
+            refactorization a per-mode reciprocal, so ``rtol``/``atol``
+            drive the step size with no factorization on rejects).
         u: constant input-force vector over position DOFs, or traceable
            callable ``t -> force`` (the tip-impulse workload shape).
         substeps: inner steps per output frame (fixed-step methods).
@@ -1991,7 +2149,7 @@ def simulate(
             )
             return t_eval, jnp.concatenate([qs, vs], axis=-1), stats
 
-    elif method == "modal_rom":
+    elif method in ("modal_rom", "modal_rom_adaptive"):
         ms = make_modal_rom(
             model, dt / substeps, rho_inf=rho_inf, n_modes=n_modes,
             forces_func=forces_func, static_vectors=static_vectors,
@@ -2004,15 +2162,33 @@ def simulate(
         else:
             u_modal = ms.project_force_host(u)
 
-        def run(x0):
-            n = x0.shape[-1] // 2
-            eta, etad = ms.to_modal(x0[..., :n], x0[..., n:])
-            ts, etas, etads = ms.rollout_frames(
-                eta, etad, u_modal, n_steps, substeps=substeps,
-                n_newton=n_newton, nl_precision=nl_precision,
-            )
-            qs, vs = ms.from_modal(etas, etads)
-            return ts, jnp.concatenate([qs, vs], axis=-1), None
+        if method == "modal_rom_adaptive":
+            # Error-controlled ROM stepping: rtol/atol pick every step
+            # (ModalROMGenAlpha.rollout_adaptive); dt is just the output
+            # frame grid, matching the other adaptive methods.
+            t_eval = jnp.arange(n_steps + 1) * dt
+
+            def run(x0):
+                n = x0.shape[-1] // 2
+                eta, etad = ms.to_modal(x0[..., :n], x0[..., n:])
+                etas, etads, stats = ms.rollout_adaptive(
+                    eta, etad, u_modal, t_eval, rtol=rtol, atol=atol,
+                    n_newton=n_newton, nl_precision=nl_precision,
+                )
+                qs, vs = ms.from_modal(etas, etads)
+                return t_eval, jnp.concatenate([qs, vs], axis=-1), stats
+
+        else:
+
+            def run(x0):
+                n = x0.shape[-1] // 2
+                eta, etad = ms.to_modal(x0[..., :n], x0[..., n:])
+                ts, etas, etads = ms.rollout_frames(
+                    eta, etad, u_modal, n_steps, substeps=substeps,
+                    n_newton=n_newton, nl_precision=nl_precision,
+                )
+                qs, vs = ms.from_modal(etas, etads)
+                return ts, jnp.concatenate([qs, vs], axis=-1), None
 
     elif method == "modal":
         rollout = make_modal_rollout_fn(

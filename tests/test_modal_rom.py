@@ -468,6 +468,75 @@ class TestHyperReduction:
             ms.hyper_reduce(np.zeros((2, 10)))
 
 
+class TestAdaptiveROM:
+    """Error-controlled stepping at ROM per-step cost (rollout_adaptive).
+
+    Same test idiom as the dense adaptive engines
+    (test_integrators.TestAdaptiveImplicit): the oracle is the
+    tight-tolerance Dopri5 trajectory of the SAME model, and what is
+    asserted is tolerance SCALING — tightening rtol must tighten the
+    trajectory and cost more accepted steps. The ROM twist: a trial-dt
+    "refactorization" is a per-mode reciprocal (diagonal reduced
+    Jacobian), so the controller pays one force evaluation per reject,
+    never a solve.
+    """
+
+    def test_tolerance_ladder_vs_dopri5(self):
+        model = _model(nonlinear_csv(8, include_fluid=False))
+        n = model.n_pos_states
+        u = np.zeros(n)
+        u[-2] = 5.0
+        ref = simulate(model, np.zeros(2 * n), 0.02, 0.001,
+                       method="dopri5", u=u, rtol=1e-10, atol=1e-12)
+        tref = np.asarray(ref.ys)[:, n - 2]
+        errs, steps = [], []
+        for rtol in (1e-4, 1e-6):
+            res = simulate(
+                model, np.zeros(2 * n), 0.02, 0.001,
+                method="modal_rom_adaptive", u=u, rtol=rtol,
+                atol=rtol * 1e-3, n_newton=3, rho_inf=0.8,
+            )
+            tip = np.asarray(res.ys)[:, n - 2]
+            errs.append(np.abs(tip - tref).max() / np.abs(tref).max())
+            steps.append(int(res.stats.n_accepted))
+        assert errs[1] < errs[0] / 5.0
+        assert steps[1] > steps[0]
+        assert errs[1] < 1e-4
+
+    def test_requires_diagonal_reduced_jacobian(self):
+        import dataclasses
+
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.8, n_modes=8)
+        ms_dense = dataclasses.replace(ms, Sinv_diag=None)
+        eta = jnp.zeros((2, 8))
+        with pytest.raises(ValueError, match="diagonal reduced"):
+            ms_dense.rollout_adaptive(
+                eta, eta, None, jnp.linspace(0.0, 1e-3, 3)
+            )
+
+    def test_batched_shared_dt(self):
+        """Leading env axes share one controller; frames carry the batch."""
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.8, n_modes=8)
+        rng = np.random.default_rng(0)
+        eta = jnp.asarray(rng.normal(scale=1e-2, size=(3, 8)))
+        etad = jnp.zeros((3, 8))
+        u = np.zeros(n)
+        u[-2] = 1.0
+        u_m = jnp.asarray(ms.project_force_host(u))
+        t_eval = jnp.linspace(0.0, 2e-3, 5)
+        etas, etads, stats = ms.rollout_adaptive(
+            eta, etad, u_m, t_eval, rtol=1e-5, atol=1e-8
+        )
+        assert etas.shape == (5, 3, 8) and etads.shape == (5, 3, 8)
+        assert bool(jnp.all(jnp.isfinite(etas)))
+        assert int(stats.n_accepted) > 0
+        # per-env states differ (the batch is real, not broadcast)
+        assert float(jnp.abs(etas[-1, 0] - etas[-1, 1]).max()) > 0
+
+
 class TestApiContracts:
     def test_diag_newton_matches_dense_solve(self):
         """`Sinv_diag` fast path == the dense (m, m) Newton solve.
