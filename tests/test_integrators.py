@@ -525,3 +525,44 @@ class TestAdaptiveImplicit:
             f"adaptive implicit used {n_used} steps vs explicit "
             f"stability floor {n_explicit:.0f}"
         )
+
+    def test_per_env_dt_via_vmap(self):
+        """The documented per-env dt control: vmap the adaptive integrator.
+
+        Two envs with very different response amplitudes get genuinely
+        different controllers (per-env accepted-step counts), and each
+        vmapped lane reproduces its solo run — the while-loop batching's
+        masked extra iterations must not leak into finished lanes.
+        """
+        from continuum_robot_tpu.models.simulate import make_newmark_operator
+
+        beam = DynamicEulerBernoulliBeam(helpers.linear_csv(6))
+        n = beam.n_pos_states
+        op = make_newmark_operator(beam, dt=None, linear_solver="dense_inv")
+        t_eval = jnp.linspace(0.0, 5e-3, 3)
+
+        us = jnp.stack([
+            jnp.zeros(n).at[-2].set(0.1),
+            jnp.zeros(n).at[-2].set(200.0),
+        ])
+        q0 = jnp.zeros((2, n))
+        v0 = jnp.zeros((2, n))
+
+        def solve_one(q, v, u):
+            return integrators.integrate_generalized_alpha_adaptive(
+                op, q, v, t_eval, u=u, rtol=1e-5, atol=1e-12, dt0=1e-5
+            )
+
+        qs_b, vs_b, stats_b = jax.vmap(solve_one)(q0, v0, us)
+        assert qs_b.shape == (2, 3, n)
+        # per-env controllers: stats are batched and genuinely different
+        acc = np.asarray(stats_b.n_accepted)
+        assert acc.shape == (2,)
+        assert acc[0] != acc[1]
+        # each lane == its solo run
+        for i in range(2):
+            qs_i, vs_i, stats_i = solve_one(q0[i], v0[i], us[i])
+            np.testing.assert_allclose(
+                np.asarray(qs_b[i]), np.asarray(qs_i), rtol=1e-10, atol=0
+            )
+            assert int(stats_i.n_accepted) == int(acc[i])

@@ -503,6 +503,30 @@ class TestAdaptiveROM:
         assert steps[1] > steps[0]
         assert errs[1] < 1e-4
 
+    def test_hyper_reduced_adaptive(self):
+        """rollout_adaptive composes with ECSW hyper-reduction: the trained
+        sample rides the same force path, and the adaptive trajectory
+        matches the full-correction adaptive run within the training
+        tolerance's reach."""
+        model = _model(nonlinear_csv(12, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.8, n_modes=12)
+        u = np.zeros(n)
+        u[-2] = 5.0
+        u_m = jnp.asarray(ms.project_force_host(u))
+        z = jnp.zeros((1, 12))
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_m, 10, substeps=10,
+                                          n_newton=2)
+        red = ms.hyper_reduce(np.asarray(etas_tr[:, 0, :]), tau=1e-3)
+        t_eval = jnp.linspace(0.0, 5e-3, 6)
+        e1, _, st1 = red.rollout_adaptive(z, z, u_m, t_eval,
+                                          rtol=1e-6, atol=1e-9, n_newton=2)
+        e2, _, _ = ms.rollout_adaptive(z, z, u_m, t_eval,
+                                       rtol=1e-6, atol=1e-9, n_newton=2)
+        assert int(st1.n_accepted) > 0
+        scale = float(jnp.abs(e2).max()) + 1e-30
+        assert float(jnp.abs(e1 - e2).max()) / scale < 1e-3
+
     def test_requires_diagonal_reduced_jacobian(self):
         import dataclasses
 
