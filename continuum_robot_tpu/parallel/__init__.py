@@ -11,6 +11,7 @@ from .spatial import (
 )
 from .spatial_implicit import (
     build_spatial_genalpha,
+    build_spatial_genalpha_adaptive,
     spike_prepare,
     spike_solve,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "batched_rollout",
     "build_rollout_fn",
     "build_spatial_genalpha",
+    "build_spatial_genalpha_adaptive",
     "build_spatial_rhs",
     "make_mesh",
     "spike_prepare",

@@ -385,3 +385,257 @@ def build_spatial_genalpha(
         return ts, xs
 
     return rollout
+
+
+def build_spatial_genalpha_adaptive(
+    beam: SpatialBeam,
+    rho_inf: float = 0.9,
+    n_newton: int = 2,
+    use_consistent: bool = False,
+    max_steps_per_interval: int = 100_000,
+    safety: float = 0.9,
+) -> Callable:
+    """ERROR-CONTROLLED implicit stepping over the ``sp`` mesh axis.
+
+    The distributed counterpart of
+    ``ops.integrators.integrate_generalized_alpha_adaptive`` — the same
+    Zienkiewicz-Xie estimate + PI accept/reject controller, with the SPIKE
+    preparation (local block-Thomas factorization + spike columns +
+    replicated interface inverse) re-run AT THE TRIAL dt inside the
+    ``lax.while_loop``: a traced dt admits no prefactoring, exactly as in
+    the dense engine, and every piece of the preparation is traceable
+    (O(m) local scan + one all_gather + a (6S, 6S) replicated inverse).
+    The error norm is psum-contracted over the shards (free DOFs only), so
+    every shard takes identical accept/reject decisions — one global dt,
+    no divergence across the mesh.
+
+    Returns ``rollout(x0, t_eval, u=None, rtol=1e-6, atol=1e-9, dt0=None)
+    -> (xs, AdaptiveStats)`` with ``xs`` frames leading, ``xs[0] = x0``
+    (node layout, like :func:`build_spatial_genalpha`). Batched ``x0``
+    (``(envs, 2, Np, 3)``) vmaps over ``dp`` with PER-ENV dt control
+    (masked while-loop lanes). Beams too long for one chip thus get the
+    no-manual-dt capability the single-chip engines have.
+    """
+    from ..ops.integrators import AdaptiveStats
+
+    mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
+    arrays = beam.arrays
+    Np = beam.n_nodes
+    mask_nodes = np.asarray(beam.free_mask, dtype=np.float64)
+
+    am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
+    af = rho_inf / (rho_inf + 1.0)
+    beta = 0.25 * (1.0 - am + af) ** 2
+    gamma = 0.5 - am + af
+    a_jac = 1.0 - am
+    zx_coeff = abs(float(beta - 1.0 / 6.0))
+
+    mdiag, moff = assembly.mass_block_tridiagonal(arrays)
+    mdiag = np.asarray(mdiag)[:Np]
+    moff = np.asarray(moff)[: Np - 1]
+    zeros33 = np.zeros((1, 3, 3), dtype=mdiag.dtype)
+    mlow = np.concatenate([zeros33, np.swapaxes(moff, -1, -2)], axis=0)
+    mup = np.concatenate([moff, zeros33], axis=0)
+
+    m_per = Np // S
+    left_last_node = np.vstack(
+        [np.zeros(3), mask_nodes[m_per - 1 :: m_per][: S - 1]]
+    )
+    right_first_node = np.vstack(
+        [mask_nodes[m_per::m_per][: S - 1], np.zeros(3)]
+    )
+    arr_fields = (
+        arrays.length, arrays.elastic_modulus, arrays.moment_inertia,
+        arrays.cross_area, arrays.nonlinear_mask,
+    )
+
+    from jax.sharding import PartitionSpec
+
+    p_rep = PartitionSpec()
+    p_node = PartitionSpec(axis, None)
+    p_block = PartitionSpec(axis, None, None)
+    p_el = PartitionSpec(axis)
+    p_x = PartitionSpec(None, axis, None)
+    m_local = Np // S
+
+    def make_core(n_intervals: int, rtol: float, atol: float):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(p_rep, p_rep, p_x, p_node, p_node, p_block, p_block,
+                      p_block, p_node, p_node, p_el, p_el, p_el, p_el,
+                      p_el),
+            out_specs=(
+                PartitionSpec(None, None, axis, None),
+                AdaptiveStats(p_rep, p_rep, p_rep),
+            ),
+        )
+        def core(t_pairs, dt0, x, u_node, m_mask, md, ml, mu, llm, rfm,
+                 a_len, a_E, a_I, a_A, a_nl):
+            dtype = md.dtype
+            arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
+            llm3, rfm3 = llm[0], rfm[0]
+            m3 = m_mask
+
+            md_bc, ml_bc, mu_bc = mask_aligned_blocks(
+                md, ml, mu, m3, llm3, rfm3
+            )
+            q0_loc = jnp.zeros((m_local, 3), dtype)
+            kd, klow, kup = spatial_tangent_aligned(
+                q0_loc, arr_local, axis, S, use_consistent
+            )
+            prep_mass = spike_prepare(md_bc, ml_bc, mu_bc, axis, S)
+            n_free = jax.lax.psum(jnp.sum(m3), axis)
+
+            def make_prep(dt):
+                c_jac = (1.0 - af) * beta * dt * dt
+                jd = a_jac * md + c_jac * kd
+                jl = a_jac * ml + c_jac * klow
+                ju = a_jac * mu + c_jac * kup
+                jd, jl, ju = mask_aligned_blocks(jd, jl, ju, m3, llm3, rfm3)
+                return spike_prepare(jd, jl, ju, axis, S)
+
+            def internal(q):
+                return spatial_internal_force_local(
+                    q * m3, arr_local, m3, axis, S, use_consistent
+                )
+
+            def mass_apply(a_vec):
+                return mass_matvec_aligned(
+                    a_vec * m3, md_bc, ml_bc, mu_bc, axis, S
+                ) * m3
+
+            u_m = u_node * m3
+            q0 = x[0] * m3
+            v0 = x[1] * m3
+            f0 = (u_m - internal(q0)) * m3
+            a0 = spike_solve(prep_mass, f0, axis, S) * m3
+
+            def trial_step(dt, q, v, a):
+                prep = make_prep(dt)
+                q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
+                v_pred = v + (1.0 - gamma) * dt * a
+
+                def newton(_, a1):
+                    q1 = q_pred + beta * dt * dt * a1
+                    q_af = (1.0 - af) * q1 + af * q
+                    a_am = (1.0 - am) * a1 + am * a
+                    r = mass_apply(a_am) + internal(q_af) - u_m
+                    da = spike_solve(prep, r * m3, axis, S) * m3
+                    return a1 - da
+
+                a1 = jax.lax.fori_loop(0, n_newton, newton, a)
+                return (
+                    q_pred + beta * dt * dt * a1,
+                    v_pred + gamma * dt * a1,
+                    a1,
+                )
+
+            def err_norm(e, q_old, q_new):
+                scale = atol + rtol * jnp.maximum(
+                    jnp.abs(q_old), jnp.abs(q_new)
+                )
+                s = jax.lax.psum(jnp.sum(((e / scale) ** 2) * m3), axis)
+                return jnp.sqrt(s / n_free)
+
+            eps = float(jnp.finfo(dtype).eps)
+            t_eps = 32.0 * eps
+
+            def advance_interval(carry, t_pair):
+                q, v, a, dt_est, stats = carry
+                t_start, t_end = t_pair[0], t_pair[1]
+                t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
+
+                def cond(state):
+                    t = state[0]
+                    n = state[4]
+                    return jnp.logical_and(
+                        t < t_end - t_close, n < max_steps_per_interval
+                    )
+
+                def body(state):
+                    t, (q, v, a), dt_est, _, n, acc, rej = state
+                    dt_tr = jnp.minimum(dt_est, t_end - t)
+                    q1, v1, a1 = trial_step(dt_tr, q, v, a)
+                    e = zx_coeff * dt_tr * dt_tr * (a1 - a)
+                    en = err_norm(e, q, q1)
+                    accept = en <= 1.0
+                    factor = jnp.clip(
+                        safety
+                        * jnp.power(jnp.maximum(en, 1e-16), -1.0 / 3.0),
+                        0.2,
+                        5.0,
+                    )
+                    dt_next = dt_tr * factor
+                    t = jnp.where(accept, t + dt_tr, t)
+                    q = jnp.where(accept, q1, q)
+                    v = jnp.where(accept, v1, v)
+                    a = jnp.where(accept, a1, a)
+                    return (
+                        t, (q, v, a), dt_next, dt_tr, n + 1,
+                        acc + accept.astype(jnp.int32),
+                        rej + (1 - accept.astype(jnp.int32)),
+                    )
+
+                _, (q, v, a), dt_f, _, n, acc, rej = jax.lax.while_loop(
+                    cond, body,
+                    (t_start, (q, v, a), dt_est, dt_est, 0, 0, 0),
+                )
+                new_stats = AdaptiveStats(
+                    stats.n_steps + n,
+                    stats.n_accepted + acc,
+                    stats.n_rejected + rej,
+                )
+                return (q, v, a, dt_f, new_stats), jnp.stack([q, v])
+
+            stats0 = AdaptiveStats(
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+            )
+            (_, _, _, _, stats), xs = jax.lax.scan(
+                advance_interval,
+                (q0, v0, a0, jnp.asarray(dt0, dtype)[()], stats0),
+                t_pairs,
+            )
+            xs = jnp.concatenate(
+                [jnp.stack([q0, v0])[None], xs], axis=0
+            )
+            return xs, stats
+
+        return core
+
+    def rollout(x0, t_eval, u=None, rtol: float = 1e-6,
+                atol: float = 1e-9, dt0: float = None):
+        t_eval_np = np.asarray(jax.device_get(t_eval), np.float64)
+        if dt0 is None:
+            dt0 = float(t_eval_np[1] - t_eval_np[0]) / 16.0
+        x0 = jnp.asarray(x0)
+        t_pairs = jnp.asarray(
+            np.stack([t_eval_np[:-1], t_eval_np[1:]], axis=-1), x0.dtype
+        )
+        core = make_core(len(t_eval_np) - 1, float(rtol), float(atol))
+        if u is None:
+            u_node = jnp.zeros((Np, 3), dtype=x0.dtype)
+        else:
+            u_node = jnp.asarray(u, dtype=x0.dtype)
+        mask = jnp.asarray(mask_nodes, dtype=x0.dtype)
+        dt0_arr = jnp.asarray(dt0, x0.dtype)
+
+        def run_one(x_single):
+            return core(
+                t_pairs, dt0_arr, x_single, u_node, mask,
+                jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
+                jnp.asarray(mup, x0.dtype),
+                jnp.asarray(left_last_node, x0.dtype),
+                jnp.asarray(right_first_node, x0.dtype),
+                *arr_fields,
+            )
+
+        if x0.ndim == 4:  # (envs, 2, Np, 3): per-env dt via vmap over dp
+            xs, stats = jax.vmap(run_one, out_axes=(1, 0))(x0)
+        else:
+            xs, stats = run_one(x0)
+        return xs, stats
+
+    return rollout

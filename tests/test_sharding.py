@@ -393,6 +393,104 @@ class TestSpatialImplicit:
         assert rel < 1e-8, f"{kind}: sharded vs dense gen-alpha {rel:.3e}"
 
 
+class TestSpatialAdaptive:
+    """Error control on the sp axis: build_spatial_genalpha_adaptive.
+
+    The distributed controller must reproduce the single-chip adaptive
+    engine (same ZX estimate, same PI dials, psum-contracted error norm
+    over exactly the free DOFs) — both land within the tolerance of the
+    same trajectory, and the accept/reject counters match because every
+    decision is global across shards.
+    """
+
+    def _setup(self, n_elements=14):
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(n_elements))
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        return model, beam
+
+    def test_matches_dense_adaptive_engine(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            build_spatial_genalpha_adaptive,
+        )
+
+        model, beam = self._setup()
+        n = model.n_pos_states
+        u_red = np.zeros(n)
+        u_red[-2] = 0.1
+        free = np.flatnonzero(
+            np.asarray(model.beam_model.bc_info.free_mask)
+        )
+        Np = beam.n_nodes
+        u_node = np.zeros((Np, 3))
+        u_node.reshape(-1)[free] = u_red
+        x_node = np.zeros((2, Np, 3))
+
+        t_final, dt_out = 5e-3, 1e-3
+        t_eval = np.linspace(0.0, t_final, int(t_final / dt_out) + 1)
+        rollout = build_spatial_genalpha_adaptive(beam, rho_inf=0.9,
+                                                  n_newton=2)
+        xs, stats = rollout(
+            jnp.asarray(x_node), t_eval, u=jnp.asarray(u_node),
+            rtol=1e-6, atol=1e-9,
+        )
+        xs = np.asarray(xs)  # (frames+1, 2, Np, 3)
+
+        res = simulate(
+            model, np.zeros(2 * n), t_final, dt_out,
+            method="generalized_alpha_adaptive", u=jnp.asarray(u_red),
+            rtol=1e-6, atol=1e-9, rho_inf=0.9, n_newton=2,
+            linear_solver="dense_inv",
+        )
+        ys = np.asarray(res.ys)
+
+        err = 0.0
+        for f in range(len(t_eval)):
+            got = np.concatenate([
+                xs[f, 0].reshape(-1)[free],
+                xs[f, 1].reshape(-1)[free],
+            ])
+            err = max(err, np.abs(got - ys[f]).max())
+        rel = err / np.abs(ys).max()
+        assert rel < 1e-5, f"sharded vs dense adaptive: {rel:.3e}"
+        # identical global controller decisions
+        assert int(stats.n_accepted) == int(res.stats.n_accepted)
+        assert int(stats.n_rejected) == int(res.stats.n_rejected)
+
+    def test_batched_per_env_dt(self):
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            build_spatial_genalpha_adaptive,
+        )
+
+        model, beam = self._setup()
+        n = model.n_pos_states
+        free = np.flatnonzero(
+            np.asarray(model.beam_model.bc_info.free_mask)
+        )
+        Np = beam.n_nodes
+        # two envs with very different initial energy -> different dt
+        rng = np.random.default_rng(0)
+        x_node = np.zeros((2, 2, Np, 3))
+        x_red = rng.normal(scale=1e-6, size=2 * n)
+        x_node[0, 0].reshape(-1)[free] = x_red[:n]
+        x_node[1, 0].reshape(-1)[free] = 1e4 * x_red[:n]
+
+        t_eval = np.linspace(0.0, 2e-3, 3)
+        rollout = build_spatial_genalpha_adaptive(beam, rho_inf=0.9)
+        xs, stats = rollout(jnp.asarray(x_node), t_eval, rtol=1e-6,
+                            atol=1e-12)
+        assert xs.shape == (3, 2, 2, Np, 3)
+        assert bool(jnp.all(jnp.isfinite(xs)))
+        acc = np.asarray(stats.n_accepted)
+        assert acc.shape == (2,)
+        assert acc[0] != acc[1]
+
+
 class TestToleranceCG:
     def test_cg_tol_matches_fixed_iters(self):
         """Tolerance-stopped CG reaches the same RHS as a generous fixed
