@@ -147,56 +147,66 @@ def _make_kernel(
                     + dot(a_lo, b_hi, P)
                 )
 
-            def project_all(g):
-                wt_hi = wt_hi_ref[:, :]
-                wt_lo = wt_lo_ref[:, :]
-                g_hi, g_lo = split_bf16(g)
-                P = jax.lax.Precision.DEFAULT
-                return (
-                    dot(wt_hi, g_hi, P)
-                    + dot(wt_hi, g_lo, P)
-                    + dot(wt_lo, g_hi, P)
-                )
+            if gathered:
+                # Single-dot expand/project over the stacked six-block
+                # basis (no basis slicing at all — see modal_force below).
+                def expand_all(eta_af):
+                    return transform(0, n_blk * s_pad, split_bf16(eta_af))
 
-            def expand_all(eta_af):
-                return transform(0, n_blk * s_pad, split_bf16(eta_af))
+                def project_all(g):
+                    wt_hi = wt_hi_ref[:, :]
+                    wt_lo = wt_lo_ref[:, :]
+                    g_hi, g_lo = split_bf16(g)
+                    P = jax.lax.Precision.DEFAULT
+                    return (
+                        dot(wt_hi, g_hi, P)
+                        + dot(wt_hi, g_lo, P)
+                        + dot(wt_lo, g_hi, P)
+                    )
 
-            def project(col0, g):
-                wt_hi = wt_hi_ref[:, col0 : col0 + s_pad]
-                wt_lo = wt_lo_ref[:, col0 : col0 + s_pad]
-                g_hi, g_lo = split_bf16(g)
-                P = jax.lax.Precision.DEFAULT
-                return (
-                    dot(wt_hi, g_hi, P)
-                    + dot(wt_hi, g_lo, P)
-                    + dot(wt_lo, g_hi, P)
-                )
+            else:
 
-            def expand(eta_af):
-                b_pair = split_bf16(eta_af)
-                return tuple(
-                    transform(k * s_pad, s_pad, b_pair) for k in range(n_blk)
-                )
+                def project(col0, g):
+                    wt_hi = wt_hi_ref[:, col0 : col0 + s_pad]
+                    wt_lo = wt_lo_ref[:, col0 : col0 + s_pad]
+                    g_hi, g_lo = split_bf16(g)
+                    P = jax.lax.Precision.DEFAULT
+                    return (
+                        dot(wt_hi, g_hi, P)
+                        + dot(wt_hi, g_lo, P)
+                        + dot(wt_lo, g_hi, P)
+                    )
+
+                def expand(eta_af):
+                    b_pair = split_bf16(eta_af)
+                    return tuple(
+                        transform(k * s_pad, s_pad, b_pair)
+                        for k in range(n_blk)
+                    )
 
         else:
             phi = phi_ref[:, :]
             wt = wt_ref[:, :]
 
-            def project_all(g):
-                return dot(wt, g, nl_precision)
+            if gathered:
 
-            def expand_all(eta_af):
-                return dot(phi, eta_af, nl_precision)
+                def expand_all(eta_af):
+                    return dot(phi, eta_af, nl_precision)
 
-            def project(col0, g):
-                return dot(wt[:, col0 : col0 + s_pad], g, nl_precision)
+                def project_all(g):
+                    return dot(wt, g, nl_precision)
 
-            def expand(eta_af):
-                return tuple(
-                    dot(phi[k * s_pad : (k + 1) * s_pad, :], eta_af,
-                        nl_precision)
-                    for k in range(n_blk)
-                )
+            else:
+
+                def project(col0, g):
+                    return dot(wt[:, col0 : col0 + s_pad], g, nl_precision)
+
+                def expand(eta_af):
+                    return tuple(
+                        dot(phi[k * s_pad : (k + 1) * s_pad, :], eta_af,
+                            nl_precision)
+                        for k in range(n_blk)
+                    )
 
         if gathered:
 
