@@ -290,6 +290,33 @@ class TestFusedROMRollout:
                 np.asarray(b), np.asarray(a), atol=1e-6 * scale
             )
 
+    def test_ecsw_gathered_hybrid_mask(self):
+        """Hybrid beam through the gathered single-dot path: the in-kernel
+        element mask (linear elements in the sample window produce zero
+        correction) must match the XLA gathered engine exactly."""
+        import jax
+
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(helpers.mixed_csv)
+        z = jnp.zeros((1, ms.n_modes), jnp.float32)
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_m, 20, substeps=5,
+                                          n_newton=2)
+        red = ms.hyper_reduce(np.asarray(etas_tr[::2, 0, :]), tau=1e-8)
+        assert red.sampled_params is not None
+        e1, _, _ = red.rollout(eta, etad, u_m, 40, n_newton=2)
+        fused = red.make_pallas_rollout(tile=128)
+        assert fused.gathered
+        e2, _, _ = fused(
+            eta, etad, u_m, 40, n_newton=2,
+            precision=jax.lax.Precision.HIGHEST,
+            nl_precision=jax.lax.Precision.HIGHEST, interpret=True,
+        )
+        scale = float(jnp.abs(e1).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(e2), np.asarray(e1), atol=1e-6 * scale
+        )
+
     def test_ecsw_gathered_frames(self):
         """Frame-collecting fused rollout on the gathered layout."""
         import jax
