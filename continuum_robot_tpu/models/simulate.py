@@ -671,6 +671,12 @@ class ModalROMGenAlpha:
     # make_modal_rom): the steppers then replace the (m, m) Newton solve
     # dot with a per-mode multiply. None when modes genuinely couple.
     Sinv_diag: Optional[np.ndarray] = None
+    # (m,) modal Rayleigh structural damping ``alpha + beta lam_m``
+    # (make_modal_rom rayleigh=(alpha, beta)): ``C = alpha M + beta K0``
+    # diagonalizes in the Petrov-Galerkin basis exactly like the linear
+    # modal engine's, enters the residual at the alpha point and the
+    # effective Jacobian exactly. None = undamped (reference parity).
+    cdamp: Optional[np.ndarray] = None
 
     @property
     def n_modes(self) -> int:
@@ -774,6 +780,9 @@ class ModalROMGenAlpha:
 
         u_at = ModalGenAlpha._force_at(u_modal, dtype)
         t_af_off = (1.0 - af) * dt
+        cdamp = (
+            None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
+        )
 
         def step(carry, t):
             eta, etad, etadd = carry
@@ -790,6 +799,8 @@ class ModalROMGenAlpha:
                 r = a_am + self._force_modal(
                     eta_af, etad_af, t_af, dtype, precision, nl_precision
                 ) - u_at(t_af)
+                if cdamp is not None:
+                    r = r + cdamp * etad_af
                 return a1 - solve(r)
 
             a1 = jax.lax.fori_loop(0, n_newton, newton_body, etadd)
@@ -801,9 +812,12 @@ class ModalROMGenAlpha:
 
     def initial_accel(self, eta, etad, u_modal, t0=0.0, precision=None,
                       nl_precision=None):
-        """Petrov-Galerkin ``etadd0 = u_modal + PhiW^T (F_ext - k(q0))``."""
+        """Petrov-Galerkin ``etadd0 = u_modal + PhiW^T (F_ext - k(q0))``
+        (minus ``cdamp * etad0`` when structurally damped)."""
         dtype = jnp.asarray(eta).dtype
         r = -self._force_modal(eta, etad, t0, dtype, precision, nl_precision)
+        if self.cdamp is not None:
+            r = r - jnp.asarray(self.cdamp, dtype) * etad
         return r + ModalGenAlpha._force_at(u_modal, dtype)(t0)
 
     def rollout(
@@ -860,14 +874,20 @@ class ModalROMGenAlpha:
                 "factorization per trial dt; use the fixed-step rollout"
             )
         am, af, beta, gamma = self._coeffs()
+        cdamp64 = (
+            None if self.cdamp is None
+            else np.asarray(self.cdamp, np.float64)
+        )
         # Reduced linear-operator diagonal in f64: the split fast path
-        # stores it; otherwise invert the Sinv_diag relation at self.dt.
+        # stores it; otherwise invert the Sinv_diag relation at self.dt
+        # (subtracting the damping term when present).
         if self.lam is not None:
             lam64 = np.asarray(self.lam, np.float64)
         else:
-            lam64 = (
-                1.0 / np.asarray(self.Sinv_diag, np.float64) - (1.0 - am)
-            ) / ((1.0 - af) * beta * self.dt * self.dt)
+            j0 = 1.0 / np.asarray(self.Sinv_diag, np.float64) - (1.0 - am)
+            if cdamp64 is not None:
+                j0 = j0 - (1.0 - af) * gamma * self.dt * cdamp64
+            lam64 = j0 / ((1.0 - af) * beta * self.dt * self.dt)
 
         if dt0 is None:
             if isinstance(t_eval, jax.core.Tracer):
@@ -888,8 +908,14 @@ class ModalROMGenAlpha:
             eta, etad, u_modal, t_eval[0], precision, nl_precision
         )
 
+        cdamp_j = (
+            None if cdamp64 is None else jnp.asarray(cdamp64, dtype)
+        )
+
         def trial_step(t, dt, eta0, etad0, etadd0):
             jd = (1.0 - am) + ((1.0 - af) * beta) * dt * dt * lam_j
+            if cdamp_j is not None:
+                jd = jd + ((1.0 - af) * gamma) * dt * cdamp_j
             t_af = t + (1.0 - af) * dt
             eta_pred = eta0 + dt * etad0 + (0.5 - beta) * dt * dt * etadd0
             etad_pred = etad0 + (1.0 - gamma) * dt * etadd0
@@ -903,6 +929,8 @@ class ModalROMGenAlpha:
                 r = a_am + self._force_modal(
                     eta_af, etad_af, t_af, dtype, precision, nl_precision
                 ) - u_at(t_af)
+                if cdamp_j is not None:
+                    r = r + cdamp_j * etad_af
                 return a1 - r / jd
 
             a1 = jax.lax.fori_loop(0, n_newton, newton_body, etadd0)
@@ -1697,6 +1725,7 @@ def make_modal_rom(
     forces_func: Optional[Callable] = None,
     static_vectors=None,
     modal_derivatives: int = 0,
+    rayleigh: tuple = None,
 ) -> ModalROMGenAlpha:
     """Build the nonlinear modal-reduction generalized-alpha engine.
 
@@ -1713,6 +1742,14 @@ def make_modal_rom(
     ``n_modes=None`` keeps the full basis (exact similarity of the dense
     modified-Newton path — the validation configuration); production ROMs
     truncate, e.g. ``n_modes=256`` for a 1000-element beam.
+
+    ``rayleigh``: optional ``(alpha, beta)`` Rayleigh structural damping
+    ``C = alpha M + beta K0`` — diagonalizes to ``cdamp_m = alpha +
+    beta lam_m`` in the Petrov-Galerkin basis and enters the residual and
+    the effective Jacobian exactly (a capability the reference lacks; on
+    nonlinear beams it provides PHYSICAL dissipation instead of leaning on
+    rho_inf to absorb the parity element's energy pumping). XLA engines
+    only; the fused Pallas rollout rejects damped engines.
     """
     from scipy.linalg import eig, eigh
 
@@ -1793,9 +1830,18 @@ def make_modal_rom(
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
     beta = 0.25 * (1.0 - am + af) ** 2
+    gamma_ga = 0.5 - am + af
     K0r = W.T @ K0 @ V  # = diag(eigenvalues) up to roundoff
     m = V.shape[1]
     S = (1.0 - am) * np.eye(m) + (1.0 - af) * beta * dt * dt * K0r
+    cdamp = None
+    if rayleigh is not None:
+        al_r, be_r = float(rayleigh[0]), float(rayleigh[1])
+        # C = al M + be K0 reduces to al I + be K0r; keep the exactly-
+        # diagonal part (K0r's off-diagonal is eigensolver roundoff and
+        # is already excluded from the diagonal-Newton test below).
+        cdamp = al_r + be_r * np.ascontiguousarray(np.diag(K0r))
+        S = S + (1.0 - af) * gamma_ga * dt * np.diag(cdamp)
     Sinv = np.linalg.inv(S)
     # Petrov-Galerkin biorthonormalization makes K0r exactly diagonal in
     # exact arithmetic; when the off-diagonal is eigensolver roundoff
@@ -1869,6 +1915,7 @@ def make_modal_rom(
         planar_correction=planar_correction,
         window_params=window_params,
         Sinv_diag=Sinv_diag,
+        cdamp=cdamp,
     )
 
 

@@ -451,6 +451,11 @@ class FusedROMRollout:
                 "fused ROM rollout does not support external forces; "
                 "use ModalROMGenAlpha.rollout"
             )
+        if ms.cdamp is not None:
+            raise ValueError(
+                "fused ROM rollout does not support Rayleigh-damped "
+                "engines yet; use the XLA rollout / rollout_adaptive"
+            )
         if ms.window_params is None and ms.sampled_params is None:
             raise ValueError(
                 "engine has neither the contiguous-window nor the "

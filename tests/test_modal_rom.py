@@ -468,6 +468,92 @@ class TestHyperReduction:
             ms.hyper_reduce(np.zeros((2, 10)))
 
 
+class TestRayleighDampedROM:
+    """Rayleigh structural damping in the ROM engine (beyond reference).
+
+    ``C = alpha M + beta K0`` diagonalizes in the Petrov-Galerkin basis;
+    on a LINEAR beam the damped full-basis ROM must reproduce the linear
+    modal engine's damped recurrence (the strongest oracle available —
+    both are the same per-mode gen-alpha update), and on a nonlinear beam
+    damping must dissipate.
+    """
+
+    def test_linear_full_basis_matches_damped_modal_engine(self):
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        model = _model(linear_csv(8))
+        n = model.n_pos_states
+        ray = (5.0, 1e-6)
+        rom = make_modal_rom(model, 1e-4, rho_inf=0.8, rayleigh=ray)
+        lin = make_modal_genalpha(model, 1e-4, rho_inf=0.8, rayleigh=ray)
+        assert rom.cdamp is not None
+        u = np.zeros(n)
+        u[-2] = 0.5
+        rng = np.random.default_rng(0)
+        q0 = rng.normal(scale=1e-6, size=(3, n))
+        v0 = np.zeros((3, n))
+        e_r, ed_r = rom.to_modal(jnp.asarray(q0), jnp.asarray(v0))
+        e_l, ed_l = lin.to_modal(jnp.asarray(q0), jnp.asarray(v0))
+        u_r = jnp.asarray(rom.project_force_host(u))
+        u_l = lin.project_force(jnp.asarray(u))
+        er1, _, _ = rom.rollout(e_r, ed_r, u_r, 100, n_newton=1)
+        el1, _, _ = lin.rollout(e_l, ed_l, u_l, 100)
+        q_r, _ = rom.from_modal(er1, jnp.zeros_like(er1))
+        q_l, _ = lin.from_modal(el1, jnp.zeros_like(el1))
+        scale = float(jnp.abs(q_l).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(q_r), np.asarray(q_l), atol=1e-9 * scale
+        )
+
+    def test_nonlinear_damping_dissipates(self):
+        model = _model(nonlinear_csv(8, include_fluid=False))
+        n = model.n_pos_states
+        free_release = np.zeros(n)
+        free_release[-2] = 5.0
+        undamped = make_modal_rom(model, 1e-4, rho_inf=0.95, n_modes=10)
+        damped = make_modal_rom(model, 1e-4, rho_inf=0.95, n_modes=10,
+                                rayleigh=(20.0, 1e-7))
+        u_m = jnp.asarray(undamped.project_force_host(free_release))
+        u_m2 = jnp.asarray(damped.project_force_host(free_release))
+        z = jnp.zeros((1, 10))
+        # drive to a deflected state, release (u=None), compare decay
+        e0, ed0, _ = undamped.rollout(z, z, u_m, 300, n_newton=2)
+        e0d, ed0d, _ = damped.rollout(z, z, u_m2, 300, n_newton=2)
+        e1, ed1, _ = undamped.rollout(e0, ed0, None, 2000, n_newton=2)
+        e2, ed2, _ = damped.rollout(e0d, ed0d, None, 2000, n_newton=2)
+        v1 = float(jnp.abs(ed1).max())
+        v2 = float(jnp.abs(ed2).max())
+        assert v2 < 0.5 * v1, f"damped {v2:.3e} !< undamped {v1:.3e}"
+
+    def test_damped_adaptive_consistent(self):
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-5, rho_inf=0.9, n_modes=8,
+                            rayleigh=(10.0, 1e-7))
+        u = np.zeros(n)
+        u[-2] = 2.0
+        u_m = jnp.asarray(ms.project_force_host(u))
+        z = jnp.zeros((1, 8))
+        # fixed tiny-dt oracle (dt=1e-5, 500 steps = 5 ms)
+        ts, e_fix, _ = ms.rollout_frames(z, z, u_m, 5, substeps=100,
+                                         n_newton=3)
+        t_eval = np.asarray(ts)
+        e_ad, _, stats = ms.rollout_adaptive(z, z, u_m, t_eval,
+                                             rtol=1e-7, atol=1e-10,
+                                             n_newton=3)
+        scale = float(jnp.abs(e_fix).max()) + 1e-30
+        rel = float(jnp.abs(e_ad - e_fix).max()) / scale
+        assert rel < 1e-3, f"damped adaptive vs fixed: {rel:.2e}"
+        assert int(stats.n_accepted) > 0
+
+    def test_pallas_rejects_damped_engine(self):
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.8, n_modes=8,
+                            rayleigh=(1.0, 1e-7))
+        with pytest.raises(ValueError, match="Rayleigh"):
+            ms.make_pallas_rollout()
+
+
 class TestAdaptiveROM:
     """Error-controlled stepping at ROM per-step cost (rollout_adaptive).
 
