@@ -1927,6 +1927,7 @@ def make_modal_rollout_fn(
     rho_inf: float = 0.8,
     u=None,
     forces_func=None,
+    rayleigh: tuple = None,
 ):
     """Frame-collecting modal rollout closure ``x0 -> (ts, ys)``.
 
@@ -1940,7 +1941,8 @@ def make_modal_rollout_fn(
             "method='modal' cannot include state-dependent forces; "
             "use 'newmark'/'generalized_alpha' for those"
         )
-    ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
+    ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf,
+                             rayleigh=rayleigh)
     if u is None:
         u_modal = None
     elif callable(u):
@@ -1980,7 +1982,8 @@ def _simulate_pallas(
     n = x0.shape[-1] // 2
 
     if method == "modal":
-        ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
+        ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf,
+                             rayleigh=rayleigh)
         if forces_func is not None:
             raise ValueError(
                 "method='modal' cannot include state-dependent forces"
@@ -1996,7 +1999,7 @@ def _simulate_pallas(
         ms = make_modal_rom(
             model, dt / substeps, rho_inf=rho_inf, n_modes=n_modes,
             forces_func=forces_func, static_vectors=static_vectors,
-            modal_derivatives=modal_derivatives,
+            modal_derivatives=modal_derivatives, rayleigh=rayleigh,
         )
         fused = ms.make_pallas_rollout()
         u_modal = None if u is None else jnp.asarray(
@@ -2039,6 +2042,7 @@ def simulate(
     modal_derivatives: int = 0,
     engine: str = "xla",
     jit: bool = True,
+    rayleigh: tuple = None,
 ) -> SimulationResult:
     """Run a complete rollout on device.
 
@@ -2075,9 +2079,20 @@ def simulate(
             ``"pallas"`` for the fused whole-span VMEM kernels (constant
             input force, no external forces; interpreted automatically on
             the CPU backend).
+        rayleigh: optional ``(alpha, beta)`` Rayleigh structural damping
+            ``C = alpha M + beta K`` — modal engines only (XLA), exact in
+            the recurrence and the effective Jacobian.
     """
     x0 = jnp.asarray(x0)
     n_steps = int(round(t_final / dt))
+
+    if rayleigh is not None and method not in (
+        "modal", "modal_rom", "modal_rom_adaptive"
+    ):
+        raise ValueError(
+            "rayleigh structural damping is supported by the modal "
+            "engines (method='modal'/'modal_rom'/'modal_rom_adaptive')"
+        )
 
     if engine not in ("xla", "pallas"):
         raise ValueError(f"Unknown engine: {engine!r} (use 'xla'|'pallas')")
@@ -2200,7 +2215,7 @@ def simulate(
         ms = make_modal_rom(
             model, dt / substeps, rho_inf=rho_inf, n_modes=n_modes,
             forces_func=forces_func, static_vectors=static_vectors,
-            modal_derivatives=modal_derivatives,
+            modal_derivatives=modal_derivatives, rayleigh=rayleigh,
         )
         if u is None:
             u_modal = None
@@ -2240,7 +2255,7 @@ def simulate(
     elif method == "modal":
         rollout = make_modal_rollout_fn(
             model, dt, n_steps, substeps=substeps, rho_inf=rho_inf,
-            u=u, forces_func=forces_func,
+            u=u, forces_func=forces_func, rayleigh=rayleigh,
         )
 
         def run(x0):
