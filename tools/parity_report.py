@@ -253,6 +253,47 @@ def modal_engine_parity():
         os.unlink(csv)
 
 
+def adaptive_engine_parity():
+    """Error-controlled engines vs the reference LSODA goldens.
+
+    The direct LSODA-capability parity claim: no manual dt anywhere —
+    ``generalized_alpha_adaptive`` (linear config) and
+    ``modal_rom_adaptive`` (nonlinear config) integrate the reference
+    workload to its 1 s horizon with rtol/atol as the only accuracy
+    dials, measured on the tip-displacement track (see
+    ``modal_engine_parity`` for why the tip is the right observable).
+    """
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+    from continuum_robot_tpu.models.simulate import simulate
+
+    data = np.load(os.path.join(REPO, "tests", "goldens", "trajectories.npz"))
+    with open(os.path.join(REPO, "tests", "goldens",
+                           "trajectories_meta.json")) as f:
+        meta = json.load(f)
+    for name, types, method, kw in [
+        ("linear tip track (adaptive gen-alpha)", ["linear"] * 6,
+         "generalized_alpha_adaptive",
+         dict(rtol=1e-8, atol=1e-11, rho_inf=0.95, n_newton=2,
+              linear_solver="dense_inv")),
+        ("nonlinear tip track (adaptive modal-ROM)", ["nonlinear"] * 6,
+         "modal_rom_adaptive",
+         dict(rtol=1e-8, atol=1e-11, rho_inf=0.95, n_newton=3)),
+    ]:
+        csv = helpers.write_beam_csv(types)
+        beam = DynamicEulerBernoulliBeam(csv)
+        n = beam.n_pos_states
+        u = helpers.tip_impulse(n, meta["impulse_amplitude"],
+                                meta["impulse_t_end"])
+        res = simulate(beam, np.zeros(2 * n), meta["t_final"], meta["dt"],
+                       method=method, u=u, **kw)
+        key = "linear" if types[0] == "linear" else "nonlinear"
+        tip_ref = data[f"{key}_y"][n - 2, :]
+        tip_new = np.asarray(res.ys).T[n - 2, : tip_ref.shape[0]]
+        row("adaptive vs LSODA", name,
+            np.abs(tip_new - tip_ref).max() / np.abs(tip_ref).max(), 5e-4)
+        os.unlink(csv)
+
+
 def lqr_parity():
     from continuum_robot_tpu.control import LinearQuadraticRegulator
 
@@ -270,6 +311,7 @@ if __name__ == "__main__":
     rhs_parity()
     trajectory_parity()
     modal_engine_parity()
+    adaptive_engine_parity()
     lqr_parity()
     lqr_closed_loop_parity()
     print("\nPARITY REPORT — continuum-robot-tpu vs reference")
