@@ -219,9 +219,11 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
     eta, etad = jax.jit(ms.to_modal)(q, v)
     u_m = ms.project_force(u)
     if use_pallas:
+        # Interpret on CPU so BENCH_PLATFORM=cpu smoke runs work.
+        interp = jax.default_backend() == "cpu"
 
         def roll(e, ed):
-            return ms.rollout_pallas(e, ed, u_m, N_STEPS)
+            return ms.rollout_pallas(e, ed, u_m, N_STEPS, interpret=interp)
 
     else:
         roll = jax.jit(lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS))
@@ -352,10 +354,12 @@ def run_modal_rom(jax, jnp, model, n_red):
     }[NL_PRECISION]
     if ENGINE == "modal_rom_pallas":
         fused = ms.make_pallas_rollout(tile=int(os.environ.get("BENCH_TILE", 256)))
+        interp = jax.default_backend() == "cpu"
 
         def roll(e, ed):
             return fused(e, ed, u_m, N_STEPS, n_newton=1,
-                         precision=prec, nl_precision=nl_prec)
+                         precision=prec, nl_precision=nl_prec,
+                         interpret=interp)
 
     else:
         roll = jax.jit(
@@ -564,6 +568,13 @@ def main():
                 REF_EVALS_PER_SEC_NONLINEAR = measured
 
     import jax
+
+    # BENCH_PLATFORM=cpu: smoke-test escape hatch (the axon plugin ignores
+    # the JAX_PLATFORMS env var, and a wedged remote worker hangs backend
+    # init forever — see CLAUDE.md). Numbers from a CPU run are not
+    # benchmarks; the driver never sets this.
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     # TPU matmuls default to bfloat16 multiplication; the implicit solve
     # needs real f32 (verified: bf16 accumulates to NaN within 400 steps).

@@ -1748,8 +1748,10 @@ def make_modal_rom(
     beta lam_m`` in the Petrov-Galerkin basis and enters the residual and
     the effective Jacobian exactly (a capability the reference lacks; on
     nonlinear beams it provides PHYSICAL dissipation instead of leaning on
-    rho_inf to absorb the parity element's energy pumping). XLA engines
-    only; the fused Pallas rollout rejects damped engines.
+    rho_inf to absorb the parity element's energy pumping). Supported by
+    the XLA rollouts, ``rollout_adaptive``, and the fused Pallas rollout
+    (the damping column rides the kernel's residual; its Jacobian share
+    is prefactored into ``Sinv``).
     """
     from scipy.linalg import eig, eigh
 
@@ -1965,6 +1967,7 @@ def make_modal_rollout_fn(
 def _simulate_pallas(
     model, x0, n_steps, dt, method, u, forces_func, substeps, n_newton,
     rho_inf, n_modes, nl_precision, static_vectors, modal_derivatives,
+    rayleigh,
 ):
     """Fused-kernel drive behind ``simulate(engine="pallas")``.
 
@@ -2080,8 +2083,9 @@ def simulate(
             input force, no external forces; interpreted automatically on
             the CPU backend).
         rayleigh: optional ``(alpha, beta)`` Rayleigh structural damping
-            ``C = alpha M + beta K`` — modal engines only (XLA), exact in
-            the recurrence and the effective Jacobian.
+            ``C = alpha M + beta K`` — modal engines only (both the XLA
+            and fused-Pallas paths), exact in the recurrence and the
+            effective Jacobian.
     """
     x0 = jnp.asarray(x0)
     n_steps = int(round(t_final / dt))
@@ -2110,7 +2114,7 @@ def simulate(
         return _simulate_pallas(
             model, x0, n_steps, dt, method, u, forces_func, substeps,
             n_newton, rho_inf, n_modes, nl_precision, static_vectors,
-            modal_derivatives,
+            modal_derivatives, rayleigh,
         )
 
     if method == "rk4":

@@ -38,8 +38,11 @@ per-step carry roundtrips; this kernel removes exactly that traffic.
 
 Matches ``ModalROMGenAlpha.rollout`` (same recurrence, same modified-Newton
 iteration; validated in tests/test_pallas.py and on hardware by
-``tools/hw_validate.py``). Constant-input, no-external-force configurations
-only — the XLA path remains for callable inputs / registered forces.
+``tools/hw_validate.py``), including Rayleigh-damped engines (the damping
+column adds ``cd * etad_af`` to the residual; its Jacobian share is
+prefactored into ``Sinv``). Constant-input, no-external-force
+configurations only — the XLA path remains for callable inputs /
+registered forces.
 """
 
 from __future__ import annotations
@@ -69,6 +72,7 @@ def _make_kernel(
     nl_precision,
     gathered: bool = False,
     diag_newton: bool = False,
+    damped: bool = False,
 ):
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
@@ -92,6 +96,7 @@ def _make_kernel(
         #   (m_p, n_blk s_pad) bf16 — hi/lo halves as separate 2-D arrays;
         # then, both modes:
         #   sinv (m_p, m_p); lam (m_p, 1); u (m_p, 1) constant modal force;
+        #   [cd (m_p, 1) modal Rayleigh damping column, damped mode only;]
         #   L, D, A (s_pad, 1) element length/EI/EA columns (L = 1.0 in
         #   padded rows); mask (s_pad, 1) 1.0 for live nonlinear elements;
         #   q, v, a (m_p, tile) modal state in; qo, vo, ao state out.
@@ -102,8 +107,13 @@ def _make_kernel(
         else:
             phi_ref, wt_ref = refs[:2]
             refs = refs[2:]
+        sinv_ref, lam_ref, u_ref = refs[:3]
+        refs = refs[3:]
+        if damped:
+            cd = refs[0][:, :]
+            refs = refs[1:]
         (
-            sinv_ref, lam_ref, u_ref, L_ref, D_ref, A_ref, mask_ref,
+            L_ref, D_ref, A_ref, mask_ref,
             q_ref, v_ref, a_ref, qo_ref, vo_ref, ao_ref,
         ) = refs
         sinv = sinv_ref[:, :]
@@ -278,6 +288,14 @@ def _make_kernel(
                 eta_af = (1.0 - af) * eta1 + af * eta
                 a_am = (1.0 - am) * a1 + am * etadd
                 r = a_am + modal_force(eta_af) - u_m
+                if damped:
+                    # Rayleigh residual term cd * etad_af; the damping's
+                    # Jacobian contribution is already folded into sinv
+                    # (make_modal_rom builds S with the gamma dt cd term).
+                    etad_af = (
+                        (1.0 - af) * (etad_pred + gamma * h * a1) + af * etad
+                    )
+                    r = r + cd * etad_af
                 # Diagonal effective Jacobian (Petrov-Galerkin eigenbasis):
                 # the Newton solve is a per-mode VPU multiply, not an
                 # (m, m) MXU dot — sinv ships as an (m_p, 1) column.
@@ -300,14 +318,15 @@ def _make_kernel(
 
 def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
               precision, nl_precision, interpret, gathered=False,
-              diag_newton=False):
+              diag_newton=False, damped=False):
     """Shared layout/spec setup for the step and frames drivers.
 
     Returns ``(pad_state, make_call, m_p, B, Bp)``: the state padder into
     the kernel's (modes, envs) layout, and a factory building the
     fixed-step-count pallas_call. ``basis`` is (phi, wt) in f32 mode or
     (phi_hi, phi_lo, wt_hi, wt_lo) bf16 halves in split mode — forwarded
-    to the kernel positionally.
+    to the kernel positionally. ``damped`` adds the (m_p, 1) Rayleigh
+    column between the force and element-parameter constants.
     """
     m_p = sinv.shape[0]
     B = eta.shape[0]
@@ -327,13 +346,14 @@ def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
         kernel = _make_kernel(
             int(n_steps), float(h), float(rho_inf), int(n_newton),
             int(s_pad), precision, nl_precision, gathered=gathered,
-            diag_newton=diag_newton,
+            diag_newton=diag_newton, damped=damped,
         )
+        n_consts = len(basis) + 7 + (1 if damped else 0)
         return pl.pallas_call(
             kernel,
             out_shape=(out_shape, out_shape, out_shape),
             grid=grid,
-            in_specs=[const_spec] * (len(basis) + 7) + [state_spec] * 3,
+            in_specs=[const_spec] * n_consts + [state_spec] * 3,
             out_specs=(state_spec, state_spec, state_spec),
             # The resident working set (both bases + Mosaic's
             # HIGHEST-precision operand splits + the per-plane transients)
@@ -358,7 +378,7 @@ def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
     ),
 )
 def _fused_rom_call(
-    basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col,
+    basis, sinv, lam_col, u_col, cd_col, L_col, D_col, A_col, mask_col,
     eta, etad, etadd,
     steps: int, chunk: int, h: float, rho_inf: float, n_newton: int,
     s_pad: int, tile: int, precision, nl_precision, interpret: bool,
@@ -371,12 +391,15 @@ def _fused_rom_call(
     # VMEM-resident work.
     chunk = min(int(chunk), int(steps)) or 1
     n_chunks, rem = divmod(int(steps), chunk)
+    damped = cd_col is not None
     pad_state, make_call, m_p, B, Bp = _plumbing(
         basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
         precision, nl_precision, interpret, gathered=gathered,
-        diag_newton=diag_newton,
+        diag_newton=diag_newton, damped=damped,
     )
-    consts = (*basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col)
+    consts = (*basis, sinv, lam_col, u_col,
+              *((cd_col,) if damped else ()),
+              L_col, D_col, A_col, mask_col)
     state = (pad_state(eta), pad_state(etad), pad_state(etadd))
     if n_chunks:
         call = make_call(chunk)
@@ -401,7 +424,7 @@ def _fused_rom_call(
     ),
 )
 def _fused_rom_frames(
-    basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col,
+    basis, sinv, lam_col, u_col, cd_col, L_col, D_col, A_col, mask_col,
     eta, etad, etadd,
     n_frames: int, substeps: int, h: float, rho_inf: float, n_newton: int,
     s_pad: int, tile: int, precision, nl_precision, interpret: bool,
@@ -409,13 +432,16 @@ def _fused_rom_frames(
 ):
     """Frame-collecting variant: one ``substeps``-step kernel call per frame,
     state carried in the kernel's (modes, envs) layout across the span."""
+    damped = cd_col is not None
     pad_state, make_call, m_p, B, Bp = _plumbing(
         basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
         precision, nl_precision, interpret, gathered=gathered,
-        diag_newton=diag_newton,
+        diag_newton=diag_newton, damped=damped,
     )
     call = make_call(substeps)
-    consts = (*basis, sinv, lam_col, u_col, L_col, D_col, A_col, mask_col)
+    consts = (*basis, sinv, lam_col, u_col,
+              *((cd_col,) if damped else ()),
+              L_col, D_col, A_col, mask_col)
     s0 = (pad_state(eta), pad_state(etad), pad_state(etadd))
 
     def frame(s, _):
@@ -450,11 +476,6 @@ class FusedROMRollout:
             raise ValueError(
                 "fused ROM rollout does not support external forces; "
                 "use ModalROMGenAlpha.rollout"
-            )
-        if ms.cdamp is not None:
-            raise ValueError(
-                "fused ROM rollout does not support Rayleigh-damped "
-                "engines yet; use the XLA rollout / rollout_adaptive"
             )
         if ms.window_params is None and ms.sampled_params is None:
             raise ValueError(
@@ -516,6 +537,14 @@ class FusedROMRollout:
         lam_col = np.zeros((m_p, 1), np.float64)
         lam_col[:m, 0] = np.asarray(ms.lam, np.float64)
         self.lam_col = jnp.asarray(lam_col, jnp.float32)
+        # Rayleigh damping column (make_modal_rom rayleigh=...): the
+        # kernel adds cd * etad_af to the residual; the Jacobian term is
+        # already inside Sinv, so nothing else changes.
+        self.cd_col = None
+        if ms.cdamp is not None:
+            cd_col = np.zeros((m_p, 1), np.float64)
+            cd_col[:m, 0] = np.asarray(ms.cdamp, np.float64)
+            self.cd_col = jnp.asarray(cd_col, jnp.float32)
 
         # Element parameter columns — of the restricted window, or of the
         # ECSW sample (the jnp correction closure the XLA path uses closes
@@ -577,7 +606,7 @@ class FusedROMRollout:
             else (self.phi, self.wt)
         )
         consts = (
-            basis, self.sinv, self.lam_col, jnp.asarray(u_col),
+            basis, self.sinv, self.lam_col, jnp.asarray(u_col), self.cd_col,
             self.L_col, self.D_col, self.A_col, self.mask_col,
         )
         return consts, etadd, prec, ("split" if split else nl_prec)

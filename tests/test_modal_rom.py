@@ -546,12 +546,18 @@ class TestRayleighDampedROM:
         assert rel < 1e-3, f"damped adaptive vs fixed: {rel:.2e}"
         assert int(stats.n_accepted) > 0
 
-    def test_pallas_rejects_damped_engine(self):
+    def test_pallas_accepts_damped_engine(self):
+        """Damped engines build the fused rollout with the cdamp column.
+
+        (Full kernel-vs-XLA damped parity lives in
+        tests/test_pallas.py::TestFusedROMRollout.)
+        """
         model = _model(nonlinear_csv(6, include_fluid=False))
         ms = make_modal_rom(model, 1e-4, rho_inf=0.8, n_modes=8,
                             rayleigh=(1.0, 1e-7))
-        with pytest.raises(ValueError, match="Rayleigh"):
-            ms.make_pallas_rollout()
+        fused = ms.make_pallas_rollout()
+        assert fused.cd_col is not None
+        assert fused.cd_col.shape == (fused.m_p, 1)
 
 
 class TestAdaptiveROM:

@@ -185,7 +185,8 @@ class TestFusedModalRollout:
 class TestFusedROMRollout:
     """Fused modal-ROM gen-alpha kernel (``ops/pallas/rom_rollout.py``)."""
 
-    def _setup(self, csv_fn, B=5, m=12, amp=3e-2, rho_inf=0.5):
+    def _setup(self, csv_fn, B=5, m=12, amp=3e-2, rho_inf=0.5,
+               rayleigh=None):
         import jax
 
         from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
@@ -194,7 +195,8 @@ class TestFusedROMRollout:
 
         model = DynamicEulerBernoulliBeam(csv_fn(8, include_fluid=False))
         n = model.n_pos_states
-        ms = make_modal_rom(model, 1e-4, rho_inf=rho_inf, n_modes=m)
+        ms = make_modal_rom(model, 1e-4, rho_inf=rho_inf, n_modes=m,
+                            rayleigh=rayleigh)
         rng = np.random.default_rng(0)
         # Large modal amplitudes so the correction force is a leading-order
         # contribution (it reaches ~100% of the trajectory here), not noise.
@@ -344,6 +346,77 @@ class TestFusedROMRollout:
                 np.asarray(b), np.asarray(a), atol=1e-6 * scale
             )
 
+    def test_damped_matches_xla_rom_rollout(self):
+        """Rayleigh-damped engine through the fused kernel (window layout).
+
+        The damping column rides the kernel residual (cd * etad_af); its
+        Jacobian share is prefactored into Sinv — both must match the XLA
+        damped stepper's arithmetic step for step.
+        """
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(
+            helpers.nonlinear_csv, rayleigh=(5.0, 1e-6)
+        )
+        assert ms.cdamp is not None
+        (e1, ed1, ea1), (e2, ed2, ea2) = self._roll_both(ms, eta, etad, u_m)
+        for a, b in [(e1, e2), (ed1, ed2), (ea1, ea2)]:
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-6 * scale
+            )
+
+    def test_damped_actually_dissipates_fused(self):
+        """The fused damped rollout loses modal amplitude vs undamped."""
+        import jax
+
+        from tests import helpers
+
+        kw = dict(B=1, amp=1e-3)
+        ms0, eta, etad, _ = self._setup(helpers.nonlinear_csv, **kw)
+        msd, _, _, _ = self._setup(
+            helpers.nonlinear_csv, rayleigh=(200.0, 0.0), **kw
+        )
+        steps = 400
+        prec = dict(precision=jax.lax.Precision.HIGHEST,
+                    nl_precision=jax.lax.Precision.HIGHEST, interpret=True)
+        e0, ed0, _ = ms0.make_pallas_rollout(tile=128)(
+            eta, etad, None, steps, n_newton=2, **prec
+        )
+        e1, ed1, _ = msd.make_pallas_rollout(tile=128)(
+            eta, etad, None, steps, n_newton=2, **prec
+        )
+        energy0 = float(jnp.sum(e0**2 + ed0**2))
+        energy1 = float(jnp.sum(e1**2 + ed1**2))
+        assert energy1 < 0.9 * energy0
+
+    def test_damped_ecsw_gathered(self):
+        """Damping survives hyper-reduction into the gathered fused kernel."""
+        import jax
+
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(
+            helpers.nonlinear_csv, rayleigh=(5.0, 1e-6)
+        )
+        z = jnp.zeros((1, ms.n_modes), jnp.float32)
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_m, 20, substeps=5,
+                                          n_newton=2)
+        red = ms.hyper_reduce(np.asarray(etas_tr[::2, 0, :]), tau=1e-8)
+        assert red.cdamp is not None
+        e1, _, _ = red.rollout(eta, etad, u_m, 50, n_newton=2)
+        fused = red.make_pallas_rollout(tile=128)
+        assert fused.gathered and fused.cd_col is not None
+        e2, _, _ = fused(
+            eta, etad, u_m, 50, n_newton=2,
+            precision=jax.lax.Precision.HIGHEST,
+            nl_precision=jax.lax.Precision.HIGHEST, interpret=True,
+        )
+        scale = float(jnp.abs(e1).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(e2), np.asarray(e1), atol=1e-6 * scale
+        )
+
     def test_rejects_external_forces(self):
         import dataclasses
 
@@ -434,6 +507,39 @@ class TestSimulatePallasEngine:
         np.testing.assert_allclose(
             np.asarray(out.ys), np.asarray(ref.ys), atol=1e-9 * scale
         )
+
+    def test_rayleigh_through_pallas_engine(self):
+        """simulate(engine='pallas', rayleigh=...) == the XLA engines.
+
+        Regression guard for the facade: rayleigh must thread into
+        _simulate_pallas for BOTH modal methods (it once raised NameError
+        on every engine='pallas' call).
+        """
+        from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+        from continuum_robot_tpu.models.simulate import simulate
+        from tests import helpers
+
+        for csv_fn, method, atol_scale in [
+            (helpers.linear_csv, "modal", 1e-8),
+            (helpers.nonlinear_csv, "modal_rom", 1e-5),
+        ]:
+            model = DynamicEulerBernoulliBeam(csv_fn(6, include_fluid=False))
+            n = model.n_pos_states
+            x0 = np.zeros(2 * n)
+            u = np.zeros(n)
+            u[-2] = 0.5
+            kw = dict(t_final=0.01, dt=1e-3, method=method, u=u,
+                      substeps=5, rho_inf=0.8, rayleigh=(10.0, 1e-6))
+            if method == "modal_rom":
+                kw.update(n_modes=10, n_newton=2)
+            ref = simulate(model, x0, **kw)
+            out = simulate(model, x0, engine="pallas", **kw)
+            assert out.ys.shape == ref.ys.shape
+            scale = float(jnp.abs(ref.ys).max())
+            np.testing.assert_allclose(
+                np.asarray(out.ys), np.asarray(ref.ys),
+                atol=atol_scale * scale,
+            )
 
     def test_engine_contracts(self):
         from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
