@@ -261,29 +261,41 @@ def make_newmark_operator(
     def solve(q_red, c, a=1.0):
         # Adaptive steppers pass a TRACED c = f(dt): no prefactor can exist
         # for a continuum of dt, so those solves always factor at the
-        # linearization point (key=None path).
+        # linearization point (key=None path). The factorization is built
+        # HERE, outside the returned closure, so holding on to the closure
+        # reuses one factored system across applications (the steppers do,
+        # per trial step, when op.tangent_frozen).
         try:
             key = (float(a), float(c))
         except (TypeError, jax.errors.ConcretizationTypeError,
                 jax.errors.TracerArrayConversionError):
             key = None
 
-        def do_solve(r_red):
-            if key in dense_inverses:
-                inv = jnp.asarray(dense_inverses[key], dtype=r_red.dtype)
+        if key in dense_inverses:
+            inv_np = dense_inverses[key]
+
+            def do_solve(r_red):
+                inv = jnp.asarray(inv_np, dtype=r_red.dtype)
                 return jnp.einsum(
                     "ij,...j->...i", inv, r_red, precision=matmul_precision
                 )
-            if key in prefactored:
-                factors = prefactored[key]
-                if linear_solver == "pallas":
-                    from ..ops.pallas import btd_solve_pallas
 
-                    r_nodes = pad(r_red).reshape(-1, n_nodes, 3)
-                    x = btd_solve_pallas(factors, r_nodes)
-                    return red(x.reshape(*r_red.shape[:-1], n_full))
-            else:
-                factors = factors_at(pad(q_red), c, a)
+            return do_solve
+
+        use_pallas = False
+        if key in prefactored:
+            factors = prefactored[key]
+            use_pallas = linear_solver == "pallas"
+        else:
+            factors = factors_at(pad(q_red), c, a)
+
+        def do_solve(r_red):
+            if use_pallas:
+                from ..ops.pallas import btd_solve_pallas
+
+                r_nodes = pad(r_red).reshape(-1, n_nodes, 3)
+                x = btd_solve_pallas(factors, r_nodes)
+                return red(x.reshape(*r_red.shape[:-1], n_full))
             r_nodes = pad(r_red).reshape(*r_red.shape[:-1], n_nodes, 3)
             solve_fn = (
                 banded.btd_cr_solve if linear_solver == "cr" else banded.btd_solve
@@ -298,6 +310,9 @@ def make_newmark_operator(
         internal_force=internal_force,
         external_force=forces_func,
         solve=solve,
+        # Steppers reuse ONE factored system per trial step when the
+        # tangent is state-independent (all-linear / modified Newton).
+        tangent_frozen=_tangent_cached is not None,
     )
 
 
@@ -864,7 +879,7 @@ class ModalROMGenAlpha:
         AdaptiveStats)`` with frame axis leading and ``etas[0] = eta``
         (the ``solve_ivp(t_eval=...)`` contract).
         """
-        from ..ops.integrators import AdaptiveStats
+        from ..ops.integrators import adaptive_drive
 
         if self.Sinv_diag is None:
             raise ValueError(
@@ -902,7 +917,6 @@ class ModalROMGenAlpha:
         eps = float(jnp.finfo(dtype).eps)
         rtol = max(float(rtol), 50.0 * eps)
         atol = max(float(atol), 50.0 * eps * 1e-3)
-        t_eps = 32.0 * eps
 
         etadd = self.initial_accel(
             eta, etad, u_modal, t_eval[0], precision, nl_precision
@@ -944,65 +958,18 @@ class ModalROMGenAlpha:
             scale = atol + rtol * jnp.maximum(jnp.abs(q_old), jnp.abs(q_new))
             return jnp.sqrt(jnp.mean((e / scale) ** 2))
 
-        def advance_interval(carry, t_pair):
-            q, v, a, dt_est, stats = carry
-            t_start, t_end = t_pair[0], t_pair[1]
-            t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
+        def trial(t, dt, state):
+            q, v, a = state
+            q1, v1, a1 = trial_step(t, dt, q, v, a)
+            e = zx_coeff * dt * dt * (a1 - a)
+            return (q1, v1, a1), err_norm(e, q, q1)
 
-            def cond(state):
-                t = state[0]
-                n = state[4]
-                return jnp.logical_and(
-                    t < t_end - t_close, n < max_steps_per_interval
-                )
-
-            def body(state):
-                t, (q, v, a), dt_est, _, n, acc, rej = state
-                dt = jnp.minimum(dt_est, t_end - t)
-                q1, v1, a1 = trial_step(t, dt, q, v, a)
-                e = zx_coeff * dt * dt * (a1 - a)
-                en = err_norm(e, q, q1)
-                accept = en <= 1.0
-                factor = jnp.clip(
-                    safety * jnp.power(jnp.maximum(en, 1e-16), -1.0 / 3.0),
-                    0.2,
-                    5.0,
-                )
-                dt_next = dt * factor
-                t = jnp.where(accept, t + dt, t)
-                q = jnp.where(accept, q1, q)
-                v = jnp.where(accept, v1, v)
-                a = jnp.where(accept, a1, a)
-                return (
-                    t,
-                    (q, v, a),
-                    dt_next,
-                    dt,
-                    n + 1,
-                    acc + accept.astype(jnp.int32),
-                    rej + (1 - accept.astype(jnp.int32)),
-                )
-
-            t_f, (q, v, a), dt_f, _, n, acc, rej = jax.lax.while_loop(
-                cond, body, (t_start, (q, v, a), dt_est, dt_est, 0, 0, 0)
-            )
-            new_stats = AdaptiveStats(
-                stats.n_steps + n,
-                stats.n_accepted + acc,
-                stats.n_rejected + rej,
-            )
-            return (q, v, a, dt_f, new_stats), (q, v)
-
-        stats0 = AdaptiveStats(
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-        )
-        pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=-1)
-        (_, _, _, _, stats), (etas, etads) = jax.lax.scan(
-            advance_interval,
-            (eta, etad, etadd, jnp.asarray(dt0, dtype), stats0),
-            pairs,
+        # Shared accept/reject interval driver (clamp policy, truncation
+        # accounting, stats) — see ops.integrators.adaptive_drive.
+        _, (etas, etads), stats = adaptive_drive(
+            trial, (eta, etad, etadd), t_eval, jnp.asarray(dt0, dtype),
+            -1.0 / 3.0, max_steps_per_interval=max_steps_per_interval,
+            safety=safety, frame_out=lambda s: (s[0], s[1]),
         )
         etas = jnp.concatenate([eta[None], etas], axis=0)
         etads = jnp.concatenate([etad[None], etads], axis=0)
@@ -2128,7 +2095,7 @@ def simulate(
 
     elif method == "dopri5":
         rhs = model.build_rhs(forces_func)
-        t_eval = jnp.arange(n_steps + 1) * dt
+        t_eval = np.arange(n_steps + 1) * dt  # host: zero eager device ops (CLAUDE.md)
 
         def run(x0):
             xs, stats = integrators.integrate_adaptive(
@@ -2187,7 +2154,7 @@ def simulate(
             linear_solver=linear_solver,
         )
         n = x0.shape[-1] // 2
-        t_eval = jnp.arange(n_steps + 1) * dt
+        t_eval = np.arange(n_steps + 1) * dt  # host: zero eager device ops (CLAUDE.md)
 
         def run(x0):
             q0, v0 = x0[..., :n], x0[..., n:]
@@ -2205,7 +2172,7 @@ def simulate(
             linear_solver=linear_solver,
         )
         n = x0.shape[-1] // 2
-        t_eval = jnp.arange(n_steps + 1) * dt
+        t_eval = np.arange(n_steps + 1) * dt  # host: zero eager device ops (CLAUDE.md)
 
         def run(x0):
             q0, v0 = x0[..., :n], x0[..., n:]
@@ -2232,7 +2199,7 @@ def simulate(
             # Error-controlled ROM stepping: rtol/atol pick every step
             # (ModalROMGenAlpha.rollout_adaptive); dt is just the output
             # frame grid, matching the other adaptive methods.
-            t_eval = jnp.arange(n_steps + 1) * dt
+            t_eval = np.arange(n_steps + 1) * dt  # host: zero eager device ops (CLAUDE.md)
 
             def run(x0):
                 n = x0.shape[-1] // 2

@@ -27,6 +27,7 @@ The callable contract is ``rhs(t, x, u) -> dx/dt`` (``models/dynamics.py``);
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -136,11 +137,121 @@ def dopri5_step(rhs: Callable, t, x, dt, u=None):
 
 
 class AdaptiveStats(NamedTuple):
-    """Solver counters — the nfev/naccept/nreject parity meter (SURVEY §5)."""
+    """Solver counters — the nfev/naccept/nreject parity meter (SURVEY §5).
+
+    ``n_incomplete`` counts output intervals whose accept/reject loop
+    exited WITHOUT reaching the interval end (step cap hit, or time
+    advance stalled at the dtype's resolution): nonzero means frames from
+    that point on are TRUNCATED states, not converged ones — loosen the
+    tolerances, raise ``max_steps_per_interval``, or use a wider dtype.
+    """
 
     n_steps: jax.Array
     n_accepted: jax.Array
     n_rejected: jax.Array
+    n_incomplete: jax.Array = np.int32(0)
+
+
+def adaptive_drive(
+    trial: Callable,
+    state0,
+    t_eval,
+    dt0,
+    err_exponent: float,
+    max_steps_per_interval: int = 100_000,
+    safety: float = 0.9,
+    frame_out: Callable = None,
+):
+    """Shared accept/reject interval driver behind every adaptive engine.
+
+    ``trial(t, dt, state) -> (state1, en)`` runs ONE trial step and returns
+    the candidate state plus its contracted error norm (``en <= 1``
+    accepts; distributed engines fold their psum into ``en`` so every
+    shard takes the same decision). The driver owns what the engines used
+    to copy-paste: the ``lax.scan`` over output intervals, the
+    accept/reject ``lax.while_loop``, clamp-to-interval-end, the
+    controller ``factor = clip(safety * en**err_exponent, 0.2, 5)``, and
+    the :class:`AdaptiveStats` bookkeeping. Under ``jax.vmap`` every
+    controller quantity batches, giving independent per-env dt.
+
+    Two controller policies live here, fixed once for all engines:
+
+    * **Interval-end clamping does not pollute the learned step.** When
+      the trial dt was clamped to the interval remainder and accepted,
+      the next interval resumes from the pre-clamp ``dt_est`` — proposing
+      from the clamped step would restart every output frame at a tiny
+      dt and pay ~log_5(dt_est/dt_clamped) recovery solves per frame.
+    * **Truncation is counted, never silent.** An interval that exits at
+      ``max_steps_per_interval``, or whose ``t + dt == t`` at the working
+      precision, increments ``stats.n_incomplete``; its frame holds the
+      partial state.
+
+    Returns ``(final_state, frames, stats)`` with ``frames`` stacking
+    ``frame_out(state)`` (default: the state itself) at each of the
+    ``len(t_eval) - 1`` interval ends; callers prepend their own initial
+    frame.
+    """
+    if frame_out is None:
+        def frame_out(s):
+            return s
+
+    t_eval = jnp.asarray(t_eval)
+    dt0 = jnp.asarray(dt0)
+    dtype = dt0.dtype
+    t_eps = 32.0 * float(jnp.finfo(dtype).eps)
+    i32 = functools.partial(jnp.asarray, dtype=jnp.int32)
+
+    def advance_interval(carry, t_pair):
+        state, dt_est, stats = carry
+        t_start, t_end = t_pair[0], t_pair[1]
+        t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
+
+        def cond(loop):
+            t, _, _, n, _, _ = loop
+            return jnp.logical_and(
+                t < t_end - t_close, n < max_steps_per_interval
+            )
+
+        def body(loop):
+            t, state, dt_est, n, acc, rej = loop
+            dt_room = t_end - t
+            dt = jnp.minimum(dt_est, dt_room)
+            clamped = dt_room < dt_est
+            state1, en = trial(t, dt, state)
+            accept = en <= 1.0
+            factor = jnp.clip(
+                safety * jnp.power(jnp.maximum(en, 1e-16), err_exponent),
+                0.2,
+                5.0,
+            )
+            dt_next = jnp.where(
+                jnp.logical_and(accept, clamped), dt_est, dt * factor
+            )
+            t = jnp.where(accept, t + dt, t)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), state1, state
+            )
+            a = accept.astype(jnp.int32)
+            return (t, state, dt_next, n + 1, acc + a, rej + (1 - a))
+
+        t_f, state, dt_f, n, acc, rej = jax.lax.while_loop(
+            cond, body, (t_start, state, dt_est, i32(0), i32(0), i32(0))
+        )
+        reached = t_f >= t_end - t_close
+        new_stats = AdaptiveStats(
+            stats.n_steps + n,
+            stats.n_accepted + acc,
+            stats.n_rejected + rej,
+            stats.n_incomplete + (1 - reached.astype(jnp.int32)),
+        )
+        return (state, dt_f, new_stats), frame_out(state)
+
+    stats0 = AdaptiveStats(i32(0), i32(0), i32(0), i32(0))
+    pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=-1)
+    (state_f, _, stats), frames = jax.lax.scan(
+        advance_interval, (state0, dt0, stats0), pairs
+    )
+    return state_f, frames, stats
 
 
 def integrate_adaptive(
@@ -177,57 +288,15 @@ def integrate_adaptive(
         scale = atol + rtol * jnp.maximum(jnp.abs(x_old), jnp.abs(x_new))
         return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
-    # dtype-aware closeness guard: 1e-14 would be below f32 epsilon and
-    # stall intervals at the step cap on the TPU fast path.
-    t_eps = 32.0 * float(jnp.finfo(dtype).eps)
+    def trial(t, dt, x):
+        x_new, err = dopri5_step(rhs, t, x, dt, u)
+        return x_new, err_norm(err, x_new, x)
 
-    def advance_interval(carry, t_pair):
-        x, dt_est, stats = carry
-        t_start, t_end = t_pair[0], t_pair[1]
-        t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
-
-        def cond(state):
-            t, x, dt_est, n, acc, rej = state
-            return jnp.logical_and(
-                t < t_end - t_close, n < max_steps_per_interval
-            )
-
-        def body(state):
-            t, x, dt_est, n, acc, rej = state
-            dt = jnp.minimum(dt_est, t_end - t)
-            x_new, err = dopri5_step(rhs, t, x, dt, u)
-            e = err_norm(err, x_new, x)
-            accept = e <= 1.0
-            # PI controller (order 5): factor in [0.2, 5].
-            factor = jnp.clip(
-                safety * jnp.power(jnp.maximum(e, 1e-16), -0.2), 0.2, 5.0
-            )
-            dt_next = dt * factor
-            t = jnp.where(accept, t + dt, t)
-            x = jnp.where(accept, x_new, x)
-            return (
-                t,
-                x,
-                dt_next,
-                n + 1,
-                acc + accept.astype(jnp.int32),
-                rej + (1 - accept.astype(jnp.int32)),
-            )
-
-        t_fin, x_fin, dt_fin, n, acc, rej = jax.lax.while_loop(
-            cond, body, (t_start, x, dt_est, 0, 0, 0)
-        )
-        new_stats = AdaptiveStats(
-            stats.n_steps + n, stats.n_accepted + acc, stats.n_rejected + rej
-        )
-        return (x_fin, dt_fin, new_stats), x_fin
-
-    stats0 = AdaptiveStats(
-        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)
-    )
-    pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=-1)
-    (xf, _, stats), xs = jax.lax.scan(
-        advance_interval, (x0, jnp.asarray(dt0, dtype), stats0), pairs
+    # Controller exponent -1/5 (order 5); the shared driver owns the
+    # interval scan / accept-reject loop / clamping / stats.
+    _, xs, stats = adaptive_drive(
+        trial, x0, t_eval, jnp.asarray(dt0, dtype), -0.2,
+        max_steps_per_interval=max_steps_per_interval, safety=safety,
     )
     xs = jnp.concatenate([x0[None], xs], axis=0)
     return xs, stats
@@ -246,13 +315,23 @@ class NewmarkOperator:
     * ``internal_force(q) -> k(q)`` (reduced coordinates)
     * ``external_force(x, t) -> f`` over position DOFs (may be None)
     * ``solve(q, c) -> callable r -> (M + c*K_tan(q))^{-1} r`` — builds the
-      effective-Jacobian solver at the Newton linearization point.
+      effective-Jacobian solver at the Newton linearization point. The
+      factorization happens when ``solve`` is called, NOT per application
+      of the returned closure — hold on to the closure to reuse a factored
+      system.
+    * ``tangent_frozen``: True when ``K_tan`` does not depend on ``q``
+      (all-linear beam, or modified Newton with the zero-state tangent).
+      The implicit steppers then build ONE solver per trial step and reuse
+      it across Newton iterates / SDIRK stages instead of re-factoring the
+      identical system (adaptive steppers factor at a traced dt, so this
+      saves real per-step work, not just trace size).
     """
 
     mass_apply: Callable
     internal_force: Callable
     external_force: Optional[Callable]
     solve: Callable
+    tangent_frozen: bool = False
 
 
 def newmark_step(
@@ -283,6 +362,9 @@ def newmark_step(
     q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
     v_pred = v + (1.0 - gamma) * dt * a
 
+    # Frozen tangent: one factored system serves every Newton iterate.
+    frozen_solve = op.solve(q, beta * dt * dt) if op.tangent_frozen else None
+
     def newton_body(i, a1):
         q1 = q_pred + beta * dt * dt * a1
         v1 = v_pred + gamma * dt * a1
@@ -293,7 +375,7 @@ def newmark_step(
         r = op.mass_apply(a1) + op.internal_force(q1) - f_ext
         if u is not None:
             r = r - (u(t1) if callable(u) else u)
-        da = op.solve(q1, beta * dt * dt)(r)
+        da = (frozen_solve or op.solve(q1, beta * dt * dt))(r)
         return a1 - da
 
     a1 = jax.lax.fori_loop(0, n_newton, newton_body, a)
@@ -337,6 +419,11 @@ def generalized_alpha_step(
     c = (1.0 - af) * beta * dt * dt
     a_scale = 1.0 - am
 
+    # Frozen tangent: one factored system serves every Newton iterate —
+    # for adaptive trials (traced dt) this is a real factorization saved
+    # per iterate beyond the first, not just trace size.
+    frozen_solve = op.solve(q, c, a_scale) if op.tangent_frozen else None
+
     def newton_body(i, a1):
         q1 = q_pred + beta * dt * dt * a1
         v1 = v_pred + gamma * dt * a1
@@ -350,7 +437,7 @@ def generalized_alpha_step(
         r = op.mass_apply(a_am) + op.internal_force(q_af) - f_ext
         if u is not None:
             r = r - (u(t_af) if callable(u) else u)
-        da = op.solve(q_af, c, a_scale)(r)
+        da = (frozen_solve or op.solve(q_af, c, a_scale))(r)
         return a1 - da
 
     a1 = jax.lax.fori_loop(0, n_newton, newton_body, a)
@@ -476,8 +563,6 @@ def integrate_generalized_alpha_adaptive(
     rtol = max(float(rtol), 50.0 * eps)
     atol = max(float(atol), 50.0 * eps * 1e-3)
 
-    t_eps = 32.0 * eps
-
     # Initial acceleration: M a0 = F(x0, t0) + u - k(q0).
     f0 = -op.internal_force(q0)
     if op.external_force is not None:
@@ -492,63 +577,19 @@ def integrate_generalized_alpha_adaptive(
         scale = atol + rtol * jnp.maximum(jnp.abs(q_old), jnp.abs(q_new))
         return jnp.sqrt(jnp.mean((e / scale) ** 2))
 
-    def advance_interval(carry, t_pair):
-        q, v, a, dt_est, stats = carry
-        t_start, t_end = t_pair[0], t_pair[1]
-        t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
-
-        def cond(state):
-            t = state[0]
-            n = state[4]
-            return jnp.logical_and(t < t_end - t_close, n < max_steps_per_interval)
-
-        def body(state):
-            t, (q, v, a), dt_est, _, n, acc, rej = state
-            dt = jnp.minimum(dt_est, t_end - t)
-            q1, v1, a1 = generalized_alpha_step(
-                op, t, q, v, a, dt, u, rho_inf=rho_inf, n_newton=n_newton
-            )
-            e = zx_coeff * dt * dt * (a1 - a)
-            en = err_norm(e, q, q1)
-            accept = en <= 1.0
-            factor = jnp.clip(
-                safety * jnp.power(jnp.maximum(en, 1e-16), -1.0 / 3.0),
-                0.2,
-                5.0,
-            )
-            dt_next = dt * factor
-            t = jnp.where(accept, t + dt, t)
-            q = jnp.where(accept, q1, q)
-            v = jnp.where(accept, v1, v)
-            a = jnp.where(accept, a1, a)
-            return (
-                t,
-                (q, v, a),
-                dt_next,
-                dt,
-                n + 1,
-                acc + accept.astype(jnp.int32),
-                rej + (1 - accept.astype(jnp.int32)),
-            )
-
-        t_f, (q, v, a), dt_f, _, n, acc, rej = jax.lax.while_loop(
-            cond,
-            body,
-            (t_start, (q, v, a), dt_est, dt_est, 0, 0, 0),
+    def trial(t, dt, qva):
+        q, v, a = qva
+        q1, v1, a1 = generalized_alpha_step(
+            op, t, q, v, a, dt, u, rho_inf=rho_inf, n_newton=n_newton
         )
-        new_stats = AdaptiveStats(
-            stats.n_steps + n, stats.n_accepted + acc, stats.n_rejected + rej
-        )
-        return (q, v, a, dt_f, new_stats), (q, v)
+        e = zx_coeff * dt * dt * (a1 - a)
+        return (q1, v1, a1), err_norm(e, q, q1)
 
-    stats0 = AdaptiveStats(
-        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)
-    )
-    pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=-1)
-    (qf, vf, af_, dtf, stats), (qs, vs) = jax.lax.scan(
-        advance_interval,
-        (q0, v0, a0, jnp.asarray(dt0, dtype), stats0),
-        pairs,
+    # Controller exponent -1/3 (ZX estimate is local order 3).
+    _, (qs, vs), stats = adaptive_drive(
+        trial, (q0, v0, a0), t_eval, jnp.asarray(dt0, dtype), -1.0 / 3.0,
+        max_steps_per_interval=max_steps_per_interval, safety=safety,
+        frame_out=lambda s: (s[0], s[1]),
     )
     qs = jnp.concatenate([q0[None], qs], axis=0)
     vs = jnp.concatenate([v0[None], vs], axis=0)
@@ -599,6 +640,12 @@ def sdirk3_step(
     damped, resolved modes track at tolerance-proportional accuracy.
     """
     dt_g = dt * _SD_G
+    # All three stages share the same effective Jacobian M + (dt*g)^2 K:
+    # with a frozen tangent ONE factored system serves every Newton iterate
+    # of every stage AND the stiff error filter below (3*n_newton + 1
+    # factorizations collapse to 1 — at a traced dt each is a real
+    # block-Thomas factorization, the dominant per-trial cost).
+    frozen_solve = op.solve(q, dt_g * dt_g) if op.tangent_frozen else None
     kqs, kvs = [], []
     for i in range(3):
         bq, bv = q, v
@@ -616,7 +663,7 @@ def sdirk3_step(
             if u is not None:
                 f = f + (u(t_s) if callable(u) else u)
             r = op.mass_apply((qi - bq) / dt_g - bv) - dt_g * f
-            dq = dt_g * op.solve(qi, dt_g * dt_g)(r)
+            dq = dt_g * (frozen_solve or op.solve(qi, dt_g * dt_g))(r)
             return qi - dq
 
         qi0 = bq + dt_g * v  # predictor; exact after 1 Newton for linear k
@@ -641,7 +688,7 @@ def sdirk3_step(
     # internal force at the step end.
     _, K_eq = jax.jvp(op.internal_force, (q1,), (err_q,))
     rhs_v = op.mass_apply(err_v) - dt_g * K_eq
-    err_v_f = op.solve(q1, dt_g * dt_g)(rhs_v)
+    err_v_f = (frozen_solve or op.solve(q1, dt_g * dt_g))(rhs_v)
     err_q_f = err_q + dt_g * err_v_f
     return q1, v1, err_q_f, err_v_f
 
@@ -686,72 +733,29 @@ def integrate_sdirk3_adaptive(
     eps = float(jnp.finfo(dtype).eps)
     rtol = max(float(rtol), 50.0 * eps)
     atol = max(float(atol), 50.0 * eps * 1e-3)
-    t_eps = 32.0 * eps
 
     def err_norm(e, x_old, x_new):
         scale = atol + rtol * jnp.maximum(jnp.abs(x_old), jnp.abs(x_new))
         return jnp.sqrt(jnp.mean((e / scale) ** 2))
 
-    def advance_interval(carry, t_pair):
-        q, v, dt_est, stats = carry
-        t_start, t_end = t_pair[0], t_pair[1]
-        t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
+    def trial(t, dt, qv):
+        q, v = qv
+        q1, v1, eq, ev = sdirk3_step(op, t, q, v, dt, u, n_newton=n_newton)
+        # Error in DISPLACEMENT units: the velocity component enters
+        # weighted by dt (e_v*dt is a displacement). An unweighted
+        # velocity norm makes the controller resolve L-stably-damped
+        # high modes whose velocity amplitude exceeds atol even though
+        # their displacement content is far below it (measured: 67x
+        # more steps than the explicit stability floor on a released
+        # 60-element static deflection). Resolved modes lose nothing:
+        # their velocity error is ~omega*e_q and omega*dt <= O(1) when
+        # resolved, so e_q already controls them.
+        en = jnp.maximum(err_norm(eq, q, q1), err_norm(dt * ev, q, q1))
+        return (q1, v1), en
 
-        def cond(state):
-            t = state[0]
-            n = state[3]
-            return jnp.logical_and(
-                t < t_end - t_close, n < max_steps_per_interval
-            )
-
-        def body(state):
-            t, (q, v), dt_est, n, acc, rej = state
-            dt = jnp.minimum(dt_est, t_end - t)
-            q1, v1, eq, ev = sdirk3_step(op, t, q, v, dt, u, n_newton=n_newton)
-            # Error in DISPLACEMENT units: the velocity component enters
-            # weighted by dt (e_v*dt is a displacement). An unweighted
-            # velocity norm makes the controller resolve L-stably-damped
-            # high modes whose velocity amplitude exceeds atol even though
-            # their displacement content is far below it (measured: 67x
-            # more steps than the explicit stability floor on a released
-            # 60-element static deflection). Resolved modes lose nothing:
-            # their velocity error is ~omega*e_q and omega*dt <= O(1) when
-            # resolved, so e_q already controls them.
-            en = jnp.maximum(
-                err_norm(eq, q, q1), err_norm(dt * ev, q, q1)
-            )
-            accept = en <= 1.0
-            factor = jnp.clip(
-                safety * jnp.power(jnp.maximum(en, 1e-16), -1.0 / 3.0),
-                0.2,
-                5.0,
-            )
-            t = jnp.where(accept, t + dt, t)
-            q = jnp.where(accept, q1, q)
-            v = jnp.where(accept, v1, v)
-            return (
-                t,
-                (q, v),
-                dt * factor,
-                n + 1,
-                acc + accept.astype(jnp.int32),
-                rej + (1 - accept.astype(jnp.int32)),
-            )
-
-        t_f, (q, v), dt_f, n, acc, rej = jax.lax.while_loop(
-            cond, body, (t_start, (q, v), dt_est, 0, 0, 0)
-        )
-        new_stats = AdaptiveStats(
-            stats.n_steps + n, stats.n_accepted + acc, stats.n_rejected + rej
-        )
-        return (q, v, dt_f, new_stats), (q, v)
-
-    stats0 = AdaptiveStats(
-        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)
-    )
-    pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=-1)
-    (qf, vf, dtf, stats), (qs, vs) = jax.lax.scan(
-        advance_interval, (q0, v0, jnp.asarray(dt0, dtype), stats0), pairs
+    _, (qs, vs), stats = adaptive_drive(
+        trial, (q0, v0), t_eval, jnp.asarray(dt0, dtype), -1.0 / 3.0,
+        max_steps_per_interval=max_steps_per_interval, safety=safety,
     )
     qs = jnp.concatenate([q0[None], qs], axis=0)
     vs = jnp.concatenate([v0[None], vs], axis=0)

@@ -191,6 +191,9 @@ def build_spatial_rhs(
     as the iteration CAP — accuracy no longer silently depends on an
     iteration count. Pass ``cg_tol=None`` to recover the fixed-iteration
     scan (cheapest trace; e.g. when a measured count is known sufficient).
+    NOTE: the tolerance stop is a ``lax.while_loop`` and therefore NOT
+    reverse-mode differentiable — pass ``cg_tol=None`` when taking
+    ``jax.grad`` through :func:`spatial_rollout`.
     For implicit stepping use the exact SPIKE solver instead
     (``parallel/spatial_implicit.py``).
     """
@@ -263,10 +266,9 @@ def build_spatial_rhs(
         z0 = jnp.einsum("nij,nj->ni", mdi, r0)
         p0 = z0
         rz0 = pdot(r0, z0)
-        rr0 = pdot(r0, r0)
+        rr0 = None if cg_tol is None else pdot(r0, r0)
 
-        def cg_body(carry):
-            a, r, p, rz, rr, i = carry
+        def cg_step(a, r, p, rz):
             Ap = matvec(p)
             alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
             a = a + alpha * p
@@ -275,17 +277,24 @@ def build_spatial_rhs(
             rz_new = pdot(r, z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             p = z + beta * p
-            return (a, r, p, rz_new, pdot(r, r), i + 1)
+            return a, r, p, rz_new
 
         if cg_tol is None:
-            (acc, _, _, _, _, _), _ = jax.lax.scan(
-                lambda c, _: (cg_body(c), None),
-                (a0, r0, p0, rz0, rr0, 0),
+            # Fixed-iteration scan: no residual tracking — pdot(r, r)
+            # would be one wasted psum collective per iteration here.
+            (acc, _, _, _), _ = jax.lax.scan(
+                lambda c, _: (cg_step(*c), None),
+                (a0, r0, p0, rz0),
                 None,
                 length=cg_iters,
             )
         else:
             tol2 = jnp.asarray(cg_tol, f.dtype) ** 2
+
+            def cg_body(carry):
+                a, r, p, rz, _, i = carry
+                a, r, p, rz = cg_step(a, r, p, rz)
+                return (a, r, p, rz, pdot(r, r), i + 1)
 
             def cg_cond(carry):
                 _, _, _, _, rr, i = carry

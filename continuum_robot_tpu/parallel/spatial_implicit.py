@@ -210,6 +210,53 @@ def spike_solve(prep, r_local, axis: str, n_shards: int):
 # ---------------------------------------------------------------------------
 
 
+def _shard_aligned_setup(beam: SpatialBeam) -> dict:
+    """Host constants shared by the fixed-dt and adaptive gen-α builders.
+
+    Shard-aligned mass bands WITHOUT BC masking (masking is applied once on
+    the assembled operators and on matvec inputs inside the cores), the
+    static neighbor seam masks (shard k's rows are the free-masks of its
+    neighbors' interface nodes; ring seams get zeros, which also zeroes the
+    wraparound couplings exactly), the element-parameter fields, and the
+    PartitionSpecs. One definition so a seam-indexing fix can never apply
+    to one builder and not the other.
+    """
+    from jax.sharding import PartitionSpec
+
+    arrays = beam.arrays
+    axis, S, Np = beam.axis, beam.n_shards, beam.n_nodes
+    mask_nodes = np.asarray(beam.free_mask, dtype=np.float64)
+
+    mdiag, moff = assembly.mass_block_tridiagonal(arrays)
+    mdiag = np.asarray(mdiag)[:Np]
+    moff = np.asarray(moff)[: Np - 1]
+    zeros33 = np.zeros((1, 3, 3), dtype=mdiag.dtype)
+    mlow = np.concatenate([zeros33, np.swapaxes(moff, -1, -2)], axis=0)
+    mup = np.concatenate([moff, zeros33], axis=0)
+
+    m_per = Np // S
+    left_last_node = np.vstack(
+        [np.zeros(3), mask_nodes[m_per - 1 :: m_per][: S - 1]]
+    )
+    right_first_node = np.vstack(
+        [mask_nodes[m_per::m_per][: S - 1], np.zeros(3)]
+    )
+    arr_fields = (
+        arrays.length, arrays.elastic_modulus, arrays.moment_inertia,
+        arrays.cross_area, arrays.nonlinear_mask,
+    )
+    return dict(
+        mask_nodes=mask_nodes, mdiag=mdiag, mlow=mlow, mup=mup,
+        left_last_node=left_last_node, right_first_node=right_first_node,
+        arr_fields=arr_fields, m_local=m_per,
+        p_rep=PartitionSpec(),
+        p_node=PartitionSpec(axis, None),
+        p_block=PartitionSpec(axis, None, None),
+        p_el=PartitionSpec(axis),
+        p_x=PartitionSpec(None, axis, None),
+    )
+
+
 def build_spatial_genalpha(
     beam: SpatialBeam,
     dt: float,
@@ -233,9 +280,7 @@ def build_spatial_genalpha(
     mesh is pinned in tests/test_sharding.py.
     """
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
-    arrays = beam.arrays
     Np = beam.n_nodes
-    mask_nodes = np.asarray(beam.free_mask, dtype=np.float64)
 
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
@@ -244,40 +289,18 @@ def build_spatial_genalpha(
     c_jac = (1.0 - af) * beta * dt * dt
     a_jac = 1.0 - am
 
-    # Host-side shard-aligned mass bands (same construction as the explicit
-    # path), WITHOUT BC masking — masking is applied once on the combined
-    # operator below and on the matvec inputs.
-    mdiag, moff = assembly.mass_block_tridiagonal(arrays)
-    mdiag = np.asarray(mdiag)[:Np]
-    moff = np.asarray(moff)[: Np - 1]
-    zeros33 = np.zeros((1, 3, 3), dtype=mdiag.dtype)
-    mlow = np.concatenate([zeros33, np.swapaxes(moff, -1, -2)], axis=0)
-    mup = np.concatenate([moff, zeros33], axis=0)
-
-    # Static neighbor masks for the inter-shard coupling columns: shard k's
-    # rows are the free-masks of (left neighbor's last node, right
-    # neighbor's first node); ring seams get zeros, which also zeroes the
-    # wraparound couplings exactly. Shape (S, 3): sharded to (1, 3) each.
-    m_per = Np // S
-    left_last_node = np.vstack(
-        [np.zeros(3), mask_nodes[m_per - 1 :: m_per][: S - 1]]
+    su = _shard_aligned_setup(beam)
+    mask_nodes, mdiag, mlow, mup = (
+        su["mask_nodes"], su["mdiag"], su["mlow"], su["mup"]
     )
-    right_first_node = np.vstack(
-        [mask_nodes[m_per::m_per][: S - 1], np.zeros(3)]
+    left_last_node, right_first_node = (
+        su["left_last_node"], su["right_first_node"]
     )
-
-    arr_fields = (
-        arrays.length, arrays.elastic_modulus, arrays.moment_inertia,
-        arrays.cross_area, arrays.nonlinear_mask,
+    arr_fields, m_local = su["arr_fields"], su["m_local"]
+    p_node, p_block, p_el, p_x = (
+        su["p_node"], su["p_block"], su["p_el"], su["p_x"]
     )
-
     from jax.sharding import PartitionSpec
-
-    p_node = PartitionSpec(axis, None)
-    p_block = PartitionSpec(axis, None, None)
-    p_el = PartitionSpec(axis)
-    p_x = PartitionSpec(None, axis, None)
-    m_local = Np // S
 
     def make_core(n_frames: int, substeps: int):
         @partial(
@@ -416,12 +439,10 @@ def build_spatial_genalpha_adaptive(
     (masked while-loop lanes). Beams too long for one chip thus get the
     no-manual-dt capability the single-chip engines have.
     """
-    from ..ops.integrators import AdaptiveStats
+    from ..ops.integrators import AdaptiveStats, adaptive_drive
 
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
-    arrays = beam.arrays
     Np = beam.n_nodes
-    mask_nodes = np.asarray(beam.free_mask, dtype=np.float64)
 
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
@@ -430,33 +451,18 @@ def build_spatial_genalpha_adaptive(
     a_jac = 1.0 - am
     zx_coeff = abs(float(beta - 1.0 / 6.0))
 
-    mdiag, moff = assembly.mass_block_tridiagonal(arrays)
-    mdiag = np.asarray(mdiag)[:Np]
-    moff = np.asarray(moff)[: Np - 1]
-    zeros33 = np.zeros((1, 3, 3), dtype=mdiag.dtype)
-    mlow = np.concatenate([zeros33, np.swapaxes(moff, -1, -2)], axis=0)
-    mup = np.concatenate([moff, zeros33], axis=0)
-
-    m_per = Np // S
-    left_last_node = np.vstack(
-        [np.zeros(3), mask_nodes[m_per - 1 :: m_per][: S - 1]]
+    su = _shard_aligned_setup(beam)
+    mask_nodes, mdiag, mlow, mup = (
+        su["mask_nodes"], su["mdiag"], su["mlow"], su["mup"]
     )
-    right_first_node = np.vstack(
-        [mask_nodes[m_per::m_per][: S - 1], np.zeros(3)]
+    left_last_node, right_first_node = (
+        su["left_last_node"], su["right_first_node"]
     )
-    arr_fields = (
-        arrays.length, arrays.elastic_modulus, arrays.moment_inertia,
-        arrays.cross_area, arrays.nonlinear_mask,
+    arr_fields, m_local = su["arr_fields"], su["m_local"]
+    p_rep, p_node, p_block, p_el, p_x = (
+        su["p_rep"], su["p_node"], su["p_block"], su["p_el"], su["p_x"]
     )
-
     from jax.sharding import PartitionSpec
-
-    p_rep = PartitionSpec()
-    p_node = PartitionSpec(axis, None)
-    p_block = PartitionSpec(axis, None, None)
-    p_el = PartitionSpec(axis)
-    p_x = PartitionSpec(None, axis, None)
-    m_local = Np // S
 
     def make_core(n_intervals: int, rtol: float, atol: float):
         @partial(
@@ -467,10 +473,10 @@ def build_spatial_genalpha_adaptive(
                       p_el),
             out_specs=(
                 PartitionSpec(None, None, axis, None),
-                AdaptiveStats(p_rep, p_rep, p_rep),
+                AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
             ),
         )
-        def core(t_pairs, dt0, x, u_node, m_mask, md, ml, mu, llm, rfm,
+        def core(t_evals, dt0, x, u_node, m_mask, md, ml, mu, llm, rfm,
                  a_len, a_E, a_I, a_A, a_nl):
             dtype = md.dtype
             arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
@@ -538,65 +544,20 @@ def build_spatial_genalpha_adaptive(
                 s = jax.lax.psum(jnp.sum(((e / scale) ** 2) * m3), axis)
                 return jnp.sqrt(s / n_free)
 
-            eps = float(jnp.finfo(dtype).eps)
-            t_eps = 32.0 * eps
+            def trial(t, dt_tr, state):
+                q, v, a = state
+                q1, v1, a1 = trial_step(dt_tr, q, v, a)
+                e = zx_coeff * dt_tr * dt_tr * (a1 - a)
+                # psum-contracted norm: every shard sees the same en, so
+                # the shared driver's accept/reject is globally identical.
+                return (q1, v1, a1), err_norm(e, q, q1)
 
-            def advance_interval(carry, t_pair):
-                q, v, a, dt_est, stats = carry
-                t_start, t_end = t_pair[0], t_pair[1]
-                t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
-
-                def cond(state):
-                    t = state[0]
-                    n = state[4]
-                    return jnp.logical_and(
-                        t < t_end - t_close, n < max_steps_per_interval
-                    )
-
-                def body(state):
-                    t, (q, v, a), dt_est, _, n, acc, rej = state
-                    dt_tr = jnp.minimum(dt_est, t_end - t)
-                    q1, v1, a1 = trial_step(dt_tr, q, v, a)
-                    e = zx_coeff * dt_tr * dt_tr * (a1 - a)
-                    en = err_norm(e, q, q1)
-                    accept = en <= 1.0
-                    factor = jnp.clip(
-                        safety
-                        * jnp.power(jnp.maximum(en, 1e-16), -1.0 / 3.0),
-                        0.2,
-                        5.0,
-                    )
-                    dt_next = dt_tr * factor
-                    t = jnp.where(accept, t + dt_tr, t)
-                    q = jnp.where(accept, q1, q)
-                    v = jnp.where(accept, v1, v)
-                    a = jnp.where(accept, a1, a)
-                    return (
-                        t, (q, v, a), dt_next, dt_tr, n + 1,
-                        acc + accept.astype(jnp.int32),
-                        rej + (1 - accept.astype(jnp.int32)),
-                    )
-
-                _, (q, v, a), dt_f, _, n, acc, rej = jax.lax.while_loop(
-                    cond, body,
-                    (t_start, (q, v, a), dt_est, dt_est, 0, 0, 0),
-                )
-                new_stats = AdaptiveStats(
-                    stats.n_steps + n,
-                    stats.n_accepted + acc,
-                    stats.n_rejected + rej,
-                )
-                return (q, v, a, dt_f, new_stats), jnp.stack([q, v])
-
-            stats0 = AdaptiveStats(
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(0, jnp.int32),
-            )
-            (_, _, _, _, stats), xs = jax.lax.scan(
-                advance_interval,
-                (q0, v0, a0, jnp.asarray(dt0, dtype)[()], stats0),
-                t_pairs,
+            _, xs, stats = adaptive_drive(
+                trial, (q0, v0, a0), t_evals,
+                jnp.asarray(dt0, dtype)[()], -1.0 / 3.0,
+                max_steps_per_interval=max_steps_per_interval,
+                safety=safety,
+                frame_out=lambda s: jnp.stack([s[0], s[1]]),
             )
             xs = jnp.concatenate(
                 [jnp.stack([q0, v0])[None], xs], axis=0
@@ -611,9 +572,7 @@ def build_spatial_genalpha_adaptive(
         if dt0 is None:
             dt0 = float(t_eval_np[1] - t_eval_np[0]) / 16.0
         x0 = jnp.asarray(x0)
-        t_pairs = jnp.asarray(
-            np.stack([t_eval_np[:-1], t_eval_np[1:]], axis=-1), x0.dtype
-        )
+        t_evals = jnp.asarray(t_eval_np, x0.dtype)
         core = make_core(len(t_eval_np) - 1, float(rtol), float(atol))
         if u is None:
             u_node = jnp.zeros((Np, 3), dtype=x0.dtype)
@@ -624,7 +583,7 @@ def build_spatial_genalpha_adaptive(
 
         def run_one(x_single):
             return core(
-                t_pairs, dt0_arr, x_single, u_node, mask,
+                t_evals, dt0_arr, x_single, u_node, mask,
                 jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
                 jnp.asarray(mup, x0.dtype),
                 jnp.asarray(left_last_node, x0.dtype),

@@ -429,6 +429,87 @@ class TestModalGenAlpha:
             make_modal_genalpha(self._model(4), 1e-4, rayleigh=(-1.0, 0.0))
 
 
+class TestAdaptiveDrive:
+    """The shared accept/reject interval driver (integrators.adaptive_drive).
+
+    All four adaptive engines run on this one controller, so its two
+    policies are unit-tested directly against a synthetic order-3 engine
+    with the deterministic error model ``en = (dt / dtmax)**3`` (accepts
+    exactly when dt <= dtmax) advancing ``dx/dt = 1``.
+    """
+
+    def _drive(self, n_frames, frame_len, dtmax, **kw):
+        def trial(t, dt, x):
+            return x + dt, (dt / dtmax) ** 3
+
+        t_eval = jnp.asarray(np.arange(n_frames + 1) * frame_len)
+        return integrators.adaptive_drive(
+            trial, jnp.asarray(0.0, jnp.float64), t_eval,
+            jnp.asarray(dtmax / 4.0, jnp.float64), -1.0 / 3.0, **kw
+        ), t_eval
+
+    def test_frames_exact_and_complete(self):
+        (xf, frames, stats), t_eval = self._drive(10, 1.25e-3, 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(frames), np.asarray(t_eval[1:]), rtol=1e-12
+        )
+        assert int(stats.n_incomplete) == 0
+        assert int(stats.n_steps) == int(stats.n_accepted) + int(
+            stats.n_rejected
+        )
+
+    def test_clamped_frame_end_keeps_learned_dt(self):
+        """Interval-end clamping must not restart the step size.
+
+        Frame length = 1.000001 * dtmax: every interval ends with a
+        ~1e-6*dtmax clamped step. Proposing from that clamped step (the
+        old behavior) caps the growth factor at 5 and pays ~log_5(1e6)
+        ~ 9 recovery steps per frame; keeping the learned dt_est pays 2
+        steps per frame.
+        """
+        F = 20
+        (_, frames, stats), t_eval = self._drive(F, 1.000001e-3, 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(frames), np.asarray(t_eval[1:]), rtol=1e-9
+        )
+        assert int(stats.n_incomplete) == 0
+        # Steady state: one full step (~0.9 dtmax) + one clamped remainder
+        # per frame. The old controller measured ~10 steps/frame here.
+        assert int(stats.n_steps) <= 3 * F + 8, int(stats.n_steps)
+
+    def test_truncated_interval_is_counted(self):
+        """Step-cap exits are accounted, never silent."""
+        F = 4
+        (_, frames, stats), t_eval = self._drive(
+            F, 10e-3, 1e-3, max_steps_per_interval=3
+        )
+        assert int(stats.n_incomplete) == F
+        # The frame holds the partial state (less than the interval end).
+        assert float(frames[0]) < float(t_eval[1])
+
+    def test_engine_surfaces_truncation(self):
+        """The gen-alpha adaptive engine reports incomplete intervals."""
+        csv = helpers.write_beam_csv(["linear"] * 4)
+        model = DynamicEulerBernoulliBeam(csv)
+        from continuum_robot_tpu.models.simulate import make_newmark_operator
+
+        op = make_newmark_operator(model, dt=1e-4,
+                                   linear_solver="dense_inv")
+        n = model.n_pos_states
+        q0 = jnp.zeros(n).at[-2].set(1e-3)
+        v0 = jnp.zeros(n)
+        t_eval = jnp.asarray(np.linspace(0.0, 1e-2, 3))
+        _, _, stats = integrators.integrate_generalized_alpha_adaptive(
+            op, q0, v0, t_eval, rtol=1e-10, atol=1e-13,
+            max_steps_per_interval=2,
+        )
+        assert int(stats.n_incomplete) > 0
+        _, _, stats_ok = integrators.integrate_generalized_alpha_adaptive(
+            op, q0, v0, t_eval, rtol=1e-4, atol=1e-7,
+        )
+        assert int(stats_ok.n_incomplete) == 0
+
+
 class TestAdaptiveImplicit:
     """Error-controlled implicit stepping (the LSODA-capability engines).
 
