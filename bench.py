@@ -81,6 +81,13 @@ REF_EVALS_PER_SEC_NONLINEAR = 7.7
 # just the output-frame grid. The verdict's answer to "dt=1e-4 with no
 # evidence mechanism": state a tolerance, get the dt that meets it.
 BENCH_TOL = os.environ.get("BENCH_TOL")
+# Steps fused per scan iteration on the XLA engines (modal / modal_rom).
+# The scan carry roundtrips HBM once per ITERATION, so on the memory-bound
+# engines (XLA modal at 0.77 of HBM, ECSW at 0.87 — NOTES_r2) unrolling
+# divides the compulsory carry traffic by this factor. Identical per-step
+# arithmetic; no effect on the fused-Pallas engines (carry already
+# VMEM-resident).
+UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
 
 
 def roofline_fields(cost, wall_s, tier="f32", model_tag="xla"):
@@ -226,7 +233,9 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
             return ms.rollout_pallas(e, ed, u_m, N_STEPS, interpret=interp)
 
     else:
-        roll = jax.jit(lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS))
+        roll = jax.jit(
+            lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, unroll=UNROLL)
+        )
 
     # Sync via a scalar host read: on the axon backend block_until_ready()
     # does NOT await Pallas custom-call completion (measured: it reports
@@ -273,9 +282,11 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
             # + coefficient columns) as the physical floor and report the
             # logical count alongside (see run_modal_rom for rationale).
             col_bytes = 3 * int(jnp.asarray(eta).shape[-1]) * 4
+            # With unroll=K the carry roundtrips HBM once per K fused
+            # steps; the coefficient columns still stream once per body.
             cost = {
                 "flops": cost["flops"],
-                "bytes": (2.0 * state_bytes + col_bytes) * N_STEPS,
+                "bytes": (2.0 * state_bytes + col_bytes) * N_STEPS / UNROLL,
                 "bytes_logical": cost["bytes"],
             }
             model_tag = "xla-flops/io-bytes"
@@ -364,7 +375,8 @@ def run_modal_rom(jax, jnp, model, n_red):
     else:
         roll = jax.jit(
             lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
-                                     precision=prec, nl_precision=nl_prec)
+                                     precision=prec, nl_precision=nl_prec,
+                                     unroll=UNROLL)
         )
 
     e1, ed1, _ = roll(eta, etad)
@@ -423,9 +435,12 @@ def run_modal_rom(jax, jnp, model, n_red):
             # traffic sits in [io, logical]; roofline_frac uses the floor
             # (a LOWER bound on memory-side utilization) and the logical
             # count is reported alongside.
+            # With unroll=K the scan carry roundtrips HBM once per K fused
+            # steps; the reduced operators still stream once per body.
             cost = {
                 "flops": cost["flops"],
-                "bytes": (2.0 * state_bytes + const_bytes) * N_STEPS,
+                "bytes": (2.0 * state_bytes + const_bytes)
+                * N_STEPS / UNROLL,
                 "bytes_logical": cost["bytes"],
             }
             model_tag = "xla-flops/io-bytes"

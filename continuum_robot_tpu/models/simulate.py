@@ -451,19 +451,28 @@ class ModalGenAlpha:
             a0 = a0 - jnp.asarray(self.cdamp, dtype) * etad
         return a0
 
-    def rollout(self, eta, etad, u_modal, n_steps: int, t0: float = 0.0):
+    def rollout(self, eta, etad, u_modal, n_steps: int, t0: float = 0.0,
+                unroll: int = 1):
         """Scan ``n_steps`` generalized-alpha steps in modal coordinates.
 
         ``eta``/``etad``: ``(..., m)`` modal amplitudes/velocities;
         ``u_modal``: constant modal force ``(m,)``/``(..., m)``, a traceable
         callable ``t -> modal force``, or None. Returns final
         ``(eta, etad, etadd)``.
+
+        ``unroll``: fuse this many steps per scan iteration. The XLA scan
+        carry roundtrips HBM once per iteration; on the memory-bound XLA
+        engine unrolling divides that compulsory carry traffic by
+        ``unroll`` (states between fused steps stay in registers). Same
+        arithmetic per step — trajectories are unchanged.
         """
         dtype = jnp.asarray(eta).dtype
         step = self._step_fn(dtype, u_modal)
         etadd = self.initial_accel(eta, u_modal, t0, etad)
         ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
-        (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
+        (eta, etad, etadd), _ = jax.lax.scan(
+            step, (eta, etad, etadd), ts, unroll=unroll
+        )
         return eta, etad, etadd
 
     def rollout_pallas(
@@ -520,12 +529,13 @@ class ModalGenAlpha:
 
     def rollout_frames(
         self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
-        t0: float = 0.0,
+        t0: float = 0.0, unroll: int = 1,
     ):
         """Frame-collecting rollout: ``substeps`` inner steps per frame.
 
         Returns ``(ts (F+1,), etas (F+1, ..., m), etads (F+1, ..., m))``
         including the initial state — the ``solve_ivp(t_eval=...)`` contract.
+        ``unroll`` fuses inner steps per scan iteration (see :meth:`rollout`).
         """
         dtype = jnp.asarray(eta).dtype
         step = self._step_fn(dtype, u_modal)
@@ -539,7 +549,8 @@ class ModalGenAlpha:
                 return step(c, t_frame + j * h)
 
             carry, _ = jax.lax.scan(
-                inner, carry, jnp.arange(substeps, dtype=dtype)
+                inner, carry, jnp.arange(substeps, dtype=dtype),
+                unroll=unroll,
             )
             q, v, a = carry
             return carry, (q, v)
@@ -838,6 +849,7 @@ class ModalROMGenAlpha:
     def rollout(
         self, eta, etad, u_modal, n_steps: int, t0: float = 0.0,
         n_newton: int = 1, precision=None, nl_precision=None,
+        unroll: int = 1,
     ):
         """Scan ``n_steps`` ROM generalized-alpha steps; final (eta, etad, etadd).
 
@@ -845,14 +857,20 @@ class ModalROMGenAlpha:
         correction per step — the throughput default); larger values tighten
         the per-step dynamic balance for strongly nonlinear trajectories.
         ``nl_precision`` sets the MXU precision of the correction-force
-        basis transforms alone (see ``_force_modal``).
+        basis transforms alone (see ``_force_modal``). ``unroll`` fuses
+        that many steps per scan iteration: the XLA scan carry roundtrips
+        HBM once per iteration, so on the memory-bound ECSW engine
+        unrolling divides the compulsory carry traffic by ``unroll``
+        (identical per-step arithmetic — trajectories are unchanged).
         """
         dtype = jnp.asarray(eta).dtype
         step = self._step_fn(dtype, u_modal, n_newton, precision, nl_precision)
         etadd = self.initial_accel(eta, etad, u_modal, t0, precision,
                                    nl_precision)
         ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
-        (eta, etad, etadd), _ = jax.lax.scan(step, (eta, etad, etadd), ts)
+        (eta, etad, etadd), _ = jax.lax.scan(
+            step, (eta, etad, etadd), ts, unroll=unroll
+        )
         return eta, etad, etadd
 
     def rollout_adaptive(
@@ -1263,8 +1281,12 @@ class ModalROMGenAlpha:
     def rollout_frames(
         self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
         t0: float = 0.0, n_newton: int = 1, precision=None, nl_precision=None,
+        unroll: int = 1,
     ):
-        """Frame-collecting ROM rollout; ``solve_ivp(t_eval=...)`` contract."""
+        """Frame-collecting ROM rollout; ``solve_ivp(t_eval=...)`` contract.
+
+        ``unroll`` fuses inner steps per scan iteration (see :meth:`rollout`).
+        """
         dtype = jnp.asarray(eta).dtype
         step = self._step_fn(dtype, u_modal, n_newton, precision, nl_precision)
         etadd = self.initial_accel(eta, etad, u_modal, t0, precision,
@@ -1278,7 +1300,8 @@ class ModalROMGenAlpha:
                 return step(c, t_frame + j * h)
 
             carry, _ = jax.lax.scan(
-                inner, carry, jnp.arange(substeps, dtype=dtype)
+                inner, carry, jnp.arange(substeps, dtype=dtype),
+                unroll=unroll,
             )
             q, v, a = carry
             return carry, (q, v)

@@ -819,3 +819,63 @@ class TestEcswGuard:
         assert "snapshot_residual_max" in info
         assert info["snapshot_residuals"].shape[0] == snaps.shape[0]
         assert info["snapshot_residual_max"] < 0.05
+
+
+class TestScanUnroll:
+    """``unroll`` fuses steps per scan iteration — an HBM-traffic dial on
+    the memory-bound XLA engines. It must be arithmetic-neutral: the
+    per-step computation is identical, so trajectories match the unroll=1
+    scan to roundoff (bit-exact in f64 absent XLA refusion)."""
+
+    def test_rom_rollout_unroll_neutral(self):
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.7)
+        n = model.n_pos_states
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(scale=1e-6, size=(4, n)))
+        v = jnp.zeros((4, n))
+        eta, etad = ms.to_modal(q, v)
+        u_m = jnp.asarray(ms.project_force_host(_tip_impulse_const(n)))
+        base = ms.rollout(eta, etad, u_m, 37, n_newton=2)
+        for k in (4, 8):
+            out = ms.rollout(eta, etad, u_m, 37, n_newton=2, unroll=k)
+            for a, b in zip(out, base):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-18
+                )
+
+    def test_rom_frames_unroll_neutral(self):
+        model = _model(nonlinear_csv(4, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.7)
+        n = model.n_pos_states
+        z = jnp.zeros((2, ms.n_modes))
+        u_m = jnp.asarray(ms.project_force_host(_tip_impulse_const(n, 2.0)))
+        _, e1, ed1 = ms.rollout_frames(z, z, u_m, 5, substeps=12)
+        _, e4, ed4 = ms.rollout_frames(z, z, u_m, 5, substeps=12, unroll=4)
+        np.testing.assert_allclose(np.asarray(e4), np.asarray(e1),
+                                   rtol=1e-12, atol=1e-18)
+        np.testing.assert_allclose(np.asarray(ed4), np.asarray(ed1),
+                                   rtol=1e-12, atol=1e-18)
+
+    def test_modal_rollout_unroll_neutral(self):
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        model = _model(linear_csv(6, include_fluid=False))
+        ms = make_modal_genalpha(model, 1e-4, rho_inf=0.8)
+        n = model.n_pos_states
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.normal(scale=1e-6, size=(3, n)))
+        v = jnp.zeros((3, n))
+        eta, etad = ms.to_modal(q, v)
+        u_m = ms.project_force(_tip_impulse_const(n))
+        base = ms.rollout(eta, etad, u_m, 33)
+        out = ms.rollout(eta, etad, u_m, 33, unroll=4)
+        for a, b in zip(out, base):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-18
+            )
+        _, f1, fd1 = ms.rollout_frames(eta, etad, u_m, 4, substeps=9)
+        _, f4, fd4 = ms.rollout_frames(eta, etad, u_m, 4, substeps=9,
+                                       unroll=3)
+        np.testing.assert_allclose(np.asarray(f4), np.asarray(f1),
+                                   rtol=1e-12, atol=1e-18)
