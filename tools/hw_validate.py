@@ -169,6 +169,14 @@ def main():
     dev = float(jnp.abs(e_pd - e_xd).max() / jnp.abs(e_xd).max())
     report("fused damped-modal steps vs XLA", dev < 1e-6, f"rel dev {dev:.2e}")
 
+    # 3c. scan-unroll neutrality on this backend: unroll=8 fuses 8 steps
+    # per scan iteration (the HBM-carry dial) and must not change results.
+    e_u, ed_u, _ = jax.jit(
+        lambda a_, b_: ms.rollout(a_, b_, u_m, NS, unroll=8)
+    )(eta, etad)
+    dev = float(jnp.abs(e_u - e_x).max() / jnp.abs(e_x).max())
+    report("unrolled modal scan vs unroll=1", dev < 1e-6, f"rel dev {dev:.2e}")
+
     tsx, ex_f, _ = jax.jit(
         lambda a_, b_: ms.rollout_frames(a_, b_, u_m, 10, substeps=10)
     )(eta, etad)
