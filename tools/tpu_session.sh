@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# One-command TPU qualification + benchmark matrix.
+#
+# Run after bringing up (or recovering) the TPU worker:
+#
+#     bash tools/tpu_session.sh [results.jsonl]
+#
+# Order matters: hw_validate first (correctness gate — a wedged/miscompiling
+# backend fails fast before any number is recorded), then the benchmark
+# matrix, one process at a time (concurrent TPU access can crash the axon
+# remote worker, CLAUDE.md). Each bench line is appended as JSON to the
+# results file with its configuration alongside.
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-BENCH_SESSION.jsonl}"
+
+run_bench() { # label, env assignments...
+    local label="$1"; shift
+    echo "== $label" >&2
+    local line
+    if line=$(env "$@" timeout 1800 python bench.py 2>/dev/null | tail -1); then
+        printf '{"config": "%s", "result": %s}\n' "$label" "$line" >>"$OUT"
+    else
+        printf '{"config": "%s", "result": null, "error": "bench failed"}\n' \
+            "$label" >>"$OUT"
+    fi
+}
+
+echo "== hw_validate (correctness gate)" >&2
+if ! timeout 1800 python tools/hw_validate.py; then
+    echo "hw_validate FAILED — not benchmarking a broken backend" >&2
+    exit 1
+fi
+
+: >"$OUT"
+
+# Headline engines at default settings (what the round driver runs).
+run_bench "linear modal_pallas (default)"
+run_bench "linear modal XLA" BENCH_ENGINE=modal
+# Scan-unroll sweep on the memory-bound XLA engines.
+for K in 2 4 8 16; do
+    run_bench "linear modal XLA unroll=$K" BENCH_ENGINE=modal BENCH_UNROLL=$K
+done
+run_bench "nonlinear modal_rom m=256" BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom
+run_bench "nonlinear modal_rom_pallas m=256" \
+    BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom_pallas
+run_bench "nonlinear ECSW tau=1e-3" \
+    BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom BENCH_ECSW_TAU=1e-3
+for K in 4 8 16; do
+    run_bench "nonlinear ECSW tau=1e-3 unroll=$K" \
+        BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom BENCH_ECSW_TAU=1e-3 \
+        BENCH_UNROLL=$K
+done
+# Error-controlled (BENCH_TOL) mode: the no-manual-dt capability.
+run_bench "linear adaptive rtol=1e-6" BENCH_TOL=1e-6
+run_bench "nonlinear adaptive rtol=1e-6" BENCH_TYPE=nonlinear BENCH_TOL=1e-6
+
+echo "results in $OUT" >&2
+cat "$OUT"
