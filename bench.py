@@ -623,6 +623,36 @@ def main():
     # TPU matmuls default to bfloat16 multiplication; the implicit solve
     # needs real f32 (verified: bf16 accumulates to NaN within 400 steps).
     jax.config.update("jax_default_matmul_precision", "float32")
+
+    # Backend-init watchdog: a wedged axon remote worker hangs
+    # make_c_api_client FOREVER (SIGINT-proof — see CLAUDE.md). Emit one
+    # diagnostic JSON line and hard-exit instead of hanging the caller.
+    import threading
+
+    backend_ready = threading.Event()
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", 600))
+
+    def _watchdog():
+        if not backend_ready.wait(init_timeout):
+            print(
+                json.dumps(
+                    {
+                        "metric": "benchmark unavailable: TPU backend init "
+                        f"timed out after {init_timeout:.0f}s (axon worker "
+                        "unreachable/wedged)",
+                        "value": 0,
+                        "unit": "env_steps/s",
+                        "vs_baseline": 0,
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()  # blocks here (not mid-benchmark) if the worker is wedged
+    backend_ready.set()
+
     import jax.numpy as jnp
     import pandas as pd
 
