@@ -647,3 +647,53 @@ class TestAdaptiveImplicit:
                 np.asarray(qs_b[i]), np.asarray(qs_i), rtol=1e-10, atol=0
             )
             assert int(stats_i.n_accepted) == int(acc[i])
+
+
+class TestFrozenTangentReuse:
+    """NewmarkOperator.tangent_frozen: one factored effective Jacobian per
+    trial step. For a state-independent tangent the reuse is exact, so
+    forcing the flag off (re-solving at every Newton iterate / SDIRK
+    stage) must reproduce the same trajectory to roundoff."""
+
+    def _op_pair(self, csv, **kw):
+        import dataclasses
+
+        from continuum_robot_tpu.models.simulate import make_newmark_operator
+
+        model = DynamicEulerBernoulliBeam(csv)
+        op = make_newmark_operator(model, dt=None, **kw)
+        assert op.tangent_frozen  # all-linear / modified-Newton => frozen
+        return model, op, dataclasses.replace(op, tangent_frozen=False)
+
+    def test_flag_reflects_configuration(self):
+        from continuum_robot_tpu.models.simulate import make_newmark_operator
+
+        m_nl = DynamicEulerBernoulliBeam(helpers.nonlinear_csv(4))
+        full_newton = make_newmark_operator(
+            m_nl, dt=None, use_modified_newton=False
+        )
+        assert not full_newton.tangent_frozen  # state-dependent tangent
+        modified = make_newmark_operator(
+            m_nl, dt=None, use_modified_newton=True
+        )
+        assert modified.tangent_frozen
+
+    @pytest.mark.parametrize("integrate,extra", [
+        (integrators.integrate_generalized_alpha_adaptive,
+         {"rho_inf": 0.9, "n_newton": 2}),
+        (integrators.integrate_sdirk3_adaptive, {"n_newton": 2}),
+    ])
+    def test_reuse_is_arithmetic_neutral(self, integrate, extra):
+        model, op_frozen, op_refactor = self._op_pair(helpers.linear_csv(4))
+        n = model.n_pos_states
+        q0 = jnp.zeros(n).at[-2].set(1e-4)
+        v0 = jnp.zeros(n)
+        t_eval = jnp.asarray(np.linspace(0.0, 5e-3, 4))
+        out_a = integrate(op_frozen, q0, v0, t_eval, rtol=1e-6,
+                          atol=1e-9, **extra)
+        out_b = integrate(op_refactor, q0, v0, t_eval, rtol=1e-6,
+                          atol=1e-9, **extra)
+        for a, b in zip(out_a[:2], out_b[:2]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-10, atol=1e-16)
+        assert int(out_a[2].n_accepted) == int(out_b[2].n_accepted)
