@@ -207,13 +207,16 @@ def adaptive_drive(
         t_close = t_eps * jnp.maximum(1.0, jnp.abs(t_end))
 
         def cond(loop):
-            t, _, _, n, _, _ = loop
+            t, _, _, n, _, _, stalled = loop
             return jnp.logical_and(
-                t < t_end - t_close, n < max_steps_per_interval
+                jnp.logical_and(
+                    t < t_end - t_close, n < max_steps_per_interval
+                ),
+                jnp.logical_not(stalled),
             )
 
         def body(loop):
-            t, state, dt_est, n, acc, rej = loop
+            t, state, dt_est, n, acc, rej, _ = loop
             dt_room = t_end - t
             dt = jnp.minimum(dt_est, dt_room)
             clamped = dt_room < dt_est
@@ -227,15 +230,25 @@ def adaptive_drive(
             dt_next = jnp.where(
                 jnp.logical_and(accept, clamped), dt_est, dt * factor
             )
-            t = jnp.where(accept, t + dt, t)
+            t_new = jnp.where(accept, t + dt, t)
+            # Stall: an ACCEPTED step whose dt is below the working
+            # precision's resolution at t — time cannot advance; exit now
+            # (counted as incomplete below) instead of burning the full
+            # step cap on no-op trials.
+            stalled = jnp.logical_and(accept, t_new <= t)
             state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(accept, new, old), state1, state
             )
             a = accept.astype(jnp.int32)
-            return (t, state, dt_next, n + 1, acc + a, rej + (1 - a))
+            return (
+                t_new, state, dt_next, n + 1, acc + a, rej + (1 - a),
+                stalled,
+            )
 
-        t_f, state, dt_f, n, acc, rej = jax.lax.while_loop(
-            cond, body, (t_start, state, dt_est, i32(0), i32(0), i32(0))
+        t_f, state, dt_f, n, acc, rej, _ = jax.lax.while_loop(
+            cond, body,
+            (t_start, state, dt_est, i32(0), i32(0), i32(0),
+             jnp.asarray(False)),
         )
         reached = t_f >= t_end - t_close
         new_stats = AdaptiveStats(

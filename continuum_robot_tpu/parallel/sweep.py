@@ -221,12 +221,21 @@ def make_traced_genalpha_operator(
         }
 
     def solve(q_red, c, a=1.0):
-        def do_solve(r_red):
+        # Same contract as make_newmark_operator's solve: the factorization
+        # happens HERE (adaptive steppers pass a traced c = f(dt), which
+        # has no prefactor — key=None), so holding the returned closure
+        # reuses one factored system across applications.
+        try:
             key = (float(a), float(c))
-            if prefactored is not None and key in prefactored:
-                factors = prefactored[key]
-            else:
-                factors = factors_at(pad(q_red), c, a)
+        except (TypeError, jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            key = None
+        if prefactored is not None and key in prefactored:
+            factors = prefactored[key]
+        else:
+            factors = factors_at(pad(q_red), c, a)
+
+        def do_solve(r_red):
             r_nodes = pad(r_red).reshape(*r_red.shape[:-1], n_nodes, 3)
             x = banded.btd_solve(factors, r_nodes)
             return red(x.reshape(*r_red.shape[:-1], n_full))
@@ -237,11 +246,22 @@ def make_traced_genalpha_operator(
     if forces_func is not None:
         wrapped_forces = lambda x, t: forces_func(x, t, arrays)  # noqa: E731
 
+    # Frozen tangent (one factored system per trial step in the implicit
+    # steppers): provable for modified Newton, and for all-linear beams
+    # when the element-type mask is host-concrete (a traced mask cannot
+    # prove linearity at build time).
+    all_linear = False
+    try:
+        all_linear = not bool(np.any(np.asarray(arrays.nonlinear_mask)))
+    except (TypeError, jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        pass
     return integrators.NewmarkOperator(
         mass_apply=mass_apply,
         internal_force=internal_force,
         external_force=wrapped_forces,
         solve=solve,
+        tangent_frozen=modified_newton or all_linear,
     )
 
 

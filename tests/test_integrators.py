@@ -697,3 +697,26 @@ class TestFrozenTangentReuse:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-10, atol=1e-16)
         assert int(out_a[2].n_accepted) == int(out_b[2].n_accepted)
+
+
+class TestAdaptiveDriveStall:
+    """A time-advance stall (accepted dt below the resolution of t) must
+    exit the interval immediately and count it incomplete — not burn the
+    full step cap on no-op trials (the documented adaptive_drive
+    contract)."""
+
+    def test_stall_exits_fast_and_is_counted(self):
+        def trial(t, dt, x):
+            # Always-accept engine at en == 1: the controller shrinks dt
+            # by safety=0.9 per step, so dt can never recover.
+            return x + dt, jnp.asarray(1.0, jnp.float64)
+
+        t_eval = jnp.asarray([1.0, 2.0])
+        # dt0 far below ulp(1.0): the very first accepted step stalls.
+        _, _, stats = integrators.adaptive_drive(
+            trial, jnp.asarray(0.0, jnp.float64), t_eval,
+            jnp.asarray(1e-18, jnp.float64), -1.0 / 3.0,
+            max_steps_per_interval=100_000,
+        )
+        assert int(stats.n_incomplete) == 1
+        assert int(stats.n_steps) <= 3, int(stats.n_steps)

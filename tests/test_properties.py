@@ -14,7 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+
+pytest.importorskip("hypothesis")  # optional test dep (pyproject [test])
+from hypothesis import given, settings, strategies as st  # noqa: E402
 
 from continuum_robot_tpu.models import elements
 from continuum_robot_tpu.ops import banded, integrators

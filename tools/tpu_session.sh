@@ -17,12 +17,22 @@ OUT="${1:-BENCH_SESSION.jsonl}"
 run_bench() { # label, env assignments...
     local label="$1"; shift
     echo "== $label" >&2
-    local line
-    if line=$(env "$@" timeout 1800 python bench.py 2>/dev/null | tail -1); then
+    # No pipe: capture everything so the exit status tested is python's,
+    # then keep the last line (the JSON). Validate it's non-empty AND
+    # parses as JSON before recording a success — a timeout kill, an
+    # assertion, or an OOM must land in the error branch, never as a
+    # malformed "success" row.
+    local out rc line
+    out=$(env "$@" timeout 1800 python bench.py 2>>"$OUT.stderr")
+    rc=$?
+    line=${out##*$'\n'}
+    if [ $rc -eq 0 ] && [ -n "$line" ] && \
+       printf '%s' "$line" | python -c 'import json,sys; json.load(sys.stdin)' \
+           2>/dev/null; then
         printf '{"config": "%s", "result": %s}\n' "$label" "$line" >>"$OUT"
     else
-        printf '{"config": "%s", "result": null, "error": "bench failed"}\n' \
-            "$label" >>"$OUT"
+        printf '{"config": "%s", "result": null, "error": "bench failed (rc=%s)"}\n' \
+            "$label" "$rc" >>"$OUT"
     fi
 }
 
@@ -33,6 +43,7 @@ if ! timeout 1800 python tools/hw_validate.py; then
 fi
 
 : >"$OUT"
+: >"$OUT.stderr"
 
 # Headline engines at default settings (what the round driver runs).
 run_bench "linear modal_pallas (default)"
