@@ -303,3 +303,48 @@ class TestParametricModalROM:
         g_plain = float(jax.grad(lambda s: loss(s, False))(1.0))
         g_remat = float(jax.grad(lambda s: loss(s, True))(1.0))
         np.testing.assert_allclose(g_remat, g_plain, rtol=1e-10)
+
+
+class TestAdaptiveOnTracedOperator:
+    """Error-controlled stepping on the autodiff-capable sweep operator.
+
+    The traced operator's solve factors at a TRACED c = f(dt) (no
+    prefactor exists for a continuum of dt), which is exactly what the
+    adaptive implicit engines need — error-controlled stiff rollouts
+    whose operators are differentiable in the physical parameters."""
+
+    def test_matches_host_prefactored_adaptive(self):
+        from continuum_robot_tpu.models.simulate import make_newmark_operator
+        from continuum_robot_tpu.ops.integrators import (
+            integrate_generalized_alpha_adaptive,
+        )
+        from continuum_robot_tpu.parallel.sweep import (
+            make_traced_genalpha_operator,
+        )
+
+        m = DynamicEulerBernoulliBeam(helpers.linear_csv(5))
+        n = m.n_pos_states
+        q0 = jnp.zeros(n).at[-2].set(1e-4)
+        v0 = jnp.zeros(n)
+        u = jnp.zeros(n).at[-2].set(0.01)
+        t_eval = jnp.asarray(np.linspace(0.0, 5e-3, 4))
+
+        op_traced = make_traced_genalpha_operator(
+            m.beam_model.bc_info, m.beam_model.arrays, dt=1e-4, rho_inf=0.9
+        )
+        assert op_traced.tangent_frozen  # all-linear, host-concrete mask
+        qs_t, vs_t, st_t = jax.jit(
+            lambda q, v: integrate_generalized_alpha_adaptive(
+                op_traced, q, v, t_eval, u=u, rho_inf=0.9,
+                rtol=1e-6, atol=1e-9,
+            )
+        )(q0, v0)
+
+        op_host = make_newmark_operator(m, dt=None, linear_solver="btd")
+        qs_h, vs_h, st_h = integrate_generalized_alpha_adaptive(
+            op_host, q0, v0, t_eval, u=u, rho_inf=0.9, rtol=1e-6, atol=1e-9
+        )
+        np.testing.assert_allclose(np.asarray(qs_t), np.asarray(qs_h),
+                                   rtol=1e-9, atol=1e-15)
+        assert int(st_t.n_accepted) == int(st_h.n_accepted)
+        assert int(st_t.n_incomplete) == 0
