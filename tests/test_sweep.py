@@ -348,3 +348,45 @@ class TestAdaptiveOnTracedOperator:
                                    rtol=1e-9, atol=1e-15)
         assert int(st_t.n_accepted) == int(st_h.n_accepted)
         assert int(st_t.n_incomplete) == 0
+
+    def test_forward_sensitivities_through_adaptive(self):
+        """jax.jvp through the error-controlled engine: forward parameter
+        sensitivities at LSODA-grade accuracy control. (The accept/reject
+        sequence is piecewise constant in the parameters, so the tangent
+        is the sensitivity of the realized step sequence — smooth a.e.;
+        reverse mode stays on the fixed-step rollouts, while_loop has no
+        adjoint.)"""
+        import dataclasses
+
+        from continuum_robot_tpu.ops.integrators import (
+            integrate_generalized_alpha_adaptive,
+        )
+        from continuum_robot_tpu.parallel.sweep import (
+            make_traced_genalpha_operator,
+        )
+
+        m = DynamicEulerBernoulliBeam(helpers.linear_csv(5))
+        bc, arrays = m.beam_model.bc_info, m.beam_model.arrays
+        n = m.n_pos_states
+        q0 = jnp.zeros(n).at[-2].set(1e-4)
+        v0 = jnp.zeros(n)
+        u = jnp.zeros(n).at[-2].set(0.01)
+        t_eval = jnp.asarray(np.linspace(0.0, 5e-3, 3))
+
+        def tip_at_end(E):
+            arr = dataclasses.replace(
+                arrays, elastic_modulus=E * jnp.ones(5)
+            )
+            op = make_traced_genalpha_operator(bc, arr, dt=1e-4,
+                                               rho_inf=0.9)
+            qs, _, _ = integrate_generalized_alpha_adaptive(
+                op, q0, v0, t_eval, u=u, rho_inf=0.9,
+                rtol=1e-7, atol=1e-10,
+            )
+            return qs[-1, -2]
+
+        E0 = jnp.asarray(75e9)
+        _, g = jax.jvp(tip_at_end, (E0,), (jnp.asarray(1.0),))
+        h = 75e9 * 1e-5
+        fd = (tip_at_end(E0 + h) - tip_at_end(E0 - h)) / (2 * h)
+        assert abs(float(g) - float(fd)) / abs(float(fd)) < 1e-6
