@@ -1094,6 +1094,71 @@ class ModalROMGenAlpha:
                 "states); hyper-reduction is meaningless here"
             )
 
+        reduced = self.apply_ecsw(sel, xi[sel], train_tau=tau)
+        if return_info:
+            resid = G @ xi - d
+            res = float(np.linalg.norm(resid) / np.linalg.norm(d))
+            # Per-snapshot coverage diagnostic: how well the sample
+            # reproduces each individual training state (a wide spread
+            # means the envelope is thin where the residual is high).
+            r2 = np.linalg.norm(resid.reshape(n_snap, m), axis=1)
+            d2 = np.linalg.norm(d.reshape(n_snap, m), axis=1)
+            snap_res = r2 / np.maximum(d2, 1e-300)
+            return reduced, {
+                "n_sampled": int(sel.size),
+                "weights": xi,
+                "train_residual": res,
+                "snapshot_residuals": snap_res,
+                "snapshot_residual_max": float(snap_res.max()),
+            }
+        return reduced
+
+    def apply_ecsw(self, sel, xi_sel, train_tau: float = None):
+        """Apply a (pre)trained ECSW sample: gather bases to ``sel``.
+
+        The deployment half of :meth:`hyper_reduce` — ``sel`` are element
+        indices into the restricted window, ``xi_sel`` their positive ECSW
+        weights. Training (the NNLS over snapshots) is the expensive,
+        data-dependent step; this application is deterministic, so a
+        trained sample persisted with :meth:`save_ecsw` can be re-applied
+        to a freshly built engine of the same configuration
+        (:func:`load_ecsw`) without re-training.
+        """
+        if self.lam is None or self.planar_correction is None:
+            raise ValueError(
+                "apply_ecsw requires the split planar fast path "
+                "(parity nonlinear/hybrid beam, no external forces)"
+            )
+        if self.external_force is not None:
+            raise ValueError(
+                "apply_ecsw does not support engines with external forces"
+            )
+        if self.window_params is None:
+            raise ValueError("engine is already hyper-reduced")
+        wp = self.window_params
+        L = np.asarray(wp["length"], np.float64)
+        D = np.asarray(wp["EI"], np.float64)
+        A = np.asarray(wp["EA"], np.float64)
+        nl_mask = np.asarray(wp["nonlinear_mask"], bool)
+        Phi_p = np.asarray(self.Phi_planar, np.float64)  # (3 n_sub, m)
+        W_p = np.asarray(self.PhiW_planar, np.float64)
+        n_sub = Phi_p.shape[0] // 3
+        E = n_sub - 1
+
+        sel = np.asarray(sel, np.int64)
+        xi_sel = np.asarray(xi_sel, np.float64)
+        if sel.ndim != 1 or xi_sel.shape != sel.shape:
+            raise ValueError("sel and xi_sel must be matching 1-D arrays")
+        if sel.size == 0 or np.any(sel < 0) or np.any(sel >= E):
+            raise ValueError(
+                f"sample indices must be a nonempty subset of [0, {E})"
+            )
+        if np.any(xi_sel <= 0):
+            raise ValueError("ECSW weights must be positive")
+
+        def plane_rows(c):  # rows of DOF plane c (u/w/theta)
+            return slice(c * n_sub, (c + 1) * n_sub)
+
         # Gathered six-plane bases: rows [u1; w1; t1; u2; w2; t2] x sample.
         def gather(B, weights=None):
             rows = []
@@ -1103,12 +1168,12 @@ class ModalROMGenAlpha:
                     rows.append(blk)
             out = np.concatenate(rows, axis=0)  # (6 s, m) in plane blocks
             if weights is not None:
-                out = out * np.tile(weights[sel], 6)[:, None]
+                out = out * np.tile(weights, 6)[:, None]
             return np.ascontiguousarray(out)
 
         # Order the 6 blocks as [u1, w1, t1, u2, w2, t2] of width s each.
         Phi6 = gather(Phi_p)
-        W6 = gather(W_p, weights=xi)
+        W6 = gather(W_p, weights=xi_sel)
         s = sel.size
         L_s, D_s, A_s = L[sel], D[sel], A[sel]
         mask_s = nl_mask[sel]
@@ -1132,7 +1197,7 @@ class ModalROMGenAlpha:
             out = jnp.stack([g1, g3, g4, g2, g5, g6_], axis=-2)
             return out.reshape(q_pseudo.shape)
 
-        reduced = dataclasses.replace(
+        return dataclasses.replace(
             self,
             Phi_planar=Phi6,
             PhiW_planar=W6,
@@ -1141,29 +1206,61 @@ class ModalROMGenAlpha:
             guard_Phi=self.Phi_planar,
             guard_PhiW=self.PhiW_planar,
             guard_correction=self.planar_correction,
-            guard_train_tau=float(tau),
+            guard_train_tau=None if train_tau is None else float(train_tau),
             sampled_params={
                 "length": L_s, "EI": D_s, "EA": A_s,
                 "nonlinear_mask": mask_s,
+                # Raw trained sample, for persistence (save_ecsw).
+                "sel": sel, "xi": xi_sel,
             },
         )
-        if return_info:
-            resid = G @ xi - d
-            res = float(np.linalg.norm(resid) / np.linalg.norm(d))
-            # Per-snapshot coverage diagnostic: how well the sample
-            # reproduces each individual training state (a wide spread
-            # means the envelope is thin where the residual is high).
-            r2 = np.linalg.norm(resid.reshape(n_snap, m), axis=1)
-            d2 = np.linalg.norm(d.reshape(n_snap, m), axis=1)
-            snap_res = r2 / np.maximum(d2, 1e-300)
-            return reduced, {
-                "n_sampled": s,
-                "weights": xi,
-                "train_residual": res,
-                "snapshot_residuals": snap_res,
-                "snapshot_residual_max": float(snap_res.max()),
-            }
-        return reduced
+
+    def save_basis(self, path: str) -> str:
+        """Persist the Petrov-Galerkin basis ``(V, W)`` as .npz.
+
+        The eigensolve is the dominant engine-build cost at scale (minutes
+        for a 3000-DOF dense two-sided ``eig``); a persisted basis rebuilds
+        the engine in milliseconds: ``make_modal_rom(model, dt, ...,
+        basis=load_basis(path))``. Augmented bases (static vectors / modal
+        derivatives) persist as-is.
+        """
+        import os as _os
+
+        d = _os.path.dirname(_os.path.abspath(path))
+        if d:
+            _os.makedirs(d, exist_ok=True)
+        np.savez(path, V=self.Phi, W=self.PhiW)
+        return path
+
+    def save_ecsw(self, path: str) -> str:
+        """Persist the trained ECSW sample (indices, weights, tau) as .npz.
+
+        The trained sample is the expensive artifact (NNLS over training
+        snapshots); the basis itself is a deterministic function of the
+        beam configuration, so deployment is: rebuild the engine with
+        :func:`make_modal_rom` (same model/dt/settings), then
+        ``ms.apply_ecsw(*load_ecsw(path))``.
+        """
+        if self.sampled_params is None or "sel" not in self.sampled_params:
+            raise ValueError(
+                "save_ecsw requires a hyper-reduced engine (hyper_reduce "
+                "or apply_ecsw)"
+            )
+        import os as _os
+
+        d = _os.path.dirname(_os.path.abspath(path))
+        if d:
+            _os.makedirs(d, exist_ok=True)
+        np.savez(
+            path,
+            sel=self.sampled_params["sel"],
+            xi=self.sampled_params["xi"],
+            train_tau=np.float64(
+                -1.0 if self.guard_train_tau is None else self.guard_train_tau
+            ),
+            n_modes=np.int64(self.n_modes),
+        )
+        return path
 
     def ecsw_residual(self, eta):
         """Per-env relative residual of the trained sample vs the FULL correction.
@@ -1315,6 +1412,30 @@ class ModalROMGenAlpha:
         return ts, etas, etads
 
 
+def load_basis(path: str):
+    """Load a ``(V, W)`` basis saved by :meth:`ModalROMGenAlpha.save_basis`;
+    pass as ``make_modal_rom(..., basis=...)``."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    return np.asarray(data["V"], np.float64), np.asarray(data["W"], np.float64)
+
+
+def load_ecsw(path: str):
+    """Load a trained ECSW sample saved by :meth:`ModalROMGenAlpha.save_ecsw`.
+
+    Returns ``(sel, xi_sel, train_tau)`` — pass to
+    :meth:`ModalROMGenAlpha.apply_ecsw` on an engine rebuilt with the same
+    configuration (the saved ``n_modes`` is cross-checked there only via
+    basis shape compatibility; keep the CSV/dt/settings identical).
+    """
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    tau = float(data["train_tau"])
+    return (
+        np.asarray(data["sel"], np.int64),
+        np.asarray(data["xi"], np.float64),
+        None if tau < 0 else tau,
+    )
+
+
 def _ecsw_nnls(G, d, tau: float) -> np.ndarray:
     """Sparse nonnegative weights by early-stopped Lawson-Hanson NNLS.
 
@@ -1405,6 +1526,21 @@ def _check_real_spectrum(w, m_keep: int) -> None:
         )
 
 
+def _canonical_signs(V, W):
+    """Fix the eigenvector sign ambiguity: flip each (right, left) column
+    pair so the right vector's largest-magnitude entry is positive.
+
+    Eigensolvers return vectors up to sign (ARPACK's depends on its start
+    vector); a same-flip of V and W columns preserves ``W^T M V = I``.
+    Deterministic bases make rebuilt engines reproduce persisted ECSW
+    samples and trained artifacts exactly.
+    """
+    idx = np.argmax(np.abs(V), axis=0)
+    s = np.sign(V[idx, np.arange(V.shape[1])])
+    s = np.where(s == 0, 1.0, s)
+    return V * s, W * s
+
+
 def _lowest_modes_sparse(K, M, k: int):
     """Lowest-``k`` eigenpairs of the non-symmetric pencil ``(K, M)``.
 
@@ -1418,8 +1554,14 @@ def _lowest_modes_sparse(K, M, k: int):
     from scipy.sparse.linalg import ArpackError, ArpackNoConvergence, eigs
 
     try:
+        # Deterministic start vector: ARPACK's default v0 is RANDOM, which
+        # flips eigenvector signs (and perturbs roundoff) between otherwise
+        # identical calls — two make_modal_rom builds of the same beam must
+        # produce the same basis (ECSW persistence relies on it).
+        v0 = np.full(K.shape[0], 1.0 / np.sqrt(K.shape[0]))
         w, V = eigs(
-            sp.csc_matrix(K), k=k, M=sp.csc_matrix(M), sigma=0.0, which="LM"
+            sp.csc_matrix(K), k=k, M=sp.csc_matrix(M), sigma=0.0,
+            which="LM", v0=v0,
         )
     except (ArpackError, ArpackNoConvergence):
         from scipy.linalg import eig as dense_eig
@@ -1716,6 +1858,7 @@ def make_modal_rom(
     static_vectors=None,
     modal_derivatives: int = 0,
     rayleigh: tuple = None,
+    basis=None,
 ) -> ModalROMGenAlpha:
     """Build the nonlinear modal-reduction generalized-alpha engine.
 
@@ -1742,6 +1885,12 @@ def make_modal_rom(
     the XLA rollouts, ``rollout_adaptive``, and the fused Pallas rollout
     (the damping column rides the kernel's residual; its Jacobian share
     is prefactored into ``Sinv``).
+
+    ``basis``: optional precomputed ``(V, W)`` trial/left bases (e.g. from
+    :meth:`ModalROMGenAlpha.save_basis` / :func:`load_basis`), already
+    biorthonormalized and augmented. Skips the eigensolve — the dominant
+    setup cost at scale — and ``n_modes``/``static_vectors``/
+    ``modal_derivatives`` are then ignored (the basis is what it is).
     """
     from scipy.linalg import eig, eigh
 
@@ -1758,11 +1907,28 @@ def make_modal_rom(
     K0 = reduce_matrix_dense(arrays, free, use_consistent)
 
     sym_scale = np.abs(K0).max()
-    if np.abs(K0 - K0.T).max() <= 1e-9 * sym_scale:
+    if basis is not None:
+        V = np.asarray(basis[0], np.float64)
+        W = np.asarray(basis[1], np.float64)
+        if V.shape != W.shape or V.shape[0] != K0.shape[0]:
+            raise ValueError(
+                f"basis shapes {V.shape}/{W.shape} do not match the "
+                f"{K0.shape[0]}-DOF reduced system"
+            )
+        bi_err = float(np.abs(W.T @ M @ V - np.eye(V.shape[1])).max())
+        if bi_err > 1e-6:
+            raise ValueError(
+                f"basis is not biorthonormal (|W^T M V - I| = {bi_err:.2e})"
+                " — was it built for this beam configuration?"
+            )
+        static_vectors = None
+        modal_derivatives = 0
+    elif np.abs(K0 - K0.T).max() <= 1e-9 * sym_scale:
         lam, V = eigh(K0, M)  # symmetric fast path; M-orthonormal already
         W = V
         if n_modes is not None:
             V, W = V[:, :n_modes], W[:, :n_modes]
+        V, W = _canonical_signs(V, W)
     elif n_modes is not None and n_modes <= K0.shape[0] // 4:
         # Truncated-basis fast path: shift-invert Arnoldi at sigma=0 pulls
         # the lowest modes of the (banded) non-symmetric pencil in seconds
@@ -1772,6 +1938,7 @@ def make_modal_rom(
         wl, W = _lowest_modes_sparse(K0.T, M, n_modes)
         _check_real_spectrum(w, n_modes)
         V, W = V.real, W.real
+        V, W = _canonical_signs(V, W)
         D = W.T @ M @ V
         W = W @ np.linalg.inv(D).T
     else:
@@ -1781,6 +1948,7 @@ def make_modal_rom(
         m_keep = n_modes if n_modes is not None else V.shape[1]
         _check_real_spectrum(w[:m_keep], m_keep)
         V, W = V[:, :m_keep].real, W[:, :m_keep].real
+        V, W = _canonical_signs(V, W)
         # Biorthonormalize robustly: W <- W inv(D)^T with D = W^T M V, so
         # W^T M V = I exactly even under near-degenerate eigenvalue pairing.
         D = W.T @ M @ V

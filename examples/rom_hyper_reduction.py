@@ -111,6 +111,26 @@ def main():
     print(f"trajectory deviation (all frames, all DOFs): {err:.2e} relative "
           f"(sample {info['n_sampled']}/{n} elements)")
 
+    # --- Production deployment: the trained artifacts persist. The basis
+    # (the eigensolve, the dominant build cost at scale) and the ECSW
+    # sample (the NNLS over training snapshots) each save to one .npz;
+    # deployment rebuilds the engine from disk without re-running either.
+    import tempfile
+
+    from continuum_robot_tpu.models.simulate import load_basis, load_ecsw
+
+    d = tempfile.mkdtemp()
+    bpath = ms.save_basis(f"{d}/basis.npz")
+    spath = red.save_ecsw(f"{d}/ecsw.npz")
+    t0 = time.time()
+    ms2 = make_modal_rom(model, 1e-4, rho_inf=0.5, basis=load_basis(bpath))
+    red2 = ms2.apply_ecsw(*load_ecsw(spath))
+    t_deploy = time.time() - t0
+    qs_dep, _ = timed_frames(red2)
+    assert np.array_equal(qs_dep, qs_hr), "deployed engine must be exact"
+    print(f"deploy-from-disk: engine rebuilt in {t_deploy:.2f}s "
+          f"(no eigensolve, no NNLS) — rollouts bit-identical")
+
 
 if __name__ == "__main__":
     main()

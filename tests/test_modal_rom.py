@@ -879,3 +879,96 @@ class TestScanUnroll:
                                        unroll=3)
         np.testing.assert_allclose(np.asarray(f4), np.asarray(f1),
                                    rtol=1e-12, atol=1e-18)
+
+
+class TestEcswPersistence:
+    """Trained ECSW samples are the expensive artifact: they persist
+    (save_ecsw/load_ecsw) and re-apply to a freshly built engine of the
+    same configuration, reproducing the trained engine exactly."""
+
+    def test_save_load_apply_roundtrip(self, tmp_path):
+        from continuum_robot_tpu.models.simulate import load_ecsw
+
+        model = _model(nonlinear_csv(40, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=24)
+        n = model.n_pos_states
+        u = np.zeros(n, np.float32)
+        u[-2] = 3.0
+        u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+        z = jnp.zeros((1, ms.n_modes), jnp.float32)
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_m, 20, substeps=5,
+                                          n_newton=2)
+        red = ms.hyper_reduce(np.asarray(etas_tr[::2, 0, :]), tau=1e-4)
+        path = red.save_ecsw(str(tmp_path / "sample.npz"))
+
+        # Fresh engine, same configuration; apply the persisted sample.
+        ms2 = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=24)
+        red2 = ms2.apply_ecsw(*load_ecsw(path))
+        np.testing.assert_array_equal(red2.sampled_params["sel"],
+                                      red.sampled_params["sel"])
+        w_ref = np.asarray(red.PhiW_planar)
+        np.testing.assert_allclose(
+            np.asarray(red2.PhiW_planar), w_ref,
+            rtol=1e-9, atol=1e-12 * np.abs(w_ref).max(),
+        )
+        # Identical rollouts.
+        eta0 = jnp.zeros((2, ms.n_modes), jnp.float32).at[:, 0].set(1e-3)
+        out_a = red.rollout(eta0, 0 * eta0, u_m, 50, n_newton=1)
+        out_b = red2.rollout(eta0, 0 * eta0, u_m, 50, n_newton=1)
+        for a, b in zip(out_a, out_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-12)
+        # Guard machinery survives the round trip.
+        assert red2.guard_train_tau == red.guard_train_tau
+        r = red2.ecsw_residual(eta0)
+        assert bool(jnp.all(jnp.isfinite(r)))
+
+    def test_apply_validates_inputs(self):
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5)
+        with pytest.raises(ValueError, match="subset"):
+            ms.apply_ecsw(np.array([99]), np.array([1.0]))
+        with pytest.raises(ValueError, match="positive"):
+            ms.apply_ecsw(np.array([1]), np.array([-1.0]))
+        with pytest.raises(ValueError, match="hyper-reduced"):
+            ms.save_ecsw("/tmp/nope.npz")
+
+    def test_basis_persistence_roundtrip(self, tmp_path):
+        """save_basis/load_basis: rebuild the engine without the eigensolve
+        — the full production deployment path (basis + ECSW sample from
+        disk) reproduces the trained engine's rollouts exactly."""
+        from continuum_robot_tpu.models.simulate import load_basis, load_ecsw
+
+        model = _model(nonlinear_csv(40, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=24)
+        n = model.n_pos_states
+        u = np.zeros(n, np.float32)
+        u[-2] = 3.0
+        u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+        z = jnp.zeros((1, ms.n_modes), jnp.float32)
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_m, 20, substeps=5,
+                                          n_newton=2)
+        red = ms.hyper_reduce(np.asarray(etas_tr[::2, 0, :]), tau=1e-4)
+        bpath = ms.save_basis(str(tmp_path / "basis.npz"))
+        spath = red.save_ecsw(str(tmp_path / "sample.npz"))
+
+        ms2 = make_modal_rom(model, 1e-4, rho_inf=0.5,
+                             basis=load_basis(bpath))
+        np.testing.assert_array_equal(np.asarray(ms2.Phi),
+                                      np.asarray(ms.Phi))
+        red2 = ms2.apply_ecsw(*load_ecsw(spath))
+        eta0 = jnp.zeros((2, ms.n_modes), jnp.float32).at[:, 0].set(1e-3)
+        out_a = red.rollout(eta0, 0 * eta0, u_m, 50, n_newton=1)
+        out_b = red2.rollout(eta0, 0 * eta0, u_m, 50, n_newton=1)
+        for a, b in zip(out_a, out_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_basis_validation(self, tmp_path):
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5)
+        V = np.asarray(ms.Phi)
+        with pytest.raises(ValueError, match="biorthonormal"):
+            make_modal_rom(model, 1e-4, basis=(V, 2.0 * np.asarray(ms.PhiW)))
+        other = _model(nonlinear_csv(8, include_fluid=False))
+        with pytest.raises(ValueError, match="do not match"):
+            make_modal_rom(other, 1e-4, basis=(V, np.asarray(ms.PhiW)))
