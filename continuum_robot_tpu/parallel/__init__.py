@@ -12,6 +12,7 @@ from .spatial import (
 from .spatial_implicit import (
     build_spatial_genalpha,
     build_spatial_genalpha_adaptive,
+    build_spatial_sdirk3,
     spike_prepare,
     spike_solve,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "build_spatial_genalpha",
     "build_spatial_genalpha_adaptive",
     "build_spatial_rhs",
+    "build_spatial_sdirk3",
     "make_mesh",
     "spike_prepare",
     "spike_solve",

@@ -598,3 +598,214 @@ def build_spatial_genalpha_adaptive(
         return xs, stats
 
     return rollout
+
+
+def build_spatial_sdirk3(
+    beam: SpatialBeam,
+    n_newton: int = 2,
+    use_consistent: bool = False,
+    max_steps_per_interval: int = 10_000,
+    safety: float = 0.9,
+):
+    """Error-controlled SDIRK3 on the sharded beam axis.
+
+    The accuracy-grade stiff engine (L-stable 3rd-order Alexander DIRK with
+    a TRUE embedded estimate — ``ops.integrators.sdirk3_step``) distributed
+    over the ``sp`` mesh axis. Same structure as
+    :func:`build_spatial_genalpha_adaptive`: SPIKE is the stage solver, the
+    error norm is psum-contracted over exactly the free DOFs so every shard
+    takes the identical accept/reject decision, and the shared
+    ``adaptive_drive`` owns the controller.
+
+    The frozen-tangent structure pays off doubly here: all three stages
+    share ONE effective Jacobian ``M + (dt*g)^2 K0``, so each trial dt
+    costs ONE SPIKE preparation reused across ``3*n_newton`` Newton solves
+    AND the stiff error filter (Hairer-Wanner ``(I - dt*g*J)^{-1}``, which
+    reduces to one more reuse of the same prepared system). The filter's
+    exact ``K e_q`` term is a jvp of the halo-exchanged internal force —
+    collectives differentiate to collectives, so the tangent rides the
+    same ppermutes.
+
+    Returns ``rollout(x0, t_eval, u=None, rtol=..., atol=..., dt0=None) ->
+    (xs, AdaptiveStats)`` with the same contracts as the adaptive gen-alpha
+    builder (vmap over a leading env axis for per-env dt on a dp x sp
+    mesh).
+    """
+    from ..ops.integrators import (
+        _SD_A,
+        _SD_B,
+        _SD_BHAT,
+        _SD_G,
+        AdaptiveStats,
+        adaptive_drive,
+    )
+
+    mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
+    Np = beam.n_nodes
+
+    su = _shard_aligned_setup(beam)
+    mask_nodes, mdiag, mlow, mup = (
+        su["mask_nodes"], su["mdiag"], su["mlow"], su["mup"]
+    )
+    left_last_node, right_first_node = (
+        su["left_last_node"], su["right_first_node"]
+    )
+    arr_fields, m_local = su["arr_fields"], su["m_local"]
+    p_rep, p_node, p_block, p_el, p_x = (
+        su["p_rep"], su["p_node"], su["p_block"], su["p_el"], su["p_x"]
+    )
+    from jax.sharding import PartitionSpec
+
+    def make_core(n_intervals: int, rtol: float, atol: float):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(p_rep, p_rep, p_x, p_node, p_node, p_block, p_block,
+                      p_block, p_node, p_node, p_el, p_el, p_el, p_el,
+                      p_el),
+            out_specs=(
+                PartitionSpec(None, None, axis, None),
+                AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
+            ),
+        )
+        def core(t_evals, dt0, x, u_node, m_mask, md, ml, mu, llm, rfm,
+                 a_len, a_E, a_I, a_A, a_nl):
+            dtype = md.dtype
+            arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
+            llm3, rfm3 = llm[0], rfm[0]
+            m3 = m_mask
+
+            md_bc, ml_bc, mu_bc = mask_aligned_blocks(
+                md, ml, mu, m3, llm3, rfm3
+            )
+            q0_loc = jnp.zeros((m_local, 3), dtype)
+            kd, klow, kup = spatial_tangent_aligned(
+                q0_loc, arr_local, axis, S, use_consistent
+            )
+            n_free = jax.lax.psum(jnp.sum(m3), axis)
+
+            def make_prep(c):
+                jd = md + c * kd
+                jl = ml + c * klow
+                ju = mu + c * kup
+                jd, jl, ju = mask_aligned_blocks(jd, jl, ju, m3, llm3, rfm3)
+                return spike_prepare(jd, jl, ju, axis, S)
+
+            def internal(q):
+                return spatial_internal_force_local(
+                    q * m3, arr_local, m3, axis, S, use_consistent
+                )
+
+            def mass_apply(a_vec):
+                return mass_matvec_aligned(
+                    a_vec * m3, md_bc, ml_bc, mu_bc, axis, S
+                ) * m3
+
+            u_m = u_node * m3
+            q0 = x[0] * m3
+            v0 = x[1] * m3
+
+            def sdirk_step(dt, q, v):
+                dt_g = dt * _SD_G
+                # One SPIKE preparation serves every stage Newton iterate
+                # and the stiff error filter (frozen zero-state tangent).
+                prep = make_prep(dt_g * dt_g)
+                kqs, kvs = [], []
+                for i in range(3):
+                    bq, bv = q, v
+                    for j in range(i):
+                        bq = bq + dt * _SD_A[i][j] * kqs[j]
+                        bv = bv + dt * _SD_A[i][j] * kvs[j]
+
+                    def newton(_, qi, bq=bq, bv=bv):
+                        f = u_m - internal(qi)
+                        r = mass_apply((qi - bq) / dt_g - bv) - dt_g * f
+                        dq = dt_g * spike_solve(prep, r * m3, axis, S) * m3
+                        return qi - dq
+
+                    qi0 = (bq + dt_g * v) * m3
+                    qi = jax.lax.fori_loop(0, n_newton, newton, qi0)
+                    vi = (qi - bq) / dt_g * m3
+                    kqs.append(vi)
+                    kvs.append((vi - bv) / dt_g * m3)
+
+                q1 = q + dt * sum(b * k for b, k in zip(_SD_B, kqs))
+                v1 = v + dt * sum(b * k for b, k in zip(_SD_B, kvs))
+                eq = dt * sum(
+                    (b - bh) * k for b, bh, k in zip(_SD_B, _SD_BHAT, kqs)
+                )
+                ev = dt * sum(
+                    (b - bh) * k for b, bh, k in zip(_SD_B, _SD_BHAT, kvs)
+                )
+                # Stiff error filter (see sdirk3_step): one more reuse of
+                # the prepared system; K e_q via jvp of the halo-exchanged
+                # internal force at the step end.
+                _, K_eq = jax.jvp(internal, (q1,), (eq,))
+                rhs_v = mass_apply(ev) - dt_g * K_eq
+                ev_f = spike_solve(prep, rhs_v * m3, axis, S) * m3
+                eq_f = eq + dt_g * ev_f
+                return q1 * m3, v1 * m3, eq_f, ev_f
+
+            def err_norm(e, q_old, q_new):
+                scale = atol + rtol * jnp.maximum(
+                    jnp.abs(q_old), jnp.abs(q_new)
+                )
+                s = jax.lax.psum(jnp.sum(((e / scale) ** 2) * m3), axis)
+                return jnp.sqrt(s / n_free)
+
+            def trial(t, dt_tr, state):
+                q, v = state
+                q1, v1, eq, ev = sdirk_step(dt_tr, q, v)
+                # Displacement-unit velocity weighting (see sdirk3's
+                # single-chip driver): e_v enters as dt*e_v.
+                en = jnp.maximum(
+                    err_norm(eq, q, q1), err_norm(dt_tr * ev, q, q1)
+                )
+                return (q1, v1), en
+
+            _, xs, stats = adaptive_drive(
+                trial, (q0, v0), t_evals,
+                jnp.asarray(dt0, dtype)[()], -1.0 / 3.0,
+                max_steps_per_interval=max_steps_per_interval,
+                safety=safety,
+                frame_out=lambda s: jnp.stack([s[0], s[1]]),
+            )
+            xs = jnp.concatenate(
+                [jnp.stack([q0, v0])[None], xs], axis=0
+            )
+            return xs, stats
+
+        return core
+
+    def rollout(x0, t_eval, u=None, rtol: float = 1e-6,
+                atol: float = 1e-9, dt0: float = None):
+        t_eval_np = np.asarray(jax.device_get(t_eval), np.float64)
+        if dt0 is None:
+            dt0 = float(t_eval_np[1] - t_eval_np[0]) / 16.0
+        x0 = jnp.asarray(x0)
+        t_evals = jnp.asarray(t_eval_np, x0.dtype)
+        core = make_core(len(t_eval_np) - 1, float(rtol), float(atol))
+        if u is None:
+            u_node = jnp.zeros((Np, 3), dtype=x0.dtype)
+        else:
+            u_node = jnp.asarray(u, dtype=x0.dtype)
+        mask = jnp.asarray(mask_nodes, dtype=x0.dtype)
+        dt0_arr = jnp.asarray(dt0, x0.dtype)
+
+        def run_one(x_single):
+            return core(
+                t_evals, dt0_arr, x_single, u_node, mask,
+                jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
+                jnp.asarray(mup, x0.dtype),
+                jnp.asarray(left_last_node, x0.dtype),
+                jnp.asarray(right_first_node, x0.dtype),
+                *arr_fields,
+            )
+
+        if x0.ndim == 4:  # (envs, 2, Np, 3): per-env dt via vmap over dp
+            xs, stats = jax.vmap(run_one, out_axes=(1, 0))(x0)
+        else:
+            xs, stats = run_one(x0)
+        return xs, stats
+
+    return rollout

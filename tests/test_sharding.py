@@ -510,3 +510,70 @@ class TestToleranceCG:
         a = np.asarray(rhs_tol(0.0, jnp.asarray(x)))
         b = np.asarray(rhs_fix(0.0, jnp.asarray(x)))
         assert np.abs(a - b).max() / np.abs(b).max() < 1e-9
+
+
+class TestSpatialSDIRK3:
+    """The accuracy-grade stiff engine on the sp axis (build_spatial_sdirk3).
+
+    Same contract as the adaptive gen-alpha test: the distributed SDIRK3
+    must land within tolerance of the single-chip engine AND take the
+    identical accept/reject decisions (psum-contracted error norm; every
+    stage solve is an exact distributed SPIKE solve)."""
+
+    def _setup(self, n_elements=14):
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(n_elements))
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        return model, beam
+
+    def test_matches_dense_sdirk3_engine(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            build_spatial_sdirk3,
+        )
+
+        model, beam = self._setup()
+        n = model.n_pos_states
+        u_red = np.zeros(n)
+        u_red[-2] = 0.1
+        free = np.flatnonzero(
+            np.asarray(model.beam_model.bc_info.free_mask)
+        )
+        Np = beam.n_nodes
+        u_node = np.zeros((Np, 3))
+        u_node.reshape(-1)[free] = u_red
+        x_node = np.zeros((2, Np, 3))
+
+        t_final, dt_out = 5e-3, 1e-3
+        t_eval = np.linspace(0.0, t_final, int(t_final / dt_out) + 1)
+        rollout = build_spatial_sdirk3(beam, n_newton=2)
+        xs, stats = rollout(
+            jnp.asarray(x_node), t_eval, u=jnp.asarray(u_node),
+            rtol=1e-6, atol=1e-9,
+        )
+        xs = np.asarray(xs)  # (frames+1, 2, Np, 3)
+
+        res = simulate(
+            model, np.zeros(2 * n), t_final, dt_out,
+            method="sdirk3", u=jnp.asarray(u_red),
+            rtol=1e-6, atol=1e-9, n_newton=2,
+            linear_solver="dense_inv",
+        )
+        ys = np.asarray(res.ys)
+
+        err = 0.0
+        for f in range(len(t_eval)):
+            got = np.concatenate([
+                xs[f, 0].reshape(-1)[free],
+                xs[f, 1].reshape(-1)[free],
+            ])
+            err = max(err, np.abs(got - ys[f]).max())
+        rel = err / np.abs(ys).max()
+        assert rel < 1e-5, f"sharded vs dense SDIRK3: {rel:.3e}"
+        assert int(stats.n_accepted) == int(res.stats.n_accepted)
+        assert int(stats.n_rejected) == int(res.stats.n_rejected)
+        assert int(stats.n_incomplete) == 0
