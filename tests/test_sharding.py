@@ -520,8 +520,12 @@ class TestSpatialSDIRK3:
     identical accept/reject decisions (psum-contracted error norm; every
     stage solve is an exact distributed SPIKE solve)."""
 
-    def _setup(self, n_elements=14):
-        model = DynamicEulerBernoulliBeam(helpers.linear_csv(n_elements))
+    def _setup(self, n_elements=14, kind="linear"):
+        csv = (
+            helpers.linear_csv(n_elements) if kind == "linear"
+            else helpers.mixed_csv(n_elements)
+        )
+        model = DynamicEulerBernoulliBeam(csv)
         mesh = make_mesh({"dp": 2, "sp": 4})
         beam = make_spatial_beam(
             model.beam_model.arrays,
@@ -530,13 +534,14 @@ class TestSpatialSDIRK3:
         )
         return model, beam
 
-    def test_matches_dense_sdirk3_engine(self):
+    @pytest.mark.parametrize("kind", ["linear", "hybrid"])
+    def test_matches_dense_sdirk3_engine(self, kind):
         from continuum_robot_tpu.models.simulate import simulate
         from continuum_robot_tpu.parallel.spatial_implicit import (
             build_spatial_sdirk3,
         )
 
-        model, beam = self._setup()
+        model, beam = self._setup(kind=kind)
         n = model.n_pos_states
         u_red = np.zeros(n)
         u_red[-2] = 0.1
