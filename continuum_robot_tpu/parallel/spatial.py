@@ -111,6 +111,28 @@ def make_spatial_beam(
     )
 
 
+def node_drag_factors(beam: SpatialBeam, fluid_density: float) -> np.ndarray:
+    """Per-node fluid-drag factors ``0.5 rho C_d A_w`` on the w DOF, (Np, 3).
+
+    Node-LOCAL by construction (the drag force needs no halo exchange on
+    the sharded axis). Node ``i`` takes element ``i``'s wetted/drag values
+    and the real last node reuses the last real element's — the reference's
+    final-node quirk (``fluid_forces.py:60-61``), indexed against
+    ``n_nodes_real`` so zero-padded elements never zero the tip factor.
+    Padded nodes get 0.
+    """
+    arrays = beam.arrays
+    w = np.asarray(arrays.wetted_area, np.float64)
+    c = np.asarray(arrays.drag_coef, np.float64)
+    n_real = beam.n_nodes_real
+    fac = np.zeros((beam.n_nodes, 3))
+    fac[: n_real - 1, 1] = (
+        0.5 * fluid_density * w[: n_real - 1] * c[: n_real - 1]
+    )
+    fac[n_real - 1, 1] = 0.5 * fluid_density * w[n_real - 2] * c[n_real - 2]
+    return fac
+
+
 def _right_perm(n):
     """ppermute spec sending shard k's payload to shard k+1 (ring)."""
     return [(i, (i + 1) % n) for i in range(n)]

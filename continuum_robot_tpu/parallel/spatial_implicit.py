@@ -263,6 +263,7 @@ def build_spatial_genalpha(
     rho_inf: float = 0.8,
     n_newton: int = 1,
     use_consistent: bool = False,
+    fluid_density: float = None,
 ) -> Callable:
     """Implicit generalized-alpha rollout over the ``sp`` mesh axis.
 
@@ -270,6 +271,13 @@ def build_spatial_genalpha(
     ``x0`` is ``(2, Np, 3)`` node-layout state (leading env batch allowed —
     vmapped over ``dp``), ``u`` a constant ``(Np, 3)`` force layout, and
     ``xs`` has the frame axis leading, ``xs[0] = x0``.
+
+    ``fluid_density``: enable the reference's quadratic transverse fluid
+    drag on the sharded axis. The drag is node-LOCAL (zero additional
+    communication; factors from :func:`spatial.node_drag_factors`, incl.
+    the final-node quirk); it enters the residual at the alpha-point
+    velocity and is LAGGED in the Jacobian — exactly the single-chip
+    treatment (``op.external_force`` enters residual only).
 
     Modified Newton with the zero-state tangent: the SPIKE preparation
     (local factorization + spike columns + interface inverse) happens ONCE
@@ -302,15 +310,24 @@ def build_spatial_genalpha(
     )
     from jax.sharding import PartitionSpec
 
+    from .spatial import node_drag_factors
+
+    has_fluid = fluid_density is not None
+    dfac_np = (
+        node_drag_factors(beam, float(fluid_density)) if has_fluid
+        else np.zeros((Np, 3))
+    )
+
     def make_core(n_frames: int, substeps: int):
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(p_x, p_node, p_node, p_block, p_block, p_block,
-                      p_node, p_node, p_el, p_el, p_el, p_el, p_el),
+            in_specs=(p_x, p_node, p_node, p_node, p_block, p_block,
+                      p_block, p_node, p_node, p_el, p_el, p_el, p_el,
+                      p_el),
             out_specs=(PartitionSpec(None, None, axis, None)),
         )
-        def rollout_core(x, u_node, m_mask, md, ml, mu, llm, rfm,
+        def rollout_core(x, u_node, dfac, m_mask, md, ml, mu, llm, rfm,
                          a_len, a_E, a_I, a_A, a_nl):
             dtype = md.dtype
             arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
@@ -346,10 +363,17 @@ def build_spatial_genalpha(
                     a_vec * m3, md_bc, ml_bc, mu_bc, axis, S
                 ) * m3
 
+            def drag(v_at):
+                # Node-local quadratic transverse drag residual term
+                # (+fac*v|v| because r carries MINUS the external force).
+                return dfac * v_at * jnp.abs(v_at)
+
             u_m = u_node * m3
             q, v = x[0] * m3, x[1] * m3
-            f0 = (u_m - internal(q)) * m3
-            a = spike_solve(prep_mass, f0, axis, S) * m3
+            f0 = u_m - internal(q)
+            if has_fluid:
+                f0 = f0 - drag(v)
+            a = spike_solve(prep_mass, f0 * m3, axis, S) * m3
 
             def substep(carry, _):
                 q, v, a = carry
@@ -361,6 +385,10 @@ def build_spatial_genalpha(
                     q_af = (1.0 - af) * q1 + af * q
                     a_am = (1.0 - am) * a1 + am * a
                     r = mass_apply(a_am) + internal(q_af) - u_m
+                    if has_fluid:
+                        v1 = v_pred + gamma * dt * a1
+                        v_af = (1.0 - af) * v1 + af * v
+                        r = r + drag(v_af)
                     da = spike_solve(prep_jac, r * m3, axis, S) * m3
                     return a1 - da
 
@@ -392,7 +420,7 @@ def build_spatial_genalpha(
 
         def run_one(x_single):
             return core(
-                x_single, u_node, mask,
+                x_single, u_node, jnp.asarray(dfac_np, x0.dtype), mask,
                 jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
                 jnp.asarray(mup, x0.dtype),
                 jnp.asarray(left_last_node, x0.dtype),
@@ -417,6 +445,7 @@ def build_spatial_genalpha_adaptive(
     use_consistent: bool = False,
     max_steps_per_interval: int = 100_000,
     safety: float = 0.9,
+    fluid_density: float = None,
 ) -> Callable:
     """ERROR-CONTROLLED implicit stepping over the ``sp`` mesh axis.
 
@@ -464,20 +493,28 @@ def build_spatial_genalpha_adaptive(
     )
     from jax.sharding import PartitionSpec
 
+    from .spatial import node_drag_factors
+
+    has_fluid = fluid_density is not None
+    dfac_np = (
+        node_drag_factors(beam, float(fluid_density)) if has_fluid
+        else np.zeros((Np, 3))
+    )
+
     def make_core(n_intervals: int, rtol: float, atol: float):
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(p_rep, p_rep, p_x, p_node, p_node, p_block, p_block,
-                      p_block, p_node, p_node, p_el, p_el, p_el, p_el,
-                      p_el),
+            in_specs=(p_rep, p_rep, p_x, p_node, p_node, p_node, p_block,
+                      p_block, p_block, p_node, p_node, p_el, p_el, p_el,
+                      p_el, p_el),
             out_specs=(
                 PartitionSpec(None, None, axis, None),
                 AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
             ),
         )
-        def core(t_evals, dt0, x, u_node, m_mask, md, ml, mu, llm, rfm,
-                 a_len, a_E, a_I, a_A, a_nl):
+        def core(t_evals, dt0, x, u_node, dfac, m_mask, md, ml, mu, llm,
+                 rfm, a_len, a_E, a_I, a_A, a_nl):
             dtype = md.dtype
             arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
             llm3, rfm3 = llm[0], rfm[0]
@@ -511,11 +548,16 @@ def build_spatial_genalpha_adaptive(
                     a_vec * m3, md_bc, ml_bc, mu_bc, axis, S
                 ) * m3
 
+            def drag(v_at):
+                return dfac * v_at * jnp.abs(v_at)
+
             u_m = u_node * m3
             q0 = x[0] * m3
             v0 = x[1] * m3
-            f0 = (u_m - internal(q0)) * m3
-            a0 = spike_solve(prep_mass, f0, axis, S) * m3
+            f0 = u_m - internal(q0)
+            if has_fluid:
+                f0 = f0 - drag(v0)
+            a0 = spike_solve(prep_mass, f0 * m3, axis, S) * m3
 
             def trial_step(dt, q, v, a):
                 prep = make_prep(dt)
@@ -527,6 +569,10 @@ def build_spatial_genalpha_adaptive(
                     q_af = (1.0 - af) * q1 + af * q
                     a_am = (1.0 - am) * a1 + am * a
                     r = mass_apply(a_am) + internal(q_af) - u_m
+                    if has_fluid:
+                        v1 = v_pred + gamma * dt * a1
+                        v_af = (1.0 - af) * v1 + af * v
+                        r = r + drag(v_af)
                     da = spike_solve(prep, r * m3, axis, S) * m3
                     return a1 - da
 
@@ -583,7 +629,8 @@ def build_spatial_genalpha_adaptive(
 
         def run_one(x_single):
             return core(
-                t_evals, dt0_arr, x_single, u_node, mask,
+                t_evals, dt0_arr, x_single, u_node,
+                jnp.asarray(dfac_np, x0.dtype), mask,
                 jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
                 jnp.asarray(mup, x0.dtype),
                 jnp.asarray(left_last_node, x0.dtype),
@@ -606,6 +653,7 @@ def build_spatial_sdirk3(
     use_consistent: bool = False,
     max_steps_per_interval: int = 10_000,
     safety: float = 0.9,
+    fluid_density: float = None,
 ):
     """Error-controlled SDIRK3 on the sharded beam axis.
 
@@ -656,20 +704,28 @@ def build_spatial_sdirk3(
     )
     from jax.sharding import PartitionSpec
 
+    from .spatial import node_drag_factors
+
+    has_fluid = fluid_density is not None
+    dfac_np = (
+        node_drag_factors(beam, float(fluid_density)) if has_fluid
+        else np.zeros((Np, 3))
+    )
+
     def make_core(n_intervals: int, rtol: float, atol: float):
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(p_rep, p_rep, p_x, p_node, p_node, p_block, p_block,
-                      p_block, p_node, p_node, p_el, p_el, p_el, p_el,
-                      p_el),
+            in_specs=(p_rep, p_rep, p_x, p_node, p_node, p_node, p_block,
+                      p_block, p_block, p_node, p_node, p_el, p_el, p_el,
+                      p_el, p_el),
             out_specs=(
                 PartitionSpec(None, None, axis, None),
                 AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
             ),
         )
-        def core(t_evals, dt0, x, u_node, m_mask, md, ml, mu, llm, rfm,
-                 a_len, a_E, a_I, a_A, a_nl):
+        def core(t_evals, dt0, x, u_node, dfac, m_mask, md, ml, mu, llm,
+                 rfm, a_len, a_E, a_I, a_A, a_nl):
             dtype = md.dtype
             arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
             llm3, rfm3 = llm[0], rfm[0]
@@ -719,6 +775,9 @@ def build_spatial_sdirk3(
 
                     def newton(_, qi, bq=bq, bv=bv):
                         f = u_m - internal(qi)
+                        if has_fluid:
+                            vi = (qi - bq) / dt_g
+                            f = f - dfac * vi * jnp.abs(vi)
                         r = mass_apply((qi - bq) / dt_g - bv) - dt_g * f
                         dq = dt_g * spike_solve(prep, r * m3, axis, S) * m3
                         return qi - dq
@@ -794,7 +853,8 @@ def build_spatial_sdirk3(
 
         def run_one(x_single):
             return core(
-                t_evals, dt0_arr, x_single, u_node, mask,
+                t_evals, dt0_arr, x_single, u_node,
+                jnp.asarray(dfac_np, x0.dtype), mask,
                 jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
                 jnp.asarray(mup, x0.dtype),
                 jnp.asarray(left_last_node, x0.dtype),

@@ -582,3 +582,121 @@ class TestSpatialSDIRK3:
         assert int(stats.n_accepted) == int(res.stats.n_accepted)
         assert int(stats.n_rejected) == int(res.stats.n_rejected)
         assert int(stats.n_incomplete) == 0
+
+
+class TestSpatialFluid:
+    """The reference's fluid drag on the sharded axis (fluid_density=...).
+
+    Drag is node-local (zero added communication); it enters each engine's
+    residual at the stage/alpha-point velocity, lagged in the Jacobian —
+    exactly the single-chip external-force treatment, so trajectories and
+    (for adaptive engines) accept/reject counters must match the
+    single-chip engines with the fluid registry force enabled."""
+
+    RHO_F = 1000.0
+
+    def _setup(self, n_elements=14):
+        from continuum_robot_tpu.models.config import ForceParams
+
+        fp = ForceParams(
+            enable_fluid_effects=True, fluid_density=self.RHO_F
+        )
+        model = DynamicEulerBernoulliBeam(
+            helpers.linear_csv(n_elements), fp
+        )
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        n = model.n_pos_states
+        free = np.flatnonzero(
+            np.asarray(model.beam_model.bc_info.free_mask)
+        )
+        # Nonzero initial velocity so the quadratic drag is leading-order.
+        rng = np.random.default_rng(3)
+        x_red = np.zeros(2 * n)
+        x_red[n:] = rng.normal(scale=0.05, size=n)
+        u_red = np.zeros(n)
+        u_red[-2] = 0.1
+        Np = beam.n_nodes
+        x_node = np.zeros((2, Np, 3))
+        x_node[0].reshape(-1)[free] = x_red[:n]
+        x_node[1].reshape(-1)[free] = x_red[n:]
+        u_node = np.zeros((Np, 3))
+        u_node.reshape(-1)[free] = u_red
+        return model, beam, x_red, u_red, x_node, u_node, free
+
+    def _compare(self, xs, ys, t_count, free):
+        err = 0.0
+        for f in range(t_count):
+            got = np.concatenate([
+                xs[f, 0].reshape(-1)[free],
+                xs[f, 1].reshape(-1)[free],
+            ])
+            err = max(err, np.abs(got - ys[f]).max())
+        return err / np.abs(ys).max()
+
+    def test_fixed_genalpha_with_fluid(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import build_spatial_genalpha
+
+        model, beam, x_red, u_red, x_node, u_node, free = self._setup()
+        dt, n_frames, substeps = 1e-4, 4, 3
+        rollout = build_spatial_genalpha(
+            beam, dt, rho_inf=0.8, n_newton=2, fluid_density=self.RHO_F
+        )
+        _, xs = rollout(jnp.asarray(x_node), n_frames, u=jnp.asarray(u_node),
+                        substeps=substeps)
+        res = simulate(
+            model, x_red, n_frames * substeps * dt, substeps * dt,
+            method="generalized_alpha", u=jnp.asarray(u_red),
+            rho_inf=0.8, n_newton=2, substeps=substeps,
+            linear_solver="btd",
+        )
+        rel = self._compare(np.asarray(xs), np.asarray(res.ys),
+                            n_frames + 1, free)
+        assert rel < 1e-8, f"sharded+fluid vs dense: {rel:.3e}"
+        # And the drag is load-bearing: without it the trajectory differs.
+        dry = build_spatial_genalpha(beam, dt, rho_inf=0.8, n_newton=2)
+        _, xs_dry = dry(jnp.asarray(x_node), n_frames,
+                        u=jnp.asarray(u_node), substeps=substeps)
+        assert float(jnp.abs(xs - xs_dry).max()) > 1e-10
+
+    @pytest.mark.parametrize("engine", ["genalpha_adaptive", "sdirk3"])
+    def test_adaptive_engines_with_fluid(self, engine):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import (
+            build_spatial_genalpha_adaptive,
+            build_spatial_sdirk3,
+        )
+
+        model, beam, x_red, u_red, x_node, u_node, free = self._setup()
+        t_eval = np.linspace(0.0, 4e-3, 5)
+        if engine == "genalpha_adaptive":
+            rollout = build_spatial_genalpha_adaptive(
+                beam, rho_inf=0.9, n_newton=2, fluid_density=self.RHO_F
+            )
+            method = "generalized_alpha_adaptive"
+            kw = dict(rho_inf=0.9)
+        else:
+            rollout = build_spatial_sdirk3(
+                beam, n_newton=2, fluid_density=self.RHO_F
+            )
+            method = "sdirk3"
+            kw = {}
+        xs, stats = rollout(
+            jnp.asarray(x_node), t_eval, u=jnp.asarray(u_node),
+            rtol=1e-6, atol=1e-9,
+        )
+        res = simulate(
+            model, x_red, float(t_eval[-1]), float(t_eval[1]),
+            method=method, u=jnp.asarray(u_red), rtol=1e-6, atol=1e-9,
+            n_newton=2, linear_solver="dense_inv", **kw,
+        )
+        rel = self._compare(np.asarray(xs), np.asarray(res.ys),
+                            len(t_eval), free)
+        assert rel < 1e-5, f"{engine}+fluid: {rel:.3e}"
+        assert int(stats.n_accepted) == int(res.stats.n_accepted)
+        assert int(stats.n_rejected) == int(res.stats.n_rejected)
