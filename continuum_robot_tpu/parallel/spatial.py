@@ -133,6 +133,52 @@ def node_drag_factors(beam: SpatialBeam, fluid_density: float) -> np.ndarray:
     return fac
 
 
+def element_gravity_masses(beam: SpatialBeam) -> np.ndarray:
+    """Per-element gravity masses ``rho A L``, (Np,) padded with zeros."""
+    arrays = beam.arrays
+    m = (
+        np.asarray(arrays.density, np.float64)
+        * np.asarray(arrays.cross_area, np.float64)
+        * np.asarray(arrays.length, np.float64)
+    )
+    m[beam.n_nodes_real - 1:] = 0.0  # padding elements carry no weight
+    return m
+
+
+def spatial_gravity_force_local(
+    q_local, gmass_local, gx, gy, mask_local, axis: str, n_shards: int
+):
+    """Deformation-aware distributed gravity, node-sharded (per shard).
+
+    PHYSICAL formulation: element ``i`` rotates the global ``(gx, gy)`` by
+    the average of ITS OWN end nodes' rotations and splits half its weight
+    onto each end node's (u, w) DOFs. The single-chip registry force
+    instead reproduces the reference's reduced-index quirk
+    (``gravity_forces.py:104-146``: full-layout indices applied to the
+    reduced vector, shifting each element's rotation window by the number
+    of constrained DOFs below it) — that quirk is a BC-dependent index
+    misalignment with no meaningful node-layout analogue, so the sharded
+    path is deliberately consistent instead (divergence documented in
+    PARITY.md). Same halo pattern as the internal force: one pull of the
+    right neighbor's first node, one push of the bridging element's
+    far-node contribution.
+    """
+    halo = jax.lax.ppermute(q_local[:1], axis, _left_perm(n_shards))
+    q_ext = jnp.concatenate([q_local, halo], axis=0)  # (m+1, 3)
+    th = q_ext[..., 2]
+    phi = 0.5 * (th[:-1] + th[1:])  # per local element
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    f_ax = (c * gx + s * gy) * gmass_local * 0.5
+    f_tr = (-s * gx + c * gy) * gmass_local * 0.5
+    fe = jnp.stack([f_ax, f_tr, jnp.zeros_like(f_ax)], axis=-1)  # (m, 3)
+    f_ext = jnp.zeros_like(q_ext)
+    f_ext = f_ext.at[:-1].add(fe)
+    f_ext = f_ext.at[1:].add(fe)
+    bridge = jax.lax.ppermute(f_ext[-1:], axis, _right_perm(n_shards))
+    f_local = f_ext[:-1].at[:1].add(bridge)
+    return f_local * mask_local
+
+
 def _right_perm(n):
     """ppermute spec sending shard k's payload to shard k+1 (ring)."""
     return [(i, (i + 1) % n) for i in range(n)]

@@ -264,6 +264,7 @@ def build_spatial_genalpha(
     n_newton: int = 1,
     use_consistent: bool = False,
     fluid_density: float = None,
+    gravity=None,
 ) -> Callable:
     """Implicit generalized-alpha rollout over the ``sp`` mesh axis.
 
@@ -310,13 +311,19 @@ def build_spatial_genalpha(
     )
     from jax.sharding import PartitionSpec
 
-    from .spatial import node_drag_factors
+    from .spatial import element_gravity_masses, node_drag_factors
 
     has_fluid = fluid_density is not None
     dfac_np = (
         node_drag_factors(beam, float(fluid_density)) if has_fluid
         else np.zeros((Np, 3))
     )
+    has_gravity = gravity is not None
+    if has_gravity and len(np.asarray(gravity).ravel()) != 3:
+        raise ValueError("gravity must be a 3-vector [gx, gy, gz]")
+    gmass_np = element_gravity_masses(beam) if has_gravity else np.zeros(Np)
+    g_x = float(np.asarray(gravity).ravel()[0]) if has_gravity else 0.0
+    g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
 
     def make_core(n_frames: int, substeps: int):
         @partial(
@@ -324,11 +331,11 @@ def build_spatial_genalpha(
             mesh=mesh,
             in_specs=(p_x, p_node, p_node, p_node, p_block, p_block,
                       p_block, p_node, p_node, p_el, p_el, p_el, p_el,
-                      p_el),
+                      p_el, p_el),
             out_specs=(PartitionSpec(None, None, axis, None)),
         )
         def rollout_core(x, u_node, dfac, m_mask, md, ml, mu, llm, rfm,
-                         a_len, a_E, a_I, a_A, a_nl):
+                         a_len, a_E, a_I, a_A, a_nl, gmass):
             dtype = md.dtype
             arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
             llm3, rfm3 = llm[0], rfm[0]  # (3,) static neighbor masks
@@ -368,11 +375,20 @@ def build_spatial_genalpha(
                 # (+fac*v|v| because r carries MINUS the external force).
                 return dfac * v_at * jnp.abs(v_at)
 
+            def grav(q_at):
+                from .spatial import spatial_gravity_force_local
+
+                return spatial_gravity_force_local(
+                    q_at * m3, gmass, g_x, g_y, m3, axis, S
+                )
+
             u_m = u_node * m3
             q, v = x[0] * m3, x[1] * m3
             f0 = u_m - internal(q)
             if has_fluid:
                 f0 = f0 - drag(v)
+            if has_gravity:
+                f0 = f0 + grav(q)
             a = spike_solve(prep_mass, f0 * m3, axis, S) * m3
 
             def substep(carry, _):
@@ -389,6 +405,8 @@ def build_spatial_genalpha(
                         v1 = v_pred + gamma * dt * a1
                         v_af = (1.0 - af) * v1 + af * v
                         r = r + drag(v_af)
+                    if has_gravity:
+                        r = r - grav(q_af)
                     da = spike_solve(prep_jac, r * m3, axis, S) * m3
                     return a1 - da
 
@@ -426,6 +444,7 @@ def build_spatial_genalpha(
                 jnp.asarray(left_last_node, x0.dtype),
                 jnp.asarray(right_first_node, x0.dtype),
                 *arr_fields,
+                jnp.asarray(gmass_np, x0.dtype),
             )
 
         if x0.ndim == 4:  # (envs, 2, Np, 3) -> vmap over dp
@@ -446,6 +465,7 @@ def build_spatial_genalpha_adaptive(
     max_steps_per_interval: int = 100_000,
     safety: float = 0.9,
     fluid_density: float = None,
+    gravity=None,
 ) -> Callable:
     """ERROR-CONTROLLED implicit stepping over the ``sp`` mesh axis.
 
@@ -493,13 +513,19 @@ def build_spatial_genalpha_adaptive(
     )
     from jax.sharding import PartitionSpec
 
-    from .spatial import node_drag_factors
+    from .spatial import element_gravity_masses, node_drag_factors
 
     has_fluid = fluid_density is not None
     dfac_np = (
         node_drag_factors(beam, float(fluid_density)) if has_fluid
         else np.zeros((Np, 3))
     )
+    has_gravity = gravity is not None
+    if has_gravity and len(np.asarray(gravity).ravel()) != 3:
+        raise ValueError("gravity must be a 3-vector [gx, gy, gz]")
+    gmass_np = element_gravity_masses(beam) if has_gravity else np.zeros(Np)
+    g_x = float(np.asarray(gravity).ravel()[0]) if has_gravity else 0.0
+    g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
 
     def make_core(n_intervals: int, rtol: float, atol: float):
         @partial(
@@ -507,14 +533,14 @@ def build_spatial_genalpha_adaptive(
             mesh=mesh,
             in_specs=(p_rep, p_rep, p_x, p_node, p_node, p_node, p_block,
                       p_block, p_block, p_node, p_node, p_el, p_el, p_el,
-                      p_el, p_el),
+                      p_el, p_el, p_el),
             out_specs=(
                 PartitionSpec(None, None, axis, None),
                 AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
             ),
         )
         def core(t_evals, dt0, x, u_node, dfac, m_mask, md, ml, mu, llm,
-                 rfm, a_len, a_E, a_I, a_A, a_nl):
+                 rfm, a_len, a_E, a_I, a_A, a_nl, gmass):
             dtype = md.dtype
             arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
             llm3, rfm3 = llm[0], rfm[0]
@@ -551,12 +577,21 @@ def build_spatial_genalpha_adaptive(
             def drag(v_at):
                 return dfac * v_at * jnp.abs(v_at)
 
+            def grav(q_at):
+                from .spatial import spatial_gravity_force_local
+
+                return spatial_gravity_force_local(
+                    q_at * m3, gmass, g_x, g_y, m3, axis, S
+                )
+
             u_m = u_node * m3
             q0 = x[0] * m3
             v0 = x[1] * m3
             f0 = u_m - internal(q0)
             if has_fluid:
                 f0 = f0 - drag(v0)
+            if has_gravity:
+                f0 = f0 + grav(q0)
             a0 = spike_solve(prep_mass, f0 * m3, axis, S) * m3
 
             def trial_step(dt, q, v, a):
@@ -573,6 +608,8 @@ def build_spatial_genalpha_adaptive(
                         v1 = v_pred + gamma * dt * a1
                         v_af = (1.0 - af) * v1 + af * v
                         r = r + drag(v_af)
+                    if has_gravity:
+                        r = r - grav(q_af)
                     da = spike_solve(prep, r * m3, axis, S) * m3
                     return a1 - da
 
@@ -636,6 +673,7 @@ def build_spatial_genalpha_adaptive(
                 jnp.asarray(left_last_node, x0.dtype),
                 jnp.asarray(right_first_node, x0.dtype),
                 *arr_fields,
+                jnp.asarray(gmass_np, x0.dtype),
             )
 
         if x0.ndim == 4:  # (envs, 2, Np, 3): per-env dt via vmap over dp
@@ -654,6 +692,7 @@ def build_spatial_sdirk3(
     max_steps_per_interval: int = 10_000,
     safety: float = 0.9,
     fluid_density: float = None,
+    gravity=None,
 ):
     """Error-controlled SDIRK3 on the sharded beam axis.
 
@@ -704,13 +743,19 @@ def build_spatial_sdirk3(
     )
     from jax.sharding import PartitionSpec
 
-    from .spatial import node_drag_factors
+    from .spatial import element_gravity_masses, node_drag_factors
 
     has_fluid = fluid_density is not None
     dfac_np = (
         node_drag_factors(beam, float(fluid_density)) if has_fluid
         else np.zeros((Np, 3))
     )
+    has_gravity = gravity is not None
+    if has_gravity and len(np.asarray(gravity).ravel()) != 3:
+        raise ValueError("gravity must be a 3-vector [gx, gy, gz]")
+    gmass_np = element_gravity_masses(beam) if has_gravity else np.zeros(Np)
+    g_x = float(np.asarray(gravity).ravel()[0]) if has_gravity else 0.0
+    g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
 
     def make_core(n_intervals: int, rtol: float, atol: float):
         @partial(
@@ -718,14 +763,14 @@ def build_spatial_sdirk3(
             mesh=mesh,
             in_specs=(p_rep, p_rep, p_x, p_node, p_node, p_node, p_block,
                       p_block, p_block, p_node, p_node, p_el, p_el, p_el,
-                      p_el, p_el),
+                      p_el, p_el, p_el),
             out_specs=(
                 PartitionSpec(None, None, axis, None),
                 AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
             ),
         )
         def core(t_evals, dt0, x, u_node, dfac, m_mask, md, ml, mu, llm,
-                 rfm, a_len, a_E, a_I, a_A, a_nl):
+                 rfm, a_len, a_E, a_I, a_A, a_nl, gmass):
             dtype = md.dtype
             arr_local = _local_arrays(a_len, a_E, a_I, a_A, a_nl)
             llm3, rfm3 = llm[0], rfm[0]
@@ -757,6 +802,13 @@ def build_spatial_sdirk3(
                     a_vec * m3, md_bc, ml_bc, mu_bc, axis, S
                 ) * m3
 
+            def grav(q_at):
+                from .spatial import spatial_gravity_force_local
+
+                return spatial_gravity_force_local(
+                    q_at * m3, gmass, g_x, g_y, m3, axis, S
+                )
+
             u_m = u_node * m3
             q0 = x[0] * m3
             v0 = x[1] * m3
@@ -778,6 +830,8 @@ def build_spatial_sdirk3(
                         if has_fluid:
                             vi = (qi - bq) / dt_g
                             f = f - dfac * vi * jnp.abs(vi)
+                        if has_gravity:
+                            f = f + grav(qi)
                         r = mass_apply((qi - bq) / dt_g - bv) - dt_g * f
                         dq = dt_g * spike_solve(prep, r * m3, axis, S) * m3
                         return qi - dq
@@ -860,6 +914,7 @@ def build_spatial_sdirk3(
                 jnp.asarray(left_last_node, x0.dtype),
                 jnp.asarray(right_first_node, x0.dtype),
                 *arr_fields,
+                jnp.asarray(gmass_np, x0.dtype),
             )
 
         if x0.ndim == 4:  # (envs, 2, Np, 3): per-env dt via vmap over dp

@@ -700,3 +700,137 @@ class TestSpatialFluid:
         assert rel < 1e-5, f"{engine}+fluid: {rel:.3e}"
         assert int(stats.n_accepted) == int(res.stats.n_accepted)
         assert int(stats.n_rejected) == int(res.stats.n_rejected)
+
+
+class TestSpatialGravity:
+    """Deformation-aware gravity on the sharded axis (gravity=[gx,gy,gz]).
+
+    The sharded formulation is PHYSICAL: element i rotates (gx, gy) by the
+    average of its own end-node rotations. (The single-chip registry force
+    reproduces the reference's reduced-index quirk — a BC-dependent index
+    misalignment with no node-layout analogue; divergence documented in
+    PARITY.md.) The oracle here is therefore a consistent-gravity
+    forces_func on the single-chip engines."""
+
+    G = (2.0, -9.81)
+
+    def _consistent_gravity_fn(self, model):
+        arrays = model.beam_model.arrays
+        masses = np.asarray(
+            np.asarray(arrays.density)
+            * np.asarray(arrays.cross_area)
+            * np.asarray(arrays.length),
+            np.float64,
+        )
+        n_seg = len(masses)
+        gx, gy = self.G
+
+        def f(x, t):
+            n_pos = x.shape[-1] // 2
+            q = x[..., :n_pos]
+            # Base-fixed cantilever: reduced = full[3:]. theta_0 = 0;
+            # theta_j (j>=1) = q[3(j-1)+2].
+            th = jnp.concatenate(
+                [jnp.zeros((*q.shape[:-1], 1), q.dtype),
+                 q[..., 2::3]], axis=-1,
+            )  # (nodes,)
+            phi = 0.5 * (th[..., :-1] + th[..., 1:])  # per element
+            c, s = jnp.cos(phi), jnp.sin(phi)
+            m = jnp.asarray(masses, q.dtype)
+            f_ax = (c * gx + s * gy) * m * 0.5
+            f_tr = (-s * gx + c * gy) * m * 0.5
+            out = jnp.zeros_like(q)
+            for i in range(n_seg):
+                for node in (i, i + 1):
+                    if node == 0:
+                        continue  # fixed base: DOFs dropped
+                    out = out.at[..., 3 * (node - 1)].add(f_ax[..., i])
+                    out = out.at[..., 3 * (node - 1) + 1].add(f_tr[..., i])
+            return out
+
+        return f
+
+    def _setup(self, n_elements=14):
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(n_elements))
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        n = model.n_pos_states
+        free = np.flatnonzero(
+            np.asarray(model.beam_model.bc_info.free_mask)
+        )
+        x_red = np.zeros(2 * n)
+        Np = beam.n_nodes
+        x_node = np.zeros((2, Np, 3))
+        return model, beam, x_red, x_node, free
+
+    def test_adaptive_genalpha_with_gravity(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import (
+            build_spatial_genalpha_adaptive,
+        )
+
+        model, beam, x_red, x_node, free = self._setup()
+        t_eval = np.linspace(0.0, 4e-3, 5)
+        rollout = build_spatial_genalpha_adaptive(
+            beam, rho_inf=0.9, n_newton=2,
+            gravity=(self.G[0], self.G[1], 0.0),
+        )
+        xs, stats = rollout(jnp.asarray(x_node), t_eval, rtol=1e-6,
+                            atol=1e-9)
+        res = simulate(
+            model, x_red, float(t_eval[-1]), float(t_eval[1]),
+            method="generalized_alpha_adaptive",
+            forces_func=self._consistent_gravity_fn(model),
+            rtol=1e-6, atol=1e-9, rho_inf=0.9, n_newton=2,
+            linear_solver="dense_inv",
+        )
+        ys = np.asarray(res.ys)
+        xs = np.asarray(xs)
+        err = 0.0
+        for f in range(len(t_eval)):
+            got = np.concatenate([
+                xs[f, 0].reshape(-1)[free],
+                xs[f, 1].reshape(-1)[free],
+            ])
+            err = max(err, np.abs(got - ys[f]).max())
+        rel = err / np.abs(ys).max()
+        assert rel < 1e-5, f"sharded gravity vs consistent oracle: {rel:.3e}"
+        assert int(stats.n_accepted) == int(res.stats.n_accepted)
+        # Gravity is load-bearing (beam sags).
+        assert float(np.abs(xs).max()) > 0
+
+    def test_sdirk3_with_gravity(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import build_spatial_sdirk3
+
+        model, beam, x_red, x_node, free = self._setup()
+        t_eval = np.linspace(0.0, 4e-3, 5)
+        rollout = build_spatial_sdirk3(
+            beam, n_newton=2, gravity=(self.G[0], self.G[1], 0.0)
+        )
+        xs, stats = rollout(jnp.asarray(x_node), t_eval, rtol=1e-6,
+                            atol=1e-9)
+        res = simulate(
+            model, x_red, float(t_eval[-1]), float(t_eval[1]),
+            method="sdirk3",
+            forces_func=self._consistent_gravity_fn(model),
+            rtol=1e-6, atol=1e-9, n_newton=2,
+            linear_solver="dense_inv",
+        )
+        ys = np.asarray(res.ys)
+        xs = np.asarray(xs)
+        err = 0.0
+        for f in range(len(t_eval)):
+            got = np.concatenate([
+                xs[f, 0].reshape(-1)[free],
+                xs[f, 1].reshape(-1)[free],
+            ])
+            err = max(err, np.abs(got - ys[f]).max())
+        rel = err / np.abs(ys).max()
+        assert rel < 1e-5, f"sharded SDIRK3 gravity: {rel:.3e}"
+        assert int(stats.n_accepted) == int(res.stats.n_accepted)
+        assert float(np.abs(xs).max()) > 1e-9  # the beam actually sagged
