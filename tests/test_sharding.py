@@ -834,3 +834,33 @@ class TestSpatialGravity:
         assert rel < 1e-5, f"sharded SDIRK3 gravity: {rel:.3e}"
         assert int(stats.n_accepted) == int(res.stats.n_accepted)
         assert float(np.abs(xs).max()) > 1e-9  # the beam actually sagged
+
+    def test_fixed_genalpha_with_gravity(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import build_spatial_genalpha
+
+        model, beam, x_red, x_node, free = self._setup()
+        dt, n_frames, substeps = 1e-4, 4, 3
+        rollout = build_spatial_genalpha(
+            beam, dt, rho_inf=0.8, n_newton=2,
+            gravity=(self.G[0], self.G[1], 0.0),
+        )
+        _, xs = rollout(jnp.asarray(x_node), n_frames, substeps=substeps)
+        res = simulate(
+            model, x_red, n_frames * substeps * dt, substeps * dt,
+            method="generalized_alpha",
+            forces_func=self._consistent_gravity_fn(model),
+            rho_inf=0.8, n_newton=2, substeps=substeps,
+            linear_solver="btd",
+        )
+        ys = np.asarray(res.ys)
+        xs = np.asarray(xs)
+        err = 0.0
+        for f in range(n_frames + 1):
+            got = np.concatenate([
+                xs[f, 0].reshape(-1)[free],
+                xs[f, 1].reshape(-1)[free],
+            ])
+            err = max(err, np.abs(got - ys[f]).max())
+        rel = err / np.abs(ys).max()
+        assert rel < 1e-8, f"fixed sharded gravity: {rel:.3e}"
