@@ -248,6 +248,8 @@ def build_spatial_rhs(
     cg_iters: int = 16,
     use_consistent: bool = False,
     cg_tol: float = 1e-8,
+    fluid_density: float = None,
+    gravity=None,
 ) -> Callable:
     """Fully sharded ``rhs(t, x, u)`` over the ``sp`` axis via shard_map.
 
@@ -297,6 +299,25 @@ def build_spatial_rhs(
         arrays.cross_area, arrays.nonlinear_mask,
     )
 
+    # Optional reference forces on the sharded axis: node-local quadratic
+    # drag and physical deformation-aware gravity (see
+    # node_drag_factors / spatial_gravity_force_local for the contracts
+    # and the documented gravity-quirk divergence).
+    has_fluid = fluid_density is not None
+    dfac_np = (
+        node_drag_factors(beam, float(fluid_density)) if has_fluid
+        else np.zeros((beam.n_nodes, 3))
+    )
+    has_gravity = gravity is not None
+    if has_gravity and len(np.asarray(gravity).ravel()) != 3:
+        raise ValueError("gravity must be a 3-vector [gx, gy, gz]")
+    gmass_np = (
+        element_gravity_masses(beam) if has_gravity
+        else np.zeros(beam.n_nodes)
+    )
+    g_x = float(np.asarray(gravity).ravel()[0]) if has_gravity else 0.0
+    g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
+
     p_node = PartitionSpec(axis, None)
     p_block = PartitionSpec(axis, None, None)
     p_el = PartitionSpec(axis)
@@ -306,11 +327,11 @@ def build_spatial_rhs(
         jax.shard_map,
         mesh=mesh,
         in_specs=(p_x, p_node, p_el, p_el, p_el, p_el, p_el, p_node,
-                  p_block, p_block, p_block, p_block),
+                  p_block, p_block, p_block, p_block, p_node, p_el),
         out_specs=p_x,
     )
     def rhs_core(x, u, a_len, a_E, a_I, a_A, a_nl, m_mask,
-                 md, ml, mu, mdi):
+                 md, ml, mu, mdi, dfac, gmass):
         q, v = x[0], x[1]
         arr_local = BeamArrays(
             length=a_len, elastic_modulus=a_E, moment_inertia=a_I,
@@ -320,7 +341,15 @@ def build_spatial_rhs(
         k = spatial_internal_force_local(
             q * m_mask, arr_local, m_mask, axis, S, use_consistent
         )
-        f = (u - k) * m_mask
+        f = u - k
+        if has_fluid:
+            vm = v * m_mask
+            f = f - dfac * vm * jnp.abs(vm)
+        if has_gravity:
+            f = f + spatial_gravity_force_local(
+                q * m_mask, gmass, g_x, g_y, m_mask, axis, S
+            )
+        f = f * m_mask
 
         def matvec(z):
             return spatial_mass_matvec_local(z, md, ml, mu, axis, S)
@@ -380,6 +409,7 @@ def build_spatial_rhs(
         return rhs_core(
             x, u, *arr_fields, mask,
             mdiag, mlow, mup, mdiag_inv,
+            jnp.asarray(dfac_np, x.dtype), jnp.asarray(gmass_np, x.dtype),
         )
 
     return rhs

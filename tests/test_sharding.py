@@ -864,3 +864,76 @@ class TestSpatialGravity:
             err = max(err, np.abs(got - ys[f]).max())
         rel = err / np.abs(ys).max()
         assert rel < 1e-8, f"fixed sharded gravity: {rel:.3e}"
+
+
+class TestSpatialExplicitForces:
+    """Fluid/gravity on the EXPLICIT spatial RHS (build_spatial_rhs)."""
+
+    def test_rhs_with_fluid_matches_dense(self):
+        from continuum_robot_tpu.models.config import ForceParams
+
+        fp = ForceParams(enable_fluid_effects=True, fluid_density=1000.0)
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14), fp)
+        mesh = make_mesh({"sp": 8})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        rhs_sp = build_spatial_rhs(beam, cg_iters=64, cg_tol=1e-12,
+                                   fluid_density=1000.0)
+        n = model.n_pos_states
+        rng = np.random.default_rng(5)
+        x_red = rng.normal(scale=1e-3, size=2 * n)
+        free = model.beam_model.bc_info.free_dofs
+        n_full = model.beam_model.n_dofs_full
+        x_sp = np.zeros((2, beam.n_nodes, 3))
+        x_sp[0].reshape(-1)[: n_full][free] = x_red[:n]
+        x_sp[1].reshape(-1)[: n_full][free] = x_red[n:]
+
+        out = np.asarray(
+            jax.jit(lambda x: rhs_sp(0.0, x))(jnp.asarray(x_sp))
+        )
+        dx_ref = np.asarray(model.build_rhs()(0.0, x_red, None))
+        got = np.concatenate([
+            out[0].reshape(-1)[: n_full][free],
+            out[1].reshape(-1)[: n_full][free],
+        ])
+        scale = np.abs(dx_ref).max()
+        np.testing.assert_allclose(got, dx_ref, atol=1e-6 * scale)
+
+    def test_rhs_with_gravity_matches_consistent_oracle(self):
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        mesh = make_mesh({"sp": 8})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        G = (2.0, -9.81)
+        rhs_sp = build_spatial_rhs(beam, cg_iters=64, cg_tol=1e-12,
+                                   gravity=(G[0], G[1], 0.0))
+        grav_fn = TestSpatialGravity._consistent_gravity_fn(
+            type("T", (), {"G": G})(), model
+        )
+        n = model.n_pos_states
+        rng = np.random.default_rng(6)
+        x_red = rng.normal(scale=1e-3, size=2 * n)
+        free = model.beam_model.bc_info.free_dofs
+        n_full = model.beam_model.n_dofs_full
+        x_sp = np.zeros((2, beam.n_nodes, 3))
+        x_sp[0].reshape(-1)[: n_full][free] = x_red[:n]
+        x_sp[1].reshape(-1)[: n_full][free] = x_red[n:]
+
+        out = np.asarray(
+            jax.jit(lambda x: rhs_sp(0.0, x))(jnp.asarray(x_sp))
+        )
+        dx_ref = np.asarray(
+            model.build_rhs(forces_func=grav_fn)(0.0, x_red, None)
+        )
+        got = np.concatenate([
+            out[0].reshape(-1)[: n_full][free],
+            out[1].reshape(-1)[: n_full][free],
+        ])
+        scale = np.abs(dx_ref).max()
+        np.testing.assert_allclose(got, dx_ref, atol=1e-6 * scale)
