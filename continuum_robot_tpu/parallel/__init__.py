@@ -16,6 +16,12 @@ from .spatial_implicit import (
     spike_prepare,
     spike_solve,
 )
+from .spatial_modal import (
+    SpatialModal,
+    SpatialModalROM,
+    build_spatial_modal,
+    build_spatial_modal_rom,
+)
 from .sweep import (
     make_parametric_rhs,
     make_traced_genalpha_operator,
@@ -28,6 +34,10 @@ from .sweep import (
 
 __all__ = [
     "SpatialBeam",
+    "SpatialModal",
+    "SpatialModalROM",
+    "build_spatial_modal",
+    "build_spatial_modal_rom",
     "batch_sharding",
     "batched_rollout",
     "build_rollout_fn",

@@ -1,0 +1,493 @@
+"""Spatially-sharded modal / modal-ROM engines over the ``sp`` axis.
+
+The modal engines (``models/simulate.py``: ``ModalGenAlpha``,
+``ModalROMGenAlpha``) carry a tiny replicated per-step state — ``(B, m)``
+modal amplitudes — while everything that grows with beam LENGTH lives in
+the bases (``(3N, m)`` per basis) and, for the nonlinear ROM, in the
+per-step correction force (expand modal state to physical nodes, evaluate
+the quadratic/cubic element correction, project back). Sharding the NODE
+axis over ``sp`` therefore:
+
+* shards every basis' rows — each device holds an ``(Np/S, 3, m)`` block,
+  so basis memory scales past one chip like the rest of the spatial layer;
+* makes the ROM's per-Newton correction an entirely local element batch
+  (1-node ``ppermute`` halo, the same ring payload as every other spatial
+  engine) followed by ONE ``(m,)`` ``psum`` — per-step communication is
+  O(modes), independent of beam length;
+* keeps the per-mode recurrence replicated (it is elementwise on ``(m,)``
+  and costs nothing to duplicate).
+
+The linear modal engine does no physical-space work per step at all, so
+its sharded value is in the transforms and the basis memory
+(:class:`SpatialModal`); the nonlinear ROM is where the ``sp`` axis
+genuinely carries per-step load (:class:`SpatialModalROM`).
+
+Split fast path only: the sharded ROM requires the exactly-diagonal
+reduced linear operator (``ms.lam``) and supports no registered external
+forces — the same scope as the single-chip split path (`_force_modal`).
+The correction is evaluated per element from
+``elements.nonlinear_correction_planes`` and masked by the per-element
+``nonlinear_mask`` (linear elements have identically zero correction), so
+hybrid beams work unchanged.
+
+No reference counterpart (the reference has neither reduced-order modeling
+nor any distributed runtime — SURVEY §2.2); this module is the
+TPU-native scale-out of the framework's own headline engines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec
+
+from ..models import elements
+from ..models.simulate import (
+    ModalGenAlpha,
+    ModalROMGenAlpha,
+    make_modal_genalpha,
+    make_modal_rom,
+)
+from .spatial import _left_perm, _right_perm, pad_arrays_for_shards
+
+
+def _scatter_node_basis(B_red: np.ndarray, free, n_full: int,
+                        n_nodes_padded: int) -> np.ndarray:
+    """Reduced-coordinate basis ``(n_red, m)`` -> node layout ``(Np, 3, m)``.
+
+    Constrained DOFs get zero rows (exactly the zero-pad/extract BC
+    semantics of the dense path); padding nodes beyond the real beam are
+    zero too, so they contribute nothing to expansions or projections.
+    """
+    B_red = np.asarray(B_red, np.float64)
+    m = B_red.shape[1]
+    full = np.zeros((3 * n_nodes_padded, m))
+    full[np.asarray(free)] = B_red
+    return np.ascontiguousarray(full.reshape(n_nodes_padded, 3, m))
+
+
+def spatial_correction_force_local(
+    q_local, el_L, el_EI, el_EA, el_nl, axis: str, n_shards: int
+):
+    """Per-shard von Karman correction force with 1-node halo exchange.
+
+    ``q_local``: (n_loc, 3) this shard's node states. Element ``i`` couples
+    nodes ``i, i+1``; the bridging element's far-node contribution is pushed
+    to the right neighbor with a second ``ppermute`` (the exact pattern of
+    ``spatial.spatial_internal_force_local``). Only the quadratic/cubic
+    correction planes are evaluated — the linear force never appears here
+    (it rides the exactly-diagonal reduced operator), and ``el_nl`` masks
+    the correction to the nonlinear elements (hybrid beams).
+    """
+    halo = jax.lax.ppermute(q_local[:1], axis, _left_perm(n_shards))
+    q_ext = jnp.concatenate([q_local, halo], axis=0)  # (n_loc+1, 3)
+    u1, w1, t1 = q_ext[:-1, 0], q_ext[:-1, 1], q_ext[:-1, 2]
+    u2, w2, t2 = q_ext[1:, 0], q_ext[1:, 1], q_ext[1:, 2]
+    g1, g3, g4, g2, g5, g6 = elements.nonlinear_correction_planes(
+        u1, w1, t1, u2, w2, t2, el_L, el_EI, el_EA
+    )
+    nl = el_nl.astype(q_ext.dtype)[:, None]
+    fe1 = jnp.stack([g1, g3, g4], axis=-1) * nl  # (n_loc, 3) node i
+    fe2 = jnp.stack([g2, g5, g6], axis=-1) * nl  # (n_loc, 3) node i+1
+    f_ext = jnp.zeros_like(q_ext)
+    f_ext = f_ext.at[:-1].add(fe1)
+    f_ext = f_ext.at[1:].add(fe2)
+    bridge = jax.lax.ppermute(f_ext[-1:], axis, _right_perm(n_shards))
+    return f_ext[:-1].at[:1].add(bridge)
+
+
+@dataclasses.dataclass
+class _SpatialModalBase:
+    """Shared node-sharded basis transforms (linear + ROM engines)."""
+
+    mesh: Mesh
+    axis: str
+    n_nodes: int  # Np, padded to a multiple of the sp axis size
+    n_nodes_real: int
+    Phi_nodes: np.ndarray  # (Np, 3, m) trial basis, node layout
+    PhiTM_nodes: np.ndarray  # (Np, 3, m) projector rows, node layout
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def n_modes(self) -> int:
+        return self.Phi_nodes.shape[-1]
+
+    def _p_node(self):
+        return PartitionSpec(self.axis, None, None)
+
+    def to_modal(self, x_node):
+        """Node-layout state ``(..., 2, Np, 3)`` -> replicated ``(eta, etad)``.
+
+        One ``psum`` over the ``sp`` axis per projection (the projector's
+        rows are sharded with the nodes).
+        """
+        axis, S = self.axis, self.n_shards
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(PartitionSpec(None, axis, None), self._p_node()),
+            out_specs=(PartitionSpec(None), PartitionSpec(None)),
+        )
+        def core(x, PTM):
+            eta = jax.lax.psum(jnp.einsum("ncm,nc->m", PTM, x[0]), axis)
+            etad = jax.lax.psum(jnp.einsum("ncm,nc->m", PTM, x[1]), axis)
+            return eta, etad
+
+        x_node = jnp.asarray(x_node)
+        PTM = jnp.asarray(self.PhiTM_nodes, x_node.dtype)
+        if x_node.ndim == 4:  # leading env batch
+            return jax.vmap(lambda x: core(x, PTM))(x_node)
+        return core(x_node, PTM)
+
+    def project_force(self, u_node):
+        """Node-layout force ``(Np, 3)`` -> replicated modal force ``(m,)``.
+
+        Petrov-Galerkin test-basis projection ``PhiW^T u`` (for the linear
+        engine ``PhiW = Phi``); one ``psum`` over the ``sp`` axis.
+        """
+        axis = self.axis
+        W = getattr(self, "W_nodes", None)
+        if W is None:
+            raise AttributeError("engine records no separate test basis")
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(PartitionSpec(axis, None), self._p_node()),
+            out_specs=PartitionSpec(None),
+        )
+        def core(u, Wn):
+            return jax.lax.psum(jnp.einsum("ncm,nc->m", Wn, u), axis)
+
+        u_node = jnp.asarray(u_node)
+        return core(u_node, jnp.asarray(W, u_node.dtype))
+
+    def physical_frames(self, etas, etads):
+        """Modal frames ``(F, ..., m)`` -> node-sharded ``(qs, vs)``.
+
+        Purely LOCAL per shard (each device expands its own basis rows);
+        outputs are ``(F, ..., Np, 3)`` sharded on the node axis — the full
+        physical trajectory never materializes on one device.
+        """
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(PartitionSpec(), PartitionSpec(), self._p_node()),
+            out_specs=(
+                PartitionSpec(None, self.axis, None),
+                PartitionSpec(None, self.axis, None),
+            ),
+        )
+        def core(es, eds, Phi):
+            q = jnp.einsum("ncm,fm->fnc", Phi, es)
+            v = jnp.einsum("ncm,fm->fnc", Phi, eds)
+            return q, v
+
+        etas = jnp.asarray(etas)
+        Phi = jnp.asarray(self.Phi_nodes, etas.dtype)
+        if etas.ndim == 3:  # (F, B, m): env batch
+            return jax.vmap(
+                lambda e, ed: core(e, ed, Phi), in_axes=1, out_axes=1
+            )(etas, jnp.asarray(etads))
+        return core(etas, jnp.asarray(etads), Phi)
+
+
+@dataclasses.dataclass
+class SpatialModal(_SpatialModalBase):
+    """Node-sharded linear modal engine.
+
+    The per-mode generalized-alpha recurrence involves no physical-space
+    work, so stepping delegates to the single-chip :class:`ModalGenAlpha`
+    (replicated ``(B, m)`` state — 8-10 FMAs per mode per step duplicated
+    per device is free); the sharded value is the basis memory and the
+    transforms, which scale with beam length.
+    """
+
+    ms: ModalGenAlpha = None
+
+    def rollout_frames(self, eta, etad, u_modal, n_frames: int,
+                       substeps: int = 1, t0: float = 0.0):
+        """Delegates to :meth:`ModalGenAlpha.rollout_frames` (replicated)."""
+        return self.ms.rollout_frames(
+            eta, etad, u_modal, n_frames, substeps=substeps, t0=t0
+        )
+
+
+@dataclasses.dataclass
+class SpatialModalROM(_SpatialModalBase):
+    """Node-sharded nonlinear modal-ROM generalized-alpha engine.
+
+    Identical recurrence to :class:`ModalROMGenAlpha`'s split fast path —
+    ``f_m = lam * eta_af + W^T g(Phi eta_af)`` with the exact element
+    correction — but the expand/correct/project pipeline runs sharded over
+    the beam axis: per Newton correction, each device expands its own node
+    block, evaluates its own elements (one halo ``ppermute``), and the
+    reduced correction force is one ``(m,)`` ``psum``. Equality with the
+    single-chip engine on a fake mesh is pinned in
+    ``tests/test_sharding.py::TestSpatialModalROM``.
+    """
+
+    ms: ModalROMGenAlpha = None
+    W_nodes: np.ndarray = None  # (Np, 3, m) test basis, node layout
+    el_L: np.ndarray = None  # (Np,) padded element lengths
+    el_EI: np.ndarray = None
+    el_EA: np.ndarray = None
+    el_nl: np.ndarray = None  # (Np,) padded nonlinear mask
+
+    def rollout_frames(self, eta, etad, u_modal, n_frames: int,
+                       substeps: int = 1, n_newton: int = 1,
+                       t0: float = 0.0):
+        """Sharded frame-collecting rollout; ``solve_ivp(t_eval=...)`` contract.
+
+        ``eta``/``etad``: ``(m,)`` or ``(B, m)`` modal state (replicated
+        over ``sp``; an env batch is vmapped — compose with a ``dp`` mesh
+        axis exactly like the other spatial engines). ``u_modal``: constant
+        modal force ``(m,)`` or None. Returns ``(ts, etas, etads)`` with the
+        initial state included, all replicated.
+        """
+        ms = self.ms
+        mesh, axis, S = self.mesh, self.axis, self.n_shards
+        am, af, beta, gamma = ms._coeffs()
+        dt = ms.dt
+        n_frames = int(n_frames)
+        substeps = int(substeps)
+
+        eta = jnp.asarray(eta)
+        dtype = eta.dtype
+        lam = jnp.asarray(ms.lam, dtype)
+        cdamp = None if ms.cdamp is None else jnp.asarray(ms.cdamp, dtype)
+        if ms.Sinv_diag is not None:
+            sinv_d = jnp.asarray(ms.Sinv_diag, dtype)
+
+            def solve(r):
+                return sinv_d * r
+
+        else:
+            Sinv = jnp.asarray(ms.Sinv, dtype)
+
+            def solve(r):
+                return jnp.einsum(
+                    "mk,k->m", Sinv, r,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+        u_m = (
+            jnp.zeros(self.n_modes, dtype) if u_modal is None
+            else jnp.asarray(u_modal, dtype)
+        )
+        t_af_off = (1.0 - af) * dt
+
+        p_el = PartitionSpec(axis)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(None), PartitionSpec(None), PartitionSpec(None),
+                self._p_node(), self._p_node(),
+                p_el, p_el, p_el, p_el,
+            ),
+            out_specs=(PartitionSpec(None, None), PartitionSpec(None, None)),
+        )
+        def core(eta0, etad0, u_mc, Phi, Wn, eL, eEI, eEA, eNL):
+            def force_modal(eta_af):
+                # Same term order as the single-chip split path
+                # (_force_modal): diagonal linear force first, then the
+                # projected correction.
+                q_loc = jnp.einsum(
+                    "ncm,m->nc", Phi, eta_af,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                g_loc = spatial_correction_force_local(
+                    q_loc, eL, eEI, eEA, eNL, axis, S
+                )
+                corr = jax.lax.psum(
+                    jnp.einsum(
+                        "ncm,nc->m", Wn, g_loc,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ),
+                    axis,
+                )
+                return lam * eta_af + corr
+
+            # Consistent initial acceleration (mirrors
+            # ModalROMGenAlpha.initial_accel).
+            r0 = -force_modal(eta0)
+            if cdamp is not None:
+                r0 = r0 - cdamp * etad0
+            etadd0 = r0 + u_mc
+
+            def substep(carry, _):
+                q, v, a = carry
+                q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
+                v_pred = v + (1.0 - gamma) * dt * a
+
+                def newton_body(_, a1):
+                    q1 = q_pred + beta * dt * dt * a1
+                    v1 = v_pred + gamma * dt * a1
+                    q_af = (1.0 - af) * q1 + af * q
+                    v_af = (1.0 - af) * v1 + af * v
+                    a_am = (1.0 - am) * a1 + am * a
+                    r = a_am + force_modal(q_af) - u_mc
+                    if cdamp is not None:
+                        r = r + cdamp * v_af
+                    return a1 - solve(r)
+
+                a1 = jax.lax.fori_loop(0, n_newton, newton_body, a)
+                q1 = q_pred + beta * dt * dt * a1
+                v1 = v_pred + gamma * dt * a1
+                return (q1, v1, a1), None
+
+            def frame(carry, _):
+                carry, _ = jax.lax.scan(substep, carry, None, length=substeps)
+                q, v, _a = carry
+                return carry, (q, v)
+
+            _, (es, eds) = jax.lax.scan(
+                frame, (eta0, etad0, etadd0), None, length=n_frames
+            )
+            es = jnp.concatenate([eta0[None], es], axis=0)
+            eds = jnp.concatenate([etad0[None], eds], axis=0)
+            return es, eds
+
+        Phi = jnp.asarray(self.Phi_nodes, dtype)
+        Wn = jnp.asarray(self.W_nodes, dtype)
+        eL = jnp.asarray(self.el_L, dtype)
+        eEI = jnp.asarray(self.el_EI, dtype)
+        eEA = jnp.asarray(self.el_EA, dtype)
+        eNL = jnp.asarray(self.el_nl, dtype)
+
+        def run_one(e0, ed0):
+            return core(e0, ed0, u_m, Phi, Wn, eL, eEI, eEA, eNL)
+
+        etad = jnp.asarray(etad, dtype)
+        if eta.ndim == 2:  # (B, m) env batch over dp
+            etas, etads = jax.vmap(run_one, out_axes=1)(eta, etad)
+        else:
+            etas, etads = run_one(eta, etad)
+        ts = t0 + (dt * substeps) * jnp.arange(n_frames + 1)
+        return ts, etas, etads
+
+
+def _padded_layout(model, mesh: Mesh, axis: str):
+    """Shared node/element padding + scatter geometry for both builders."""
+    bc_info = model.beam_model.bc_info
+    arrays = model.beam_model.arrays
+    n_shards = mesh.shape[axis]
+    padded, n_pad_nodes = pad_arrays_for_shards(arrays, n_shards)
+    n_real = arrays.n_elements + 1
+    el_EI = (
+        np.asarray(padded.elastic_modulus, np.float64)
+        * np.asarray(padded.moment_inertia, np.float64)
+    )
+    el_EA = (
+        np.asarray(padded.elastic_modulus, np.float64)
+        * np.asarray(padded.cross_area, np.float64)
+    )
+    return {
+        "free": bc_info.free_dofs,
+        "n_full": bc_info.n_dofs_full,
+        "n_pad_nodes": n_pad_nodes,
+        "n_real": n_real,
+        "el_L": np.asarray(padded.length, np.float64),
+        "el_EI": el_EI,
+        "el_EA": el_EA,
+        "el_nl": np.asarray(padded.nonlinear_mask),
+    }
+
+
+def build_spatial_modal(
+    model,
+    mesh: Mesh,
+    dt: float,
+    rho_inf: float = 0.8,
+    n_modes: int = None,
+    rayleigh: tuple = None,
+    axis: str = "sp",
+) -> SpatialModal:
+    """Node-sharded linear modal engine (see :class:`SpatialModal`).
+
+    Host float64 eigensolve via :func:`make_modal_genalpha` (raises for
+    nonlinear configurations or registered forces, same contract); the
+    bases are scattered to the padded node layout and sharded over ``sp``
+    by the transform programs.
+    """
+    ms = make_modal_genalpha(
+        model, dt, rho_inf=rho_inf, n_modes=n_modes, rayleigh=rayleigh
+    )
+    lay = _padded_layout(model, mesh, axis)
+    Np = lay["n_pad_nodes"]
+    return SpatialModal(
+        mesh=mesh,
+        axis=axis,
+        n_nodes=Np,
+        n_nodes_real=lay["n_real"],
+        Phi_nodes=_scatter_node_basis(ms.Phi, lay["free"], lay["n_full"], Np),
+        PhiTM_nodes=_scatter_node_basis(
+            ms.PhiTM.T, lay["free"], lay["n_full"], Np
+        ),
+        ms=ms,
+    )
+
+
+def build_spatial_modal_rom(
+    model,
+    mesh: Mesh,
+    dt: float,
+    rho_inf: float = 0.8,
+    n_modes: int = None,
+    rayleigh: tuple = None,
+    basis=None,
+    axis: str = "sp",
+) -> SpatialModalROM:
+    """Node-sharded nonlinear modal-ROM engine (see :class:`SpatialModalROM`).
+
+    Host float64 setup via :func:`make_modal_rom` (Petrov-Galerkin bases,
+    diagonal reduced operator, prefactored Newton inverse); requires the
+    split fast path — the exact parity element (``use_consistent`` off)
+    and no registered external forces.
+    """
+    ms = make_modal_rom(
+        model, dt, rho_inf=rho_inf, n_modes=n_modes, rayleigh=rayleigh,
+        basis=basis,
+    )
+    if ms.lam is None:
+        raise ValueError(
+            "the sharded ROM engine requires the split fast path "
+            "(exactly-diagonal reduced linear operator); "
+            "use_consistent_nonlinear models are not supported"
+        )
+    if ms.external_force is not None:
+        raise ValueError(
+            "the sharded ROM engine supports no registered external "
+            "forces (same scope as the single-chip split fast path); "
+            "clear the force registry or use build_spatial_genalpha"
+        )
+    lay = _padded_layout(model, mesh, axis)
+    Np = lay["n_pad_nodes"]
+    return SpatialModalROM(
+        mesh=mesh,
+        axis=axis,
+        n_nodes=Np,
+        n_nodes_real=lay["n_real"],
+        Phi_nodes=_scatter_node_basis(ms.Phi, lay["free"], lay["n_full"], Np),
+        PhiTM_nodes=_scatter_node_basis(
+            ms.PhiTM.T, lay["free"], lay["n_full"], Np
+        ),
+        ms=ms,
+        W_nodes=_scatter_node_basis(ms.PhiW, lay["free"], lay["n_full"], Np),
+        el_L=lay["el_L"],
+        el_EI=lay["el_EI"],
+        el_EA=lay["el_EA"],
+        el_nl=lay["el_nl"],
+    )

@@ -937,3 +937,181 @@ class TestSpatialExplicitForces:
         ])
         scale = np.abs(dx_ref).max()
         np.testing.assert_allclose(got, dx_ref, atol=1e-6 * scale)
+
+
+class TestSpatialModalROM:
+    """Node-sharded modal / modal-ROM engines (parallel/spatial_modal.py).
+
+    The modal state is replicated; the bases' rows and the ROM's per-step
+    correction pipeline (expand -> element correction -> project) are
+    sharded over ``sp`` with one (m,) psum per Newton correction. Every
+    check pins the sharded engine against the single-chip engine it
+    re-distributes.
+    """
+
+    @staticmethod
+    def _modal_setup(kind="hybrid", n_modes=None, rayleigh=None):
+        from continuum_robot_tpu.parallel import build_spatial_modal_rom
+
+        csv = (
+            helpers.nonlinear_csv(14) if kind == "nonlinear"
+            else helpers.mixed_csv(14)
+        )
+        model = DynamicEulerBernoulliBeam(csv)
+        mesh = make_mesh({"sp": 8})
+        sm = build_spatial_modal_rom(
+            model, mesh, 1e-4, rho_inf=0.5, n_modes=n_modes,
+            rayleigh=rayleigh,
+        )
+        n = model.n_pos_states
+        rng = np.random.default_rng(0)
+        x_red = rng.normal(scale=1e-4, size=2 * n)
+        eta, etad = sm.ms.to_modal(
+            jnp.asarray(x_red[:n]), jnp.asarray(x_red[n:])
+        )
+        u = np.zeros(n)
+        u[-2] = 0.1
+        u_m = jnp.asarray(sm.ms.project_force_host(u))
+        return model, sm, eta, etad, u_m, x_red
+
+    @pytest.mark.parametrize("kind", ["hybrid", "nonlinear"])
+    def test_sharded_rom_matches_single_chip(self, kind):
+        model, sm, eta, etad, u_m, _ = self._modal_setup(kind)
+        ts0, es0, eds0 = sm.ms.rollout_frames(
+            eta, etad, u_m, 4, substeps=3, n_newton=2
+        )
+        ts1, es1, eds1 = sm.rollout_frames(
+            eta, etad, u_m, 4, substeps=3, n_newton=2
+        )
+        scale = float(jnp.abs(es0).max())
+        np.testing.assert_allclose(np.asarray(ts1), np.asarray(ts0))
+        np.testing.assert_allclose(
+            np.asarray(es1), np.asarray(es0), atol=1e-12 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(eds1), np.asarray(eds0),
+            atol=1e-12 * float(jnp.abs(eds0).max()),
+        )
+
+    def test_truncated_and_damped(self):
+        """Truncation (n_modes) and Rayleigh damping ride the sharded path."""
+        _, sm, eta, etad, u_m, _ = self._modal_setup(
+            "hybrid", n_modes=12, rayleigh=(0.5, 1e-6)
+        )
+        assert sm.n_modes == 12
+        _, es0, _ = sm.ms.rollout_frames(
+            eta, etad, u_m, 3, substeps=4, n_newton=1
+        )
+        _, es1, _ = sm.rollout_frames(
+            eta, etad, u_m, 3, substeps=4, n_newton=1
+        )
+        scale = float(jnp.abs(es0).max())
+        np.testing.assert_allclose(
+            np.asarray(es1), np.asarray(es0), atol=1e-12 * scale
+        )
+
+    def test_transforms_roundtrip(self):
+        """Sharded to_modal / project_force / physical_frames == host."""
+        from continuum_robot_tpu.parallel import reduced_to_node_layout
+
+        model, sm, eta, etad, u_m, x_red = self._modal_setup("hybrid")
+        n = model.n_pos_states
+        x_node = reduced_to_node_layout(
+            model, jnp.asarray(x_red), sm.n_nodes
+        )
+        eta2, etad2 = sm.to_modal(x_node)
+        np.testing.assert_allclose(
+            np.asarray(eta2), np.asarray(eta), atol=1e-14
+        )
+        np.testing.assert_allclose(
+            np.asarray(etad2), np.asarray(etad), atol=1e-14
+        )
+
+        # project_force: node-layout tip force == host projection.
+        free = np.asarray(model.beam_model.bc_info.free_dofs)
+        n_full = model.beam_model.n_dofs_full
+        u_red = np.zeros(n)
+        u_red[-2] = 0.1
+        u_node = np.zeros((sm.n_nodes, 3))
+        u_node.reshape(-1)[:n_full][free] = u_red
+        u_m2 = sm.project_force(jnp.asarray(u_node))
+        np.testing.assert_allclose(
+            np.asarray(u_m2), np.asarray(u_m), atol=1e-14
+        )
+
+        # physical_frames: local expansion matches from_modal on free DOFs.
+        _, es, eds = sm.rollout_frames(eta, etad, u_m, 2, substeps=2)
+        qs, vs = sm.physical_frames(es, eds)
+        q_ref, v_ref = sm.ms.from_modal(es[-1], eds[-1])
+        got_q = np.asarray(qs[-1]).reshape(-1)[:n_full][free]
+        got_v = np.asarray(vs[-1]).reshape(-1)[:n_full][free]
+        np.testing.assert_allclose(got_q, np.asarray(q_ref), atol=1e-14)
+        np.testing.assert_allclose(got_v, np.asarray(v_ref), atol=1e-14)
+
+    def test_env_batch_on_dp_sp_mesh(self):
+        """Env-batched rollout on a dp x sp mesh matches per-env runs."""
+        from continuum_robot_tpu.parallel import build_spatial_modal_rom
+
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        sm = build_spatial_modal_rom(model, mesh, 1e-4, rho_inf=0.5)
+        n = model.n_pos_states
+        rng = np.random.default_rng(1)
+        B = 3
+        x_red = rng.normal(scale=1e-4, size=(B, 2 * n))
+        eta, etad = sm.ms.to_modal(
+            jnp.asarray(x_red[:, :n]), jnp.asarray(x_red[:, n:])
+        )
+        u = np.zeros(n)
+        u[-2] = 0.1
+        u_m = jnp.asarray(sm.ms.project_force_host(u))
+        _, esB, _ = sm.rollout_frames(eta, etad, u_m, 3, substeps=2)
+        _, es0, _ = sm.ms.rollout_frames(eta, etad, u_m, 3, substeps=2)
+        scale = float(jnp.abs(es0).max())
+        np.testing.assert_allclose(
+            np.asarray(esB), np.asarray(es0), atol=1e-12 * scale
+        )
+
+    def test_linear_spatial_modal(self):
+        """Sharded linear modal engine: transforms match the host engine."""
+        from continuum_robot_tpu.parallel import (
+            build_spatial_modal,
+            reduced_to_node_layout,
+        )
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        mesh = make_mesh({"sp": 8})
+        lm = build_spatial_modal(model, mesh, 1e-4, rayleigh=(0.1, 1e-7))
+        n = model.n_pos_states
+        rng = np.random.default_rng(2)
+        x_red = rng.normal(scale=1e-4, size=2 * n)
+        x_node = reduced_to_node_layout(model, jnp.asarray(x_red), lm.n_nodes)
+        eta, etad = lm.to_modal(x_node)
+        eta0, etad0 = lm.ms.to_modal(
+            jnp.asarray(x_red[:n]), jnp.asarray(x_red[n:])
+        )
+        np.testing.assert_allclose(
+            np.asarray(eta), np.asarray(eta0), atol=1e-14
+        )
+        u_m = jnp.asarray(lm.ms.project_force_host(
+            np.zeros(n) + np.eye(n)[n - 2] * 0.1
+        ))
+        ts, es, eds = lm.rollout_frames(eta, etad, u_m, 3, substeps=2)
+        qs, vs = lm.physical_frames(es, eds)
+        free = np.asarray(model.beam_model.bc_info.free_dofs)
+        n_full = model.beam_model.n_dofs_full
+        q_ref, _ = lm.ms.from_modal(es[-1], eds[-1])
+        got = np.asarray(qs[-1]).reshape(-1)[:n_full][free]
+        np.testing.assert_allclose(got, np.asarray(q_ref), atol=1e-14)
+
+    def test_error_contracts(self):
+        """Registered forces and consistent-element models are rejected."""
+        from continuum_robot_tpu.models.config import ForceParams
+        from continuum_robot_tpu.parallel import build_spatial_modal_rom
+
+        fp = ForceParams(enable_gravity_effects=True,
+                         gravity_vector=np.array([0.0, -9.81, 0.0]))
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(6), fp)
+        mesh = make_mesh({"sp": 8})
+        with pytest.raises(ValueError, match="external"):
+            build_spatial_modal_rom(model, mesh, 1e-4)
