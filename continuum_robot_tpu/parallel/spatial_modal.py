@@ -101,6 +101,35 @@ def spatial_correction_force_local(
     return f_ext[:-1].at[:1].add(bridge)
 
 
+def _make_force_modal(Phi, Wn, eL, eEI, eEA, eNL, lam, axis, n_shards):
+    """Shard-local reduced force closure for the split fast path.
+
+    ``f_m(eta_af) = lam * eta_af + psum(W^T g(Phi eta_af))`` — same term
+    order as the single-chip split path (``ModalROMGenAlpha._force_modal``)
+    so sharded rollouts pair bit-for-bit with the replicated engine up to
+    psum reduction order.
+    """
+
+    def force_modal(eta_af):
+        q_loc = jnp.einsum(
+            "ncm,m->nc", Phi, eta_af,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        g_loc = spatial_correction_force_local(
+            q_loc, eL, eEI, eEA, eNL, axis, n_shards
+        )
+        corr = jax.lax.psum(
+            jnp.einsum(
+                "ncm,nc->m", Wn, g_loc,
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+            axis,
+        )
+        return lam * eta_af + corr
+
+    return force_modal
+
+
 @dataclasses.dataclass
 class _SpatialModalBase:
     """Shared node-sharded basis transforms (linear + ROM engines)."""
@@ -300,25 +329,9 @@ class SpatialModalROM(_SpatialModalBase):
             out_specs=(PartitionSpec(None, None), PartitionSpec(None, None)),
         )
         def core(eta0, etad0, u_mc, Phi, Wn, eL, eEI, eEA, eNL):
-            def force_modal(eta_af):
-                # Same term order as the single-chip split path
-                # (_force_modal): diagonal linear force first, then the
-                # projected correction.
-                q_loc = jnp.einsum(
-                    "ncm,m->nc", Phi, eta_af,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                g_loc = spatial_correction_force_local(
-                    q_loc, eL, eEI, eEA, eNL, axis, S
-                )
-                corr = jax.lax.psum(
-                    jnp.einsum(
-                        "ncm,nc->m", Wn, g_loc,
-                        precision=jax.lax.Precision.HIGHEST,
-                    ),
-                    axis,
-                )
-                return lam * eta_af + corr
+            force_modal = _make_force_modal(
+                Phi, Wn, eL, eEI, eEA, eNL, lam, axis, S
+            )
 
             # Consistent initial acceleration (mirrors
             # ModalROMGenAlpha.initial_accel).
@@ -377,6 +390,137 @@ class SpatialModalROM(_SpatialModalBase):
             etas, etads = run_one(eta, etad)
         ts = t0 + (dt * substeps) * jnp.arange(n_frames + 1)
         return ts, etas, etads
+
+    def rollout_adaptive(self, eta, etad, u_modal, t_eval,
+                         rtol: float = 1e-6, atol: float = 1e-9,
+                         dt0: float = None, n_newton: int = 2,
+                         max_steps_per_interval: int = 100_000,
+                         safety: float = 0.9):
+        """Error-controlled sharded ROM stepping (no manual dt).
+
+        The distributed counterpart of
+        :meth:`ModalROMGenAlpha.rollout_adaptive`: the same
+        Zienkiewicz-Xie estimate + PI controller via the shared
+        ``adaptive_drive``, with the per-Newton correction force sharded
+        over the beam axis. The modal state is replicated and the
+        correction's ``psum`` makes every shard's force — hence every
+        shard's error norm and accept/reject decision — identical, so no
+        extra contraction collective is needed. The diagonal reduced
+        Jacobian means a trial-dt "refactorization" is a per-mode
+        reciprocal, exactly like the single-chip engine.
+
+        ``eta``/``etad``: ``(m,)`` or ``(B, m)``; a batch vmaps with
+        PER-ENV dt control (unlike the single-chip engine's shared-dt
+        contraction — same convention as
+        ``build_spatial_genalpha_adaptive``). Returns
+        ``(etas, etads, AdaptiveStats)`` with the frame axis leading and
+        ``etas[0] = eta`` (the ``solve_ivp(t_eval=...)`` contract).
+        """
+        from ..ops.integrators import AdaptiveStats, adaptive_drive
+
+        ms = self.ms
+        mesh, axis, S = self.mesh, self.axis, self.n_shards
+        am, af, beta, gamma = ms._coeffs()
+        zx_coeff = abs(float(beta - 1.0 / 6.0))
+
+        eta = jnp.asarray(eta)
+        dtype = eta.dtype
+        eps = float(jnp.finfo(dtype).eps)
+        rtol = max(float(rtol), 50.0 * eps)
+        atol = max(float(atol), 50.0 * eps * 1e-3)
+        lam = jnp.asarray(ms.lam, dtype)
+        cdamp = None if ms.cdamp is None else jnp.asarray(ms.cdamp, dtype)
+        u_m = (
+            jnp.zeros(self.n_modes, dtype) if u_modal is None
+            else jnp.asarray(u_modal, dtype)
+        )
+        t_eval_np = np.asarray(jax.device_get(t_eval), np.float64)
+        if dt0 is None:
+            dt0 = float(t_eval_np[1] - t_eval_np[0]) / 16.0
+        t_evals = jnp.asarray(t_eval_np, dtype)
+
+        p_rep = PartitionSpec()
+        p_el = PartitionSpec(axis)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(None), PartitionSpec(None),
+                PartitionSpec(None), PartitionSpec(None), p_rep,
+                self._p_node(), self._p_node(),
+                p_el, p_el, p_el, p_el,
+            ),
+            out_specs=(
+                (PartitionSpec(None, None), PartitionSpec(None, None)),
+                AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
+            ),
+        )
+        def core(eta0, etad0, u_mc, t_ev, dt0c, Phi, Wn, eL, eEI, eEA, eNL):
+            force_modal = _make_force_modal(
+                Phi, Wn, eL, eEI, eEA, eNL, lam, axis, S
+            )
+            r0 = -force_modal(eta0)
+            if cdamp is not None:
+                r0 = r0 - cdamp * etad0
+            etadd0 = r0 + u_mc
+
+            def trial(t, dt, state):
+                q, v, a = state
+                jd = (1.0 - am) + ((1.0 - af) * beta) * dt * dt * lam
+                if cdamp is not None:
+                    jd = jd + ((1.0 - af) * gamma) * dt * cdamp
+                q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
+                v_pred = v + (1.0 - gamma) * dt * a
+
+                def newton_body(i, a1):
+                    q1 = q_pred + beta * dt * dt * a1
+                    v1 = v_pred + gamma * dt * a1
+                    q_af = (1.0 - af) * q1 + af * q
+                    v_af = (1.0 - af) * v1 + af * v
+                    a_am = (1.0 - am) * a1 + am * a
+                    r = a_am + force_modal(q_af) - u_mc
+                    if cdamp is not None:
+                        r = r + cdamp * v_af
+                    return a1 - r / jd
+
+                a1 = jax.lax.fori_loop(0, n_newton, newton_body, a)
+                q1 = q_pred + beta * dt * dt * a1
+                v1 = v_pred + gamma * dt * a1
+                e = zx_coeff * dt * dt * (a1 - a)
+                scale = atol + rtol * jnp.maximum(jnp.abs(q), jnp.abs(q1))
+                en = jnp.sqrt(jnp.mean((e / scale) ** 2))
+                return (q1, v1, a1), en
+
+            _, (es, eds), stats = adaptive_drive(
+                trial, (eta0, etad0, etadd0), t_ev, dt0c, -1.0 / 3.0,
+                max_steps_per_interval=max_steps_per_interval,
+                safety=safety, frame_out=lambda s: (s[0], s[1]),
+            )
+            es = jnp.concatenate([eta0[None], es], axis=0)
+            eds = jnp.concatenate([etad0[None], eds], axis=0)
+            return (es, eds), stats
+
+        Phi = jnp.asarray(self.Phi_nodes, dtype)
+        Wn = jnp.asarray(self.W_nodes, dtype)
+        eL = jnp.asarray(self.el_L, dtype)
+        eEI = jnp.asarray(self.el_EI, dtype)
+        eEA = jnp.asarray(self.el_EA, dtype)
+        eNL = jnp.asarray(self.el_nl, dtype)
+        dt0c = jnp.asarray(dt0, dtype)[()]
+
+        def run_one(e0, ed0):
+            return core(e0, ed0, u_m, t_evals, dt0c,
+                        Phi, Wn, eL, eEI, eEA, eNL)
+
+        etad = jnp.asarray(etad, dtype)
+        if eta.ndim == 2:  # (B, m): per-env dt via vmap over dp
+            (etas, etads), stats = jax.vmap(
+                run_one, out_axes=((1, 1), 0)
+            )(eta, etad)
+        else:
+            (etas, etads), stats = run_one(eta, etad)
+        return etas, etads, stats
 
 
 def _padded_layout(model, mesh: Mesh, axis: str):

@@ -1115,3 +1115,48 @@ class TestSpatialModalROM:
         mesh = make_mesh({"sp": 8})
         with pytest.raises(ValueError, match="external"):
             build_spatial_modal_rom(model, mesh, 1e-4)
+
+    @pytest.mark.parametrize("rayleigh", [None, (0.5, 1e-6)])
+    def test_adaptive_matches_single_chip(self, rayleigh):
+        """Sharded rollout_adaptive == single-chip, counter-for-counter."""
+        _, sm, eta, etad, u_m, _ = self._modal_setup(
+            "hybrid", rayleigh=rayleigh
+        )
+        t_eval = np.linspace(0.0, 2e-3, 5)
+        es0, eds0, st0 = sm.ms.rollout_adaptive(
+            eta, etad, u_m, t_eval, rtol=1e-7, atol=1e-12
+        )
+        es1, eds1, st1 = sm.rollout_adaptive(
+            eta, etad, u_m, t_eval, rtol=1e-7, atol=1e-12
+        )
+        assert int(st1.n_incomplete) == 0
+        assert int(st1.n_steps) == int(st0.n_steps)
+        assert int(st1.n_accepted) == int(st0.n_accepted)
+        assert int(st1.n_rejected) == int(st0.n_rejected)
+        scale = float(jnp.abs(es0).max())
+        np.testing.assert_allclose(
+            np.asarray(es1), np.asarray(es0), atol=1e-11 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(eds1), np.asarray(eds0),
+            atol=1e-11 * float(jnp.abs(eds0).max()),
+        )
+
+    def test_adaptive_batched_per_env_dt(self):
+        """Batched sharded adaptive: each vmapped lane == its solo run."""
+        _, sm, eta, etad, u_m, _ = self._modal_setup("hybrid")
+        t_eval = np.linspace(0.0, 1e-3, 3)
+        etaB = jnp.stack([eta, 2.0 * eta])
+        etadB = jnp.stack([etad, -etad])
+        esB, _edsB, stB = sm.rollout_adaptive(
+            etaB, etadB, u_m, t_eval, rtol=1e-6, atol=1e-12
+        )
+        for b in (0, 1):
+            es, _eds, st = sm.rollout_adaptive(
+                etaB[b], etadB[b], u_m, t_eval, rtol=1e-6, atol=1e-12
+            )
+            assert int(stB.n_accepted[b]) == int(st.n_accepted)
+            np.testing.assert_allclose(
+                np.asarray(esB[:, b]), np.asarray(es),
+                atol=1e-12 * float(jnp.abs(es).max()),
+            )
