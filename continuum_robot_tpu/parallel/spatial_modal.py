@@ -273,6 +273,228 @@ class SpatialModalROM(_SpatialModalBase):
     el_EA: np.ndarray = None
     el_nl: np.ndarray = None  # (Np,) padded nonlinear mask
 
+    @property
+    def is_hyper_reduced(self) -> bool:
+        return self.ms.sampled_params is not None
+
+    def hyper_reduce(self, snapshots, tau: float = 1e-3,
+                     return_info: bool = False):
+        """ECSW-train on host f64 snapshots; returns a sharded ECSW engine.
+
+        Training (NNLS over the full element set) delegates to
+        :meth:`ModalROMGenAlpha.hyper_reduce` — it is the offline step.
+        The returned engine STEPS on the replicated gathered sample
+        (``O(s)`` work — sharding it would only add a psum) while the
+        ``sp`` axis keeps carrying everything that scales with beam
+        length: the transforms, :meth:`physical_frames`, and the
+        full-correction envelope guard
+        (:meth:`ecsw_residual` / :meth:`rollout_frames_guarded`).
+        """
+        out = self.ms.hyper_reduce(snapshots, tau, return_info=return_info)
+        if return_info:
+            reduced, info = out
+            return dataclasses.replace(self, ms=reduced), info
+        return dataclasses.replace(self, ms=out)
+
+    def apply_ecsw(self, sel, xi_sel, train_tau: float = None):
+        """Apply a pretrained ECSW sample (see :meth:`hyper_reduce`)."""
+        return dataclasses.replace(
+            self, ms=self.ms.apply_ecsw(sel, xi_sel, train_tau=train_tau)
+        )
+
+    def _sampled_correction_fn(self, dtype):
+        """Replicated gathered-sample reduced correction ``W6^T g(Phi6 eta)``.
+
+        Bitwise the computation of the single-chip
+        :meth:`ModalROMGenAlpha.ecsw_residual` sampled branch.
+        """
+        ms = self.ms
+        Phi6 = jnp.asarray(ms.Phi_planar, dtype)
+        W6 = jnp.asarray(ms.PhiW_planar, dtype)
+        g_fn = ms.planar_correction
+
+        def sampled(eta):
+            q_p = jnp.einsum("nm,...m->...n", Phi6, eta)
+            n3 = q_p.shape[-1]
+            g = g_fn(q_p.reshape(*q_p.shape[:-1], 3, n3 // 3))
+            g = g.reshape(*q_p.shape[:-1], n3)
+            return jnp.einsum("nm,...n->...m", W6, g)
+
+        return sampled
+
+    def _node_consts(self, dtype):
+        return (
+            jnp.asarray(self.Phi_nodes, dtype),
+            jnp.asarray(self.W_nodes, dtype),
+            jnp.asarray(self.el_L, dtype),
+            jnp.asarray(self.el_EI, dtype),
+            jnp.asarray(self.el_EA, dtype),
+            jnp.asarray(self.el_nl, dtype),
+        )
+
+    def ecsw_residual(self, eta):
+        """Sharded ECSW envelope audit: sampled vs FULL correction.
+
+        Same contract as :meth:`ModalROMGenAlpha.ecsw_residual`, but the
+        full correction — the O(beam length) evaluation the sample
+        normally avoids — runs node-sharded over ``sp`` (one psum), so the
+        guard scales with the mesh like the rest of the spatial layer.
+        ``eta``: ``(m,)`` or ``(B, m)``; returns per-env ``rho``.
+        """
+        ms = self.ms
+        if ms.guard_Phi is None:
+            raise ValueError(
+                "ecsw_residual requires a hyper-reduced engine "
+                "(call hyper_reduce first)"
+            )
+        eta = jnp.asarray(eta)
+        dtype = eta.dtype
+        axis, S = self.axis, self.n_shards
+        sampled = self._sampled_correction_fn(dtype)
+        Phi, Wn, eL, eEI, eEA, eNL = self._node_consts(dtype)
+        p_el = PartitionSpec(axis)
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                PartitionSpec(None),
+                self._p_node(), self._p_node(), p_el, p_el, p_el, p_el,
+            ),
+            out_specs=PartitionSpec(),
+        )
+        def core(e, Ph, W, L_, EI, EA, NL):
+            q_loc = jnp.einsum(
+                "ncm,m->nc", Ph, e, precision=jax.lax.Precision.HIGHEST
+            )
+            g_loc = spatial_correction_force_local(
+                q_loc, L_, EI, EA, NL, axis, S
+            )
+            f_full = jax.lax.psum(
+                jnp.einsum(
+                    "ncm,nc->m", W, g_loc,
+                    precision=jax.lax.Precision.HIGHEST,
+                ),
+                axis,
+            )
+            f_s = sampled(e)
+            num = jnp.linalg.norm(f_s - f_full)
+            den = jnp.linalg.norm(f_full)
+            return num / jnp.maximum(den, jnp.asarray(1e-30, dtype))
+
+        def run_one(e):
+            return core(e, Phi, Wn, eL, eEI, eEA, eNL)
+
+        if eta.ndim == 2:
+            return jax.vmap(run_one)(eta)
+        return run_one(eta)
+
+    def rollout_frames_guarded(
+        self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
+        t0: float = 0.0, n_newton: int = 1, guard_tol: float = None,
+    ):
+        """Guarded ECSW rollout with the envelope audit sharded over ``sp``.
+
+        Stepping is the replicated gathered-sample recurrence (identical
+        to :meth:`ModalROMGenAlpha.rollout_frames_guarded`); the per-frame
+        audit evaluates the FULL correction node-sharded — the one piece
+        of guarded ECSW stepping that scales with beam length. Returns
+        ``(ts, etas, etads, guard)`` with the single-chip guard contract.
+        """
+        ms = self.ms
+        if ms.guard_Phi is None:
+            raise ValueError(
+                "rollout_frames_guarded requires a hyper-reduced engine"
+            )
+        if guard_tol is None:
+            guard_tol = 10.0 * (ms.guard_train_tau or 1e-3)
+        eta = jnp.asarray(eta)
+        dtype = eta.dtype
+        axis, S = self.axis, self.n_shards
+        step = ms._step_fn(dtype, u_modal, n_newton, None, None)
+        h = ms.dt
+        n_frames = int(n_frames)
+        substeps = int(substeps)
+        sampled = self._sampled_correction_fn(dtype)
+        Phi, Wn, eL, eEI, eEA, eNL = self._node_consts(dtype)
+        p_el = PartitionSpec(axis)
+        u_m = u_modal
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                PartitionSpec(None), PartitionSpec(None),
+                self._p_node(), self._p_node(), p_el, p_el, p_el, p_el,
+            ),
+            out_specs=(
+                (PartitionSpec(None, None), PartitionSpec(None, None)),
+                PartitionSpec(),
+            ),
+        )
+        def core(eta0, etad0, Ph, W, L_, EI, EA, NL):
+            def residual(e):
+                q_loc = jnp.einsum(
+                    "ncm,m->nc", Ph, e,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                g_loc = spatial_correction_force_local(
+                    q_loc, L_, EI, EA, NL, axis, S
+                )
+                f_full = jax.lax.psum(
+                    jnp.einsum(
+                        "ncm,nc->m", W, g_loc,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ),
+                    axis,
+                )
+                f_s = sampled(e)
+                num = jnp.linalg.norm(f_s - f_full)
+                den = jnp.linalg.norm(f_full)
+                return num / jnp.maximum(den, jnp.asarray(1e-30, dtype))
+
+            etadd0 = ms.initial_accel(eta0, etad0, u_m, t0)
+
+            def frame(carry, i):
+                state, res_max = carry
+                t_frame = t0 + (i * substeps) * h
+
+                def inner(c, j):
+                    return step(c, t_frame + j * h)
+
+                state, _ = jax.lax.scan(
+                    inner, state, jnp.arange(substeps, dtype=dtype)
+                )
+                q, v, _a = state
+                res_max = jnp.maximum(res_max, residual(q))
+                return (state, res_max), (q, v)
+
+            (_, res_max), (es, eds) = jax.lax.scan(
+                frame, ((eta0, etad0, etadd0), jnp.zeros((), dtype)),
+                jnp.arange(n_frames),
+            )
+            es = jnp.concatenate([eta0[None], es], axis=0)
+            eds = jnp.concatenate([etad0[None], eds], axis=0)
+            return (es, eds), res_max
+
+        def run_one(e0, ed0):
+            return core(e0, ed0, Phi, Wn, eL, eEI, eEA, eNL)
+
+        etad = jnp.asarray(etad, dtype)
+        if eta.ndim == 2:
+            (etas, etads), res_max = jax.vmap(
+                run_one, out_axes=((1, 1), 0)
+            )(eta, etad)
+        else:
+            (etas, etads), res_max = run_one(eta, etad)
+        ts = t0 + (h * substeps) * jnp.arange(n_frames + 1)
+        guard = {
+            "max_residual": res_max,
+            "flagged": res_max > guard_tol,
+            "guard_tol": guard_tol,
+        }
+        return ts, etas, etads, guard
+
     def rollout_frames(self, eta, etad, u_modal, n_frames: int,
                        substeps: int = 1, n_newton: int = 1,
                        t0: float = 0.0):
@@ -283,8 +505,18 @@ class SpatialModalROM(_SpatialModalBase):
         axis exactly like the other spatial engines). ``u_modal``: constant
         modal force ``(m,)`` or None. Returns ``(ts, etas, etads)`` with the
         initial state included, all replicated.
+
+        On a hyper-reduced engine (:meth:`hyper_reduce`) stepping
+        delegates to the replicated gathered-sample recurrence — the
+        sample is O(s), so a sharded evaluation would only add a psum;
+        use :meth:`rollout_frames_guarded` for the sharded envelope audit.
         """
         ms = self.ms
+        if self.is_hyper_reduced:
+            return ms.rollout_frames(
+                eta, etad, u_modal, n_frames, substeps=substeps,
+                t0=t0, n_newton=n_newton,
+            )
         mesh, axis, S = self.mesh, self.axis, self.n_shards
         am, af, beta, gamma = ms._coeffs()
         dt = ms.dt
@@ -419,6 +651,16 @@ class SpatialModalROM(_SpatialModalBase):
         from ..ops.integrators import AdaptiveStats, adaptive_drive
 
         ms = self.ms
+        if self.is_hyper_reduced:
+            # O(s) sampled stepping is replicated by design (see
+            # rollout_frames); the single-chip adaptive engine already
+            # covers it.
+            return ms.rollout_adaptive(
+                eta, etad, u_modal, t_eval, rtol=rtol, atol=atol, dt0=dt0,
+                n_newton=n_newton,
+                max_steps_per_interval=max_steps_per_interval,
+                safety=safety,
+            )
         mesh, axis, S = self.mesh, self.axis, self.n_shards
         am, af, beta, gamma = ms._coeffs()
         zx_coeff = abs(float(beta - 1.0 / 6.0))

@@ -1142,6 +1142,86 @@ class TestSpatialModalROM:
             atol=1e-11 * float(jnp.abs(eds0).max()),
         )
 
+    def test_ecsw_sharded_guard(self):
+        """Sharded ECSW: replicated sampled stepping + sp-sharded audit.
+
+        The full-correction envelope guard — the O(beam length) piece of
+        guarded ECSW stepping — runs node-sharded; everything is pinned
+        against the single-chip hyper-reduced engine.
+        """
+        from continuum_robot_tpu.parallel import build_spatial_modal_rom
+
+        model = DynamicEulerBernoulliBeam(helpers.nonlinear_csv(22))
+        mesh = make_mesh({"sp": 8})
+        sm = build_spatial_modal_rom(model, mesh, 1e-4, rho_inf=0.5,
+                                     n_modes=16)
+        ms = sm.ms
+        n = model.n_pos_states
+        u = np.zeros(n)
+        u[-2] = 3.0
+        u_m = jnp.asarray(ms.project_force_host(u))
+        z = jnp.zeros((1, 16))
+        _, etas_tr, _ = ms.rollout_frames(z, z, u_m, 20, substeps=10,
+                                          n_newton=2)
+        snaps = np.asarray(etas_tr[::2, 0, :])
+        red, info = sm.hyper_reduce(snaps, tau=1e-3, return_info=True)
+        assert red.is_hyper_reduced and 0 < info["n_sampled"] < 22
+
+        # Sharded residual == single-chip residual (in and out of envelope).
+        probe = jnp.stack([
+            jnp.asarray(snaps[-1]), 50.0 * jnp.asarray(snaps[-1]),
+        ])
+        rho_sharded = np.asarray(red.ecsw_residual(probe))
+        rho_single = np.asarray(red.ms.ecsw_residual(probe))
+        np.testing.assert_allclose(rho_sharded, rho_single, rtol=1e-8,
+                                   atol=1e-14)
+
+        # Guarded rollout: frames + guard match the single-chip engine;
+        # an in-envelope run is not flagged.
+        eta0 = jnp.asarray(snaps[-1])
+        z1 = jnp.zeros(16)
+        ts0, es0, eds0, g0 = red.ms.rollout_frames_guarded(
+            eta0, z1, u_m, 4, substeps=5
+        )
+        ts1, es1, eds1, g1 = red.rollout_frames_guarded(
+            eta0, z1, u_m, 4, substeps=5
+        )
+        scale = float(jnp.abs(es0).max())
+        np.testing.assert_allclose(np.asarray(es1), np.asarray(es0),
+                                   atol=1e-11 * scale)
+        np.testing.assert_allclose(
+            float(g1["max_residual"]), float(g0["max_residual"]),
+            rtol=1e-8, atol=1e-14,
+        )
+        assert not bool(g1["flagged"])
+
+        # Out-of-envelope rollout is DETECTED, not silently wrong: a
+        # near-clamp force pattern drives curvature content the
+        # tip-impulse training never produced (amplitude scaling alone
+        # stays covered — same probe as the single-chip detection test).
+        u2 = np.zeros(n)
+        u2[1] = 3.0
+        u2_m = jnp.asarray(ms.project_force_host(u2))
+        _, _, _, g_bad = red.rollout_frames_guarded(
+            z1, z1, u2_m, 10, substeps=10
+        )
+        assert bool(g_bad["flagged"])
+
+        # Plain stepping on the hyper-reduced engine delegates to the
+        # replicated gathered recurrence (bit-identical).
+        _, esA, _ = red.rollout_frames(eta0, z1, u_m, 3, substeps=2)
+        _, esB, _ = red.ms.rollout_frames(eta0, z1, u_m, 3, substeps=2)
+        np.testing.assert_array_equal(np.asarray(esA), np.asarray(esB))
+
+        # Adaptive stepping delegates too.
+        t_eval = np.linspace(0.0, 5e-4, 3)
+        esC, _, stC = red.rollout_adaptive(eta0, z1, u_m, t_eval,
+                                           rtol=1e-6, atol=1e-12)
+        esD, _, stD = red.ms.rollout_adaptive(eta0, z1, u_m, t_eval,
+                                              rtol=1e-6, atol=1e-12)
+        assert int(stC.n_accepted) == int(stD.n_accepted)
+        np.testing.assert_array_equal(np.asarray(esC), np.asarray(esD))
+
     def test_adaptive_batched_per_env_dt(self):
         """Batched sharded adaptive: each vmapped lane == its solo run."""
         _, sm, eta, etad, u_m, _ = self._modal_setup("hybrid")
