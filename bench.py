@@ -634,19 +634,30 @@ def main():
 
     def _watchdog():
         if not backend_ready.wait(init_timeout):
-            print(
-                json.dumps(
-                    {
-                        "metric": "benchmark unavailable: TPU backend init "
-                        f"timed out after {init_timeout:.0f}s (axon worker "
-                        "unreachable/wedged)",
-                        "value": 0,
-                        "unit": "env_steps/s",
-                        "vs_baseline": 0,
-                    }
-                ),
-                flush=True,
-            )
+            diag = {
+                "metric": "benchmark unavailable: TPU backend init "
+                f"timed out after {init_timeout:.0f}s (axon worker "
+                "unreachable/wedged)",
+                "value": 0,
+                "unit": "env_steps/s",
+                "vs_baseline": 0,
+            }
+            # Context, clearly marked stale: the most recent hardware
+            # measurement this repo recorded (NOT this run's result).
+            for prev in ("BENCH_r01.json",):
+                try:
+                    with open(
+                        os.path.join(os.path.dirname(__file__), prev)
+                    ) as f:
+                        parsed = json.load(f).get("parsed")
+                    if parsed:
+                        diag["last_hardware_measurement_stale"] = {
+                            "from": prev, **parsed
+                        }
+                        break
+                except Exception:
+                    pass
+            print(json.dumps(diag), flush=True)
             os._exit(3)
 
     threading.Thread(target=_watchdog, daemon=True).start()
