@@ -210,6 +210,49 @@ def spike_solve(prep, r_local, axis: str, n_shards: int):
 # ---------------------------------------------------------------------------
 
 
+def _traced_mass_bands(arrays, Np: int, dtype):
+    """Shard-aligned consistent-mass bands from a TRACED parameter pytree.
+
+    The jnp twin of the host-NumPy band construction in
+    :func:`_shard_aligned_setup` (same truncation/zero-row layout), so
+    ``jax.grad`` flows from rollout losses into density/area/length.
+    """
+    diag, off = assembly.mass_block_tridiagonal(arrays)
+    md = jnp.asarray(diag, dtype)[:Np]
+    off = jnp.asarray(off, dtype)[: Np - 1]
+    z33 = jnp.zeros((1, 3, 3), dtype)
+    ml = jnp.concatenate([z33, jnp.swapaxes(off, -1, -2)], axis=0)
+    mu = jnp.concatenate([off, z33], axis=0)
+    return md, ml, mu
+
+
+def _traced_drag_factors(arrays, n_real: int, Np: int,
+                         fluid_density: float, dtype):
+    """jnp twin of :func:`spatial.node_drag_factors` (final-node quirk incl.)."""
+    w = jnp.asarray(arrays.wetted_area, dtype)
+    c = jnp.asarray(arrays.drag_coef, dtype)
+    half_rho = 0.5 * fluid_density
+    fac_w = jnp.zeros(Np, dtype)
+    fac_w = fac_w.at[: n_real - 1].set(
+        half_rho * w[: n_real - 1] * c[: n_real - 1]
+    )
+    fac_w = fac_w.at[n_real - 1].set(
+        half_rho * w[n_real - 2] * c[n_real - 2]
+    )
+    z = jnp.zeros(Np, dtype)
+    return jnp.stack([z, fac_w, z], axis=-1)
+
+
+def _traced_gravity_masses(arrays, n_real: int, dtype):
+    """jnp twin of :func:`spatial.element_gravity_masses`."""
+    m = (
+        jnp.asarray(arrays.density, dtype)
+        * jnp.asarray(arrays.cross_area, dtype)
+        * jnp.asarray(arrays.length, dtype)
+    )
+    return m.at[n_real - 1:].set(0.0)
+
+
 def _shard_aligned_setup(beam: SpatialBeam) -> dict:
     """Host constants shared by the fixed-dt and adaptive gen-α builders.
 
@@ -427,7 +470,23 @@ def build_spatial_genalpha(
 
         return rollout_core
 
-    def rollout(x0, n_frames: int, u=None, substeps: int = 1):
+    def rollout(x0, n_frames: int, u=None, substeps: int = 1, arrays=None):
+        """Roll ``x0`` for ``n_frames``; see builder docstring.
+
+        ``arrays``: optional TRACED element-parameter pytree (a
+        :class:`BeamArrays` shaped like ``beam.arrays`` — build it with
+        ``dataclasses.replace(beam.arrays, elastic_modulus=...)`` etc.,
+        keeping pad entries at their padded values). When given, the mass
+        bands, drag factors, and gravity masses are recomputed from it
+        inside the trace, so the whole sharded implicit rollout is
+        DIFFERENTIABLE w.r.t. physical parameters (system identification
+        on beams too long for one chip); with ``arrays=None`` the baked
+        host constants are used (bit-identical to the non-parametric
+        path). Differentiate UNDER JIT — ``jax.jit(jax.grad(loss))`` —
+        the eager shard_map transpose mis-propagates the cotangent
+        sharding of the element-sharded fields on current jax
+        ("Unexpected XLA sharding override"); jit resolves it.
+        """
         core = make_core(int(n_frames), int(substeps))
         x0 = jnp.asarray(x0)
         if u is None:
@@ -436,15 +495,42 @@ def build_spatial_genalpha(
             u_node = jnp.asarray(u, dtype=x0.dtype)
         mask = jnp.asarray(mask_nodes, dtype=x0.dtype)
 
+        if arrays is None:
+            md_j = jnp.asarray(mdiag, x0.dtype)
+            ml_j = jnp.asarray(mlow, x0.dtype)
+            mu_j = jnp.asarray(mup, x0.dtype)
+            arr_j = arr_fields
+            dfac_j = jnp.asarray(dfac_np, x0.dtype)
+            gmass_j = jnp.asarray(gmass_np, x0.dtype)
+        else:
+            md_j, ml_j, mu_j = _traced_mass_bands(arrays, Np, x0.dtype)
+            arr_j = (
+                arrays.length, arrays.elastic_modulus,
+                arrays.moment_inertia, arrays.cross_area,
+                arrays.nonlinear_mask,
+            )
+            dfac_j = (
+                _traced_drag_factors(
+                    arrays, beam.n_nodes_real, Np,
+                    float(fluid_density), x0.dtype,
+                )
+                if has_fluid else jnp.zeros((Np, 3), x0.dtype)
+            )
+            gmass_j = (
+                _traced_gravity_masses(
+                    arrays, beam.n_nodes_real, x0.dtype
+                )
+                if has_gravity else jnp.zeros(Np, x0.dtype)
+            )
+
         def run_one(x_single):
             return core(
-                x_single, u_node, jnp.asarray(dfac_np, x0.dtype), mask,
-                jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
-                jnp.asarray(mup, x0.dtype),
+                x_single, u_node, dfac_j, mask,
+                md_j, ml_j, mu_j,
                 jnp.asarray(left_last_node, x0.dtype),
                 jnp.asarray(right_first_node, x0.dtype),
-                *arr_fields,
-                jnp.asarray(gmass_np, x0.dtype),
+                *arr_j,
+                gmass_j,
             )
 
         if x0.ndim == 4:  # (envs, 2, Np, 3) -> vmap over dp
