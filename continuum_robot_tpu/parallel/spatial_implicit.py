@@ -253,6 +253,41 @@ def _traced_gravity_masses(arrays, n_real: int, dtype):
     return m.at[n_real - 1:].set(0.0)
 
 
+def _operand_arrays(beam, Np, mdiag, mlow, mup, arr_fields, dfac_np,
+                    gmass_np, has_fluid, fluid_density, has_gravity,
+                    arrays, dtype):
+    """Traced-or-baked rollout operands for the sharded implicit builders.
+
+    ``arrays=None`` returns the baked host constants (bit-identical to the
+    pre-parametric path). Otherwise the mass bands, element fields, drag
+    factors, and gravity masses are recomputed from the TRACED
+    :class:`BeamArrays` inside the caller's trace, so differentiation
+    w.r.t. physical parameters flows through the whole sharded rollout
+    (see ``build_spatial_genalpha``'s rollout docstring for the contract).
+    """
+    if arrays is None:
+        return (
+            jnp.asarray(mdiag, dtype), jnp.asarray(mlow, dtype),
+            jnp.asarray(mup, dtype), arr_fields,
+            jnp.asarray(dfac_np, dtype), jnp.asarray(gmass_np, dtype),
+        )
+    md_j, ml_j, mu_j = _traced_mass_bands(arrays, Np, dtype)
+    arr_j = (
+        arrays.length, arrays.elastic_modulus, arrays.moment_inertia,
+        arrays.cross_area, arrays.nonlinear_mask,
+    )
+    dfac_j = (
+        _traced_drag_factors(arrays, beam.n_nodes_real, Np,
+                             float(fluid_density), dtype)
+        if has_fluid else jnp.zeros((Np, 3), dtype)
+    )
+    gmass_j = (
+        _traced_gravity_masses(arrays, beam.n_nodes_real, dtype)
+        if has_gravity else jnp.zeros(Np, dtype)
+    )
+    return md_j, ml_j, mu_j, arr_j, dfac_j, gmass_j
+
+
 def _shard_aligned_setup(beam: SpatialBeam) -> dict:
     """Host constants shared by the fixed-dt and adaptive gen-α builders.
 
@@ -495,33 +530,10 @@ def build_spatial_genalpha(
             u_node = jnp.asarray(u, dtype=x0.dtype)
         mask = jnp.asarray(mask_nodes, dtype=x0.dtype)
 
-        if arrays is None:
-            md_j = jnp.asarray(mdiag, x0.dtype)
-            ml_j = jnp.asarray(mlow, x0.dtype)
-            mu_j = jnp.asarray(mup, x0.dtype)
-            arr_j = arr_fields
-            dfac_j = jnp.asarray(dfac_np, x0.dtype)
-            gmass_j = jnp.asarray(gmass_np, x0.dtype)
-        else:
-            md_j, ml_j, mu_j = _traced_mass_bands(arrays, Np, x0.dtype)
-            arr_j = (
-                arrays.length, arrays.elastic_modulus,
-                arrays.moment_inertia, arrays.cross_area,
-                arrays.nonlinear_mask,
-            )
-            dfac_j = (
-                _traced_drag_factors(
-                    arrays, beam.n_nodes_real, Np,
-                    float(fluid_density), x0.dtype,
-                )
-                if has_fluid else jnp.zeros((Np, 3), x0.dtype)
-            )
-            gmass_j = (
-                _traced_gravity_masses(
-                    arrays, beam.n_nodes_real, x0.dtype
-                )
-                if has_gravity else jnp.zeros(Np, x0.dtype)
-            )
+        md_j, ml_j, mu_j, arr_j, dfac_j, gmass_j = _operand_arrays(
+            beam, Np, mdiag, mlow, mup, arr_fields, dfac_np, gmass_np,
+            has_fluid, fluid_density, has_gravity, arrays, x0.dtype,
+        )
 
         def run_one(x_single):
             return core(
@@ -736,7 +748,15 @@ def build_spatial_genalpha_adaptive(
         return core
 
     def rollout(x0, t_eval, u=None, rtol: float = 1e-6,
-                atol: float = 1e-9, dt0: float = None):
+                atol: float = 1e-9, dt0: float = None, arrays=None):
+        """Adaptive rollout; see builder docstring.
+
+        ``arrays``: optional TRACED :class:`BeamArrays` (same contract as
+        ``build_spatial_genalpha``'s rollout) — with it, forward parameter
+        sensitivities flow through the error-controlled sharded engine via
+        ``jax.jvp`` (the while_loop has no adjoint, so reverse mode stays
+        on the fixed-dt rollouts).
+        """
         t_eval_np = np.asarray(jax.device_get(t_eval), np.float64)
         if dt0 is None:
             dt0 = float(t_eval_np[1] - t_eval_np[0]) / 16.0
@@ -749,17 +769,20 @@ def build_spatial_genalpha_adaptive(
             u_node = jnp.asarray(u, dtype=x0.dtype)
         mask = jnp.asarray(mask_nodes, dtype=x0.dtype)
         dt0_arr = jnp.asarray(dt0, x0.dtype)
+        md_j, ml_j, mu_j, arr_j, dfac_j, gmass_j = _operand_arrays(
+            beam, Np, mdiag, mlow, mup, arr_fields, dfac_np, gmass_np,
+            has_fluid, fluid_density, has_gravity, arrays, x0.dtype,
+        )
 
         def run_one(x_single):
             return core(
                 t_evals, dt0_arr, x_single, u_node,
-                jnp.asarray(dfac_np, x0.dtype), mask,
-                jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
-                jnp.asarray(mup, x0.dtype),
+                dfac_j, mask,
+                md_j, ml_j, mu_j,
                 jnp.asarray(left_last_node, x0.dtype),
                 jnp.asarray(right_first_node, x0.dtype),
-                *arr_fields,
-                jnp.asarray(gmass_np, x0.dtype),
+                *arr_j,
+                gmass_j,
             )
 
         if x0.ndim == 4:  # (envs, 2, Np, 3): per-env dt via vmap over dp
@@ -977,7 +1000,15 @@ def build_spatial_sdirk3(
         return core
 
     def rollout(x0, t_eval, u=None, rtol: float = 1e-6,
-                atol: float = 1e-9, dt0: float = None):
+                atol: float = 1e-9, dt0: float = None, arrays=None):
+        """Adaptive SDIRK3 rollout; see builder docstring.
+
+        ``arrays``: optional TRACED :class:`BeamArrays` (same contract as
+        ``build_spatial_genalpha``'s rollout) — enables ``jax.jvp``
+        forward parameter sensitivities through the sharded L-stable
+        engine (while_loop has no adjoint; reverse mode stays on the
+        fixed-dt rollouts).
+        """
         t_eval_np = np.asarray(jax.device_get(t_eval), np.float64)
         if dt0 is None:
             dt0 = float(t_eval_np[1] - t_eval_np[0]) / 16.0
@@ -990,17 +1021,20 @@ def build_spatial_sdirk3(
             u_node = jnp.asarray(u, dtype=x0.dtype)
         mask = jnp.asarray(mask_nodes, dtype=x0.dtype)
         dt0_arr = jnp.asarray(dt0, x0.dtype)
+        md_j, ml_j, mu_j, arr_j, dfac_j, gmass_j = _operand_arrays(
+            beam, Np, mdiag, mlow, mup, arr_fields, dfac_np, gmass_np,
+            has_fluid, fluid_density, has_gravity, arrays, x0.dtype,
+        )
 
         def run_one(x_single):
             return core(
                 t_evals, dt0_arr, x_single, u_node,
-                jnp.asarray(dfac_np, x0.dtype), mask,
-                jnp.asarray(mdiag, x0.dtype), jnp.asarray(mlow, x0.dtype),
-                jnp.asarray(mup, x0.dtype),
+                dfac_j, mask,
+                md_j, ml_j, mu_j,
                 jnp.asarray(left_last_node, x0.dtype),
                 jnp.asarray(right_first_node, x0.dtype),
-                *arr_fields,
-                jnp.asarray(gmass_np, x0.dtype),
+                *arr_j,
+                gmass_j,
             )
 
         if x0.ndim == 4:  # (envs, 2, Np, 3): per-env dt via vmap over dp

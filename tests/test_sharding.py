@@ -1033,6 +1033,65 @@ class TestSpatialParametric:
         assert np.isfinite(g) and abs(g) > 0
         np.testing.assert_allclose(g, fd, rtol=2e-5)
 
+    @staticmethod
+    def _adaptive_setup(builder, **kw):
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        mesh = make_mesh({"sp": 8})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        roll = builder(beam, **kw)
+        tip = beam.n_nodes_real - 1
+        u = np.zeros((beam.n_nodes, 3))
+        u[tip, 1] = 0.05
+        return beam, roll, jnp.asarray(u), tip
+
+    def _check_adaptive_jvp(self, builder, **kw):
+        """jax.jvp through an error-controlled sharded engine == central FD.
+
+        The accept/reject sequence is piecewise constant in the
+        parameters (smooth a.e.), so at a tight tolerance the realized
+        step sequence is identical across the FD stencil and the tangent
+        is the sensitivity of that sequence — same contract as the dense
+        engine's forward-sensitivity test (test_sweep.py).
+        """
+        import dataclasses as _dc
+
+        beam, roll, u, tip = self._adaptive_setup(builder, **kw)
+        x0 = jnp.zeros((2, beam.n_nodes, 3))
+        t_eval = jnp.asarray(np.linspace(0.0, 4e-4, 3))
+        E0 = jnp.asarray(beam.arrays.elastic_modulus)
+        arrs0 = jax.tree_util.tree_map(jnp.asarray, beam.arrays)
+
+        def tip_at_end(s):
+            arrs = _dc.replace(arrs0, elastic_modulus=s * E0)
+            xs, _ = roll(x0, t_eval, u=u, rtol=1e-7, atol=1e-10,
+                         arrays=arrs)
+            return xs[-1, 0, tip, 1] * 1e3
+
+        _, g = jax.jvp(tip_at_end, (jnp.asarray(1.0),),
+                       (jnp.asarray(1.0),))
+        h = 1e-5
+        fd = (float(tip_at_end(jnp.asarray(1.0 + h)))
+              - float(tip_at_end(jnp.asarray(1.0 - h)))) / (2 * h)
+        assert np.isfinite(float(g)) and abs(float(g)) > 0
+        np.testing.assert_allclose(float(g), fd, rtol=1e-4)
+
+    def test_jvp_through_adaptive_genalpha(self):
+        from continuum_robot_tpu.parallel import (
+            build_spatial_genalpha_adaptive,
+        )
+
+        self._check_adaptive_jvp(build_spatial_genalpha_adaptive,
+                                 rho_inf=0.9)
+
+    def test_jvp_through_sdirk3(self):
+        from continuum_robot_tpu.parallel import build_spatial_sdirk3
+
+        self._check_adaptive_jvp(build_spatial_sdirk3)
+
 
 class TestSpatialModalROM:
     """Node-sharded modal / modal-ROM engines (parallel/spatial_modal.py).
