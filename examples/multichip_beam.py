@@ -178,6 +178,51 @@ def main():
     print(f"\nphysical frames: {tuple(qs.shape)} node-sharded over "
           f"'{red.axis}'; tip deflection {float(qs[-1, tip, 1]):+.3e} m")
 
+    # --- differentiable tier: system ID on the sharded beam ----------
+    # rollout(..., arrays=...) rebuilds mass bands / element fields inside
+    # the trace, so jax.grad flows through the distributed-SPIKE rollout:
+    # identify the elastic modulus of a beam too long for one chip from a
+    # "measured" tip trace (examples/system_identification.py is the
+    # single-chip version of this workflow).
+    import dataclasses
+
+    t0 = time.perf_counter()
+    x1 = jnp.zeros((2, Np, 3))
+    arrs0 = jax.tree_util.tree_map(jnp.asarray, beam.arrays)
+    E0 = jnp.asarray(beam.arrays.elastic_modulus)
+
+    def tip_trace(s):
+        arrs = dataclasses.replace(arrs0, elastic_modulus=s * E0)
+        _, xs = rollout_ga(x1, 4, u=u_j, substeps=5, arrays=arrs)
+        return xs[:, 0, tip, 1]
+
+    target = tip_trace(jnp.asarray(1.0))  # "measured" data (true E)
+
+    @jax.jit
+    def loss_grad(s):
+        def loss(s):
+            d = tip_trace(s) - target
+            return jnp.sum(d * d) / jnp.sum(target * target)
+
+        return jax.value_and_grad(loss)(s)
+
+    # Secant iteration on dloss/ds = 0 (1-D problem; each evaluation is
+    # one reverse-mode pass through the whole sharded rollout).
+    s_prev, s = 0.7, 0.8  # start from a 30% misestimate
+    _, g_prev = loss_grad(jnp.asarray(s_prev))
+    g_prev = float(g_prev)
+    for it in range(8):
+        val, g = loss_grad(jnp.asarray(s))
+        g = float(g)
+        if g == g_prev or abs(g) < 1e-18:
+            break
+        s, s_prev, g_prev = s - g * (s - s_prev) / (g - g_prev), s, g
+    val, _ = loss_grad(jnp.asarray(s))
+    print(f"sharded system ID: recovered E scale {s:.6f} "
+          f"(true 1.0, started 0.7, loss {float(val):.1e}) "
+          f"wall={time.perf_counter() - t0:.1f}s "
+          "— jax.grad through the distributed-SPIKE rollout")
+
 
 if __name__ == "__main__":
     main()
