@@ -1,5 +1,6 @@
 """Parallelism layer: device meshes, batched/sharded rollouts, spatial sharding."""
 
+from .facade import simulate_sharded
 from .mesh import batch_sharding, make_mesh, replicated
 from .rollout import batched_rollout, build_rollout_fn, sweep_statistics
 from .spatial import (
@@ -57,6 +58,7 @@ __all__ = [
     "parametric_rollout",
     "reduced_to_node_layout",
     "replicated",
+    "simulate_sharded",
     "spatial_rollout",
     "sweep_statistics",
     "tile_arrays",

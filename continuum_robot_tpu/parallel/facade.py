@@ -1,0 +1,228 @@
+"""``solve_ivp``-grade facade over the spatially-sharded engines.
+
+``models.simulate.simulate`` is the single-chip rollout facade; this module
+gives the SAME reduced-coordinate contract for beams sharded over the
+``sp`` mesh axis: reduced ``[q; v]`` in, :class:`SimulationResult` out,
+fluid/gravity auto-wired from the model's :class:`ForceParams` — a user
+moves a workload from one chip to a device mesh by adding ``mesh=``,
+without touching the node-layout plumbing (``make_spatial_beam``,
+``reduced_to_node_layout``, per-engine builders) underneath.
+
+The reference scales only by ``multiprocessing.Pool`` over whole
+independent simulations (``/root/reference/examples/beam_comparison_fluid
+.py:53-84``); a beam too long for one device has no reference counterpart.
+The modal/ROM spatial tier keeps its richer builder API
+(``build_spatial_modal_rom``: hyper-reduction, envelope guards, sharded
+physical frames) — this facade covers the node-layout engines whose
+output is a plain trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .spatial import (
+    build_spatial_rhs,
+    make_spatial_beam,
+    reduced_to_node_layout,
+)
+from .spatial_implicit import (
+    build_spatial_genalpha,
+    build_spatial_genalpha_adaptive,
+    build_spatial_sdirk3,
+)
+
+_METHODS = (
+    "rk4",
+    "generalized_alpha",
+    "generalized_alpha_adaptive",
+    "sdirk3",
+)
+
+
+def _spatial_beam_of(model, mesh, axis: str):
+    return make_spatial_beam(
+        model.beam_model.arrays,
+        model.beam_model.bc_info.free_mask.reshape(-1, 3),
+        mesh,
+        axis=axis,
+    )
+
+
+def _node_force(model, u_red, Np: int, dtype):
+    """Reduced position-DOF force vector -> ``(Np, 3)`` node layout."""
+    bc = model.beam_model.bc_info
+    free = np.asarray(bc.free_dofs)
+    n_full = bc.n_dofs_full
+    u_red = jnp.asarray(u_red, dtype)
+    if u_red.shape != (len(free),):
+        raise ValueError(
+            f"u must be a constant reduced force vector of shape "
+            f"({len(free)},), got {tuple(u_red.shape)}"
+        )
+    full = jnp.zeros(n_full, dtype).at[free].set(u_red)
+    out = jnp.zeros((Np, 3), dtype)
+    return out.at[: n_full // 3, :].set(full.reshape(n_full // 3, 3))
+
+
+def _node_frames_to_reduced(model, xs):
+    """Node-layout frames ``(..., 2, Np, 3)`` -> reduced ``(..., 2n)``."""
+    bc = model.beam_model.bc_info
+    free = np.asarray(bc.free_dofs)
+    n_full = bc.n_dofs_full
+    nn = n_full // 3
+    lead = xs.shape[:-3]
+    q = xs[..., 0, :nn, :].reshape(*lead, n_full)[..., free]
+    v = xs[..., 1, :nn, :].reshape(*lead, n_full)[..., free]
+    return jnp.concatenate([q, v], axis=-1)
+
+
+def simulate_sharded(
+    model,
+    x0,
+    t_final: float,
+    dt: float,
+    mesh,
+    method: str = "generalized_alpha",
+    u=None,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    substeps: int = 1,
+    n_newton: Optional[int] = None,
+    rho_inf: float = 0.8,
+    use_consistent: bool = False,
+    fluid_density: Optional[float] = None,
+    gravity=None,
+    arrays=None,
+    axis: str = "sp",
+    cg_iters: int = 32,
+    cg_tol: float = 1e-8,
+):
+    """Run a sharded rollout with the single-chip ``simulate()`` contract.
+
+    Args:
+        model: a :class:`DynamicEulerBernoulliBeam`. Its ``ForceParams``
+            (fluid density / gravity vector, as auto-registered from the
+            CSV workflow) are wired into the sharded engines unless
+            overridden by ``fluid_density=`` / ``gravity=`` here.
+        x0: reduced ``[q; v]`` initial state, optionally with ONE leading
+            env-batch axis (batched rollouts ride the ``dp`` mesh axis
+            exactly like the per-engine builders).
+        t_final, dt: horizon and output-frame spacing.
+        mesh: a ``jax.sharding.Mesh`` with the node-sharding axis
+            ``axis`` (default ``"sp"``; a ``dp`` axis batches envs).
+        method: ``rk4`` (explicit, psum-CG mass solves) |
+            ``generalized_alpha`` (fixed-dt distributed-SPIKE implicit;
+            the inner step is ``dt / substeps``) |
+            ``generalized_alpha_adaptive`` / ``sdirk3`` (error-controlled:
+            ``rtol``/``atol`` pick every step, ``dt`` only spaces the
+            output frames).
+        u: constant reduced force vector over position DOFs (node-layout
+            conversion handled here), or None.
+        arrays: optional TRACED :class:`BeamArrays` for the implicit
+            methods — the differentiable-parameter path (see
+            ``build_spatial_genalpha``'s rollout).
+
+    Returns:
+        :class:`SimulationResult` with reduced-layout ``ys`` (env batch
+        leading, then frames), matching ``simulate()``; adaptive methods
+        carry per-env :class:`AdaptiveStats` in ``.stats``.
+    """
+    from ..models.simulate import SimulationResult
+    from ..ops import integrators
+
+    if method not in _METHODS:
+        raise ValueError(
+            f"Unknown sharded method: {method!r} (use one of {_METHODS}; "
+            "the modal/ROM spatial tier keeps its builder API — "
+            "build_spatial_modal / build_spatial_modal_rom)"
+        )
+
+    fp = getattr(model, "force_params", None)
+    if fp is not None:
+        if fluid_density is None and fp.enable_fluid_effects:
+            fluid_density = float(fp.fluid_density)
+        if gravity is None and fp.enable_gravity_effects:
+            gravity = np.asarray(fp.gravity_vector, dtype=float)
+
+    beam = _spatial_beam_of(model, mesh, axis)
+    x0 = jnp.asarray(x0)
+    if x0.ndim not in (1, 2):
+        raise ValueError(
+            "x0 must be reduced [q; v] with at most one leading batch "
+            f"axis, got shape {tuple(x0.shape)}"
+        )
+    batched = x0.ndim == 2
+    xn = reduced_to_node_layout(model, x0, beam.n_nodes)
+
+    if callable(u):
+        raise ValueError(
+            "simulate_sharded takes a constant reduced force vector; "
+            "for time-varying inputs use the per-engine builders"
+        )
+    u_node = None if u is None else _node_force(model, u, beam.n_nodes,
+                                                x0.dtype)
+
+    n_frames = int(round(t_final / dt))
+    stats = None
+
+    if method == "rk4":
+        if arrays is not None:
+            raise ValueError(
+                "arrays= (traced parameters) is supported by the "
+                "implicit methods; for explicit differentiable rollouts "
+                "use build_spatial_rhs directly with cg_tol=None"
+            )
+        rhs = build_spatial_rhs(
+            beam, cg_iters=cg_iters, use_consistent=use_consistent,
+            cg_tol=cg_tol, fluid_density=fluid_density, gravity=gravity,
+        )
+
+        def run(x_single):
+            return integrators.integrate_fixed(
+                rhs, x_single, 0.0, dt, n_frames, u=u_node,
+                substeps=substeps,
+            )
+
+        if batched:
+            import jax
+
+            ts, xs = jax.vmap(run, out_axes=(None, 1))(xn)
+        else:
+            ts, xs = run(xn)
+    elif method == "generalized_alpha":
+        roll = build_spatial_genalpha(
+            beam, dt / substeps, rho_inf=rho_inf,
+            n_newton=1 if n_newton is None else n_newton,
+            use_consistent=use_consistent,
+            fluid_density=fluid_density, gravity=gravity,
+        )
+        ts, xs = roll(xn, n_frames, u=u_node, substeps=substeps,
+                      arrays=arrays)
+    else:
+        builder = (
+            build_spatial_genalpha_adaptive
+            if method == "generalized_alpha_adaptive"
+            else build_spatial_sdirk3
+        )
+        kw = dict(
+            n_newton=2 if n_newton is None else n_newton,
+            use_consistent=use_consistent,
+            fluid_density=fluid_density, gravity=gravity,
+        )
+        if method == "generalized_alpha_adaptive":
+            kw["rho_inf"] = rho_inf
+        roll = builder(beam, **kw)
+        t_eval = np.linspace(0.0, t_final, n_frames + 1)
+        xs, stats = roll(xn, t_eval, u=u_node, rtol=rtol, atol=atol,
+                         arrays=arrays)
+        ts = jnp.asarray(t_eval, x0.dtype)
+
+    ys = _node_frames_to_reduced(model, xs)
+    if batched:  # builders put frames leading, envs second
+        ys = jnp.moveaxis(ys, 1, 0)
+    return SimulationResult(ts=jnp.asarray(ts), ys=ys, stats=stats)

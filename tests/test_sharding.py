@@ -1394,3 +1394,124 @@ class TestSpatialModalROM:
                 np.asarray(esB[:, b]), np.asarray(es),
                 atol=1e-12 * float(jnp.abs(es).max()),
             )
+
+
+class TestSimulateSharded:
+    """The sharded facade (`parallel.simulate_sharded`): the single-chip
+    `simulate()` contract (reduced [q; v] in, SimulationResult out,
+    ForceParams auto-wired) over the sp mesh axis."""
+
+    @staticmethod
+    def _model(force_params=None):
+        return DynamicEulerBernoulliBeam(
+            helpers.mixed_csv(14), force_params
+        )
+
+    def test_genalpha_matches_single_chip(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = self._model()
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        u = jnp.zeros(n).at[n - 2].set(0.05)
+        mesh = make_mesh({"sp": 8})
+        res_s = simulate_sharded(
+            model, x0, 4e-4, 1e-4, mesh, method="generalized_alpha",
+            u=u, substeps=4, rho_inf=0.8, n_newton=2,
+        )
+        res_1 = simulate(
+            model, x0, 4e-4, 1e-4, method="generalized_alpha", u=u,
+            substeps=4, rho_inf=0.8, n_newton=2,
+        )
+        assert res_s.ys.shape == res_1.ys.shape == (5, 2 * n)
+        np.testing.assert_allclose(np.asarray(res_s.ts),
+                                   np.asarray(res_1.ts), atol=1e-15)
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys),
+            atol=1e-9 * scale,
+        )
+
+    def test_force_params_auto_wiring(self):
+        from continuum_robot_tpu.models.config import ForceParams
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        mesh = make_mesh({"sp": 8})
+        n = None
+        runs = {}
+        for key, model, kw in (
+            ("auto", self._model(ForceParams(
+                fluid_density=1000.0, enable_fluid_effects=True,
+                gravity_vector=[0.0, -9.81, 0.0],
+                enable_gravity_effects=True,
+            )), {}),
+            ("explicit", self._model(),
+             dict(fluid_density=1000.0, gravity=(0.0, -9.81, 0.0))),
+            ("none", self._model(), {}),
+        ):
+            n = model.n_pos_states
+            x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+            res = simulate_sharded(
+                model, x0, 2e-4, 1e-4, mesh,
+                method="generalized_alpha", substeps=2, **kw,
+            )
+            runs[key] = np.asarray(res.ys)
+        scale = np.abs(runs["explicit"]).max()
+        np.testing.assert_allclose(runs["auto"], runs["explicit"],
+                                   atol=1e-14 * scale)
+        # and the forces actually act: gravity bends the beam
+        assert np.abs(runs["auto"] - runs["none"]).max() > 1e-12 * scale
+
+    def test_adaptive_batched_stats(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = self._model()
+        n = model.n_pos_states
+        x0 = np.zeros((2, 2 * n))
+        x0[0, n - 2] = 2e-4
+        x0[1, n - 2] = 4e-4
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        res = simulate_sharded(
+            model, jnp.asarray(x0), 4e-4, 2e-4, mesh, method="sdirk3",
+            rtol=1e-5, atol=1e-8,
+        )
+        assert res.ys.shape == (2, 3, 2 * n)
+        assert np.all(np.isfinite(np.asarray(res.ys)))
+        assert res.stats is not None
+        acc = np.asarray(res.stats.n_accepted)
+        assert acc.shape == (2,) and np.all(acc > 0)
+        # per-env trajectories differ (distinct initial conditions)
+        assert not np.allclose(np.asarray(res.ys[0]),
+                               np.asarray(res.ys[1]))
+
+    def test_rk4_runs(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = self._model()
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(1e-4)
+        mesh = make_mesh({"sp": 8})
+        res = simulate_sharded(model, x0, 2e-6, 1e-6, mesh, method="rk4",
+                               substeps=2)
+        assert res.ys.shape == (3, 2 * n)
+        assert np.all(np.isfinite(np.asarray(res.ys)))
+
+    def test_error_contracts(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = self._model()
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n)
+        mesh = make_mesh({"sp": 8})
+        with pytest.raises(ValueError, match="Unknown sharded method"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="lsoda")
+        with pytest.raises(ValueError, match="constant reduced force"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh,
+                             u=lambda t: 0.0)
+        with pytest.raises(ValueError, match="at most one leading"):
+            simulate_sharded(model, jnp.zeros((2, 2, 2 * n)), 1e-4,
+                             1e-4, mesh)
+        with pytest.raises(ValueError, match="shape"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh,
+                             u=jnp.zeros(3))
