@@ -97,6 +97,7 @@ def simulate_sharded(
     use_consistent: bool = False,
     fluid_density: Optional[float] = None,
     gravity=None,
+    node_force: Optional[Callable] = None,
     arrays=None,
     axis: str = "sp",
     cg_iters: int = 32,
@@ -123,6 +124,12 @@ def simulate_sharded(
             output frames).
         u: constant reduced force vector over position DOFs (node-layout
             conversion handled here), or None.
+        node_force: optional custom nodewise external force ``f(x, t) ->
+            (nodes, 3)`` with ``x = (2, nodes, 3)`` stacked (q, v) node
+            layout — the sharded counterpart of ``simulate()``'s
+            ``forces_func`` for NODE-LOCAL forces (springs, dampers,
+            time-harmonic loads), on every method. See
+            ``build_spatial_genalpha``.
         arrays: optional TRACED :class:`BeamArrays` for the implicit
             methods — the differentiable-parameter path (see
             ``build_spatial_genalpha``'s rollout).
@@ -180,6 +187,7 @@ def simulate_sharded(
         rhs = build_spatial_rhs(
             beam, cg_iters=cg_iters, use_consistent=use_consistent,
             cg_tol=cg_tol, fluid_density=fluid_density, gravity=gravity,
+            node_force=node_force,
         )
 
         def run(x_single):
@@ -200,6 +208,7 @@ def simulate_sharded(
             n_newton=1 if n_newton is None else n_newton,
             use_consistent=use_consistent,
             fluid_density=fluid_density, gravity=gravity,
+            node_force=node_force,
         )
         ts, xs = roll(xn, n_frames, u=u_node, substeps=substeps,
                       arrays=arrays)
@@ -213,6 +222,7 @@ def simulate_sharded(
             n_newton=2 if n_newton is None else n_newton,
             use_consistent=use_consistent,
             fluid_density=fluid_density, gravity=gravity,
+            node_force=node_force,
         )
         if method == "generalized_alpha_adaptive":
             kw["rho_inf"] = rho_inf

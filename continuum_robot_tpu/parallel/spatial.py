@@ -250,6 +250,7 @@ def build_spatial_rhs(
     cg_tol: float = 1e-8,
     fluid_density: float = None,
     gravity=None,
+    node_force: Callable = None,
 ) -> Callable:
     """Fully sharded ``rhs(t, x, u)`` over the ``sp`` axis via shard_map.
 
@@ -266,6 +267,12 @@ def build_spatial_rhs(
     ``jax.grad`` through :func:`spatial_rollout`.
     For implicit stepping use the exact SPIKE solver instead
     (``parallel/spatial_implicit.py``).
+
+    ``node_force``: optional custom nodewise external force ``f(x, t) ->
+    (nodes, 3)`` with ``x = (2, nodes, 3)`` stacked (q, v) — same
+    node-local contract as the implicit builders'
+    (``spatial_implicit.build_spatial_genalpha``); evaluated at the RHS
+    time ``t``, added to the assembled force before the mass solve.
     """
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
     arrays = beam.arrays
@@ -318,6 +325,8 @@ def build_spatial_rhs(
     g_x = float(np.asarray(gravity).ravel()[0]) if has_gravity else 0.0
     g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
 
+    has_nf = node_force is not None
+
     p_node = PartitionSpec(axis, None)
     p_block = PartitionSpec(axis, None, None)
     p_el = PartitionSpec(axis)
@@ -326,11 +335,12 @@ def build_spatial_rhs(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(p_x, p_node, p_el, p_el, p_el, p_el, p_el, p_node,
-                  p_block, p_block, p_block, p_block, p_node, p_el),
+        in_specs=(PartitionSpec(), p_x, p_node, p_el, p_el, p_el, p_el,
+                  p_el, p_node, p_block, p_block, p_block, p_block,
+                  p_node, p_el),
         out_specs=p_x,
     )
-    def rhs_core(x, u, a_len, a_E, a_I, a_A, a_nl, m_mask,
+    def rhs_core(t, x, u, a_len, a_E, a_I, a_A, a_nl, m_mask,
                  md, ml, mu, mdi, dfac, gmass):
         q, v = x[0], x[1]
         arr_local = BeamArrays(
@@ -348,6 +358,10 @@ def build_spatial_rhs(
         if has_gravity:
             f = f + spatial_gravity_force_local(
                 q * m_mask, gmass, g_x, g_y, m_mask, axis, S
+            )
+        if has_nf:
+            f = f + node_force(
+                jnp.stack([q * m_mask, v * m_mask]), t
             )
         f = f * m_mask
 
@@ -407,7 +421,7 @@ def build_spatial_rhs(
         if u is None:
             u = jnp.zeros((Np, 3), dtype=x.dtype)
         return rhs_core(
-            x, u, *arr_fields, mask,
+            jnp.asarray(t, dtype=x.dtype), x, u, *arr_fields, mask,
             mdiag, mlow, mup, mdiag_inv,
             jnp.asarray(dfac_np, x.dtype), jnp.asarray(gmass_np, x.dtype),
         )
@@ -425,6 +439,9 @@ def spatial_rollout(
     cg_iters: int = 16,
     use_consistent: bool = False,
     cg_tol: float = 1e-8,
+    fluid_density: float = None,
+    gravity=None,
+    node_force: Callable = None,
 ):
     """RK4 rollout of a node-sharded beam: the full CP-analogue pipeline.
 
@@ -432,12 +449,16 @@ def spatial_rollout(
     batch for a dp x sp mesh); ``u``: ``(Np, 3)`` force layout or a traceable
     callable of t. Per step: 4 RHS evaluations, each costing 2 halo
     ppermutes + CG's (2 ppermutes + 2 psums) x iters over the ``sp`` axis.
-    Returns ``(ts, xs (frames+1, ..., 2, Np, 3))``.
+    ``fluid_density`` / ``gravity`` / ``node_force`` pass through to
+    :func:`build_spatial_rhs`. Returns
+    ``(ts, xs (frames+1, ..., 2, Np, 3))``.
     """
     from ..ops import integrators
 
     rhs = build_spatial_rhs(
-        beam, cg_iters=cg_iters, use_consistent=use_consistent, cg_tol=cg_tol
+        beam, cg_iters=cg_iters, use_consistent=use_consistent,
+        cg_tol=cg_tol, fluid_density=fluid_density, gravity=gravity,
+        node_force=node_force,
     )
     n_steps = int(round(t_final / dt))
 

@@ -343,6 +343,7 @@ def build_spatial_genalpha(
     use_consistent: bool = False,
     fluid_density: float = None,
     gravity=None,
+    node_force: Callable = None,
 ) -> Callable:
     """Implicit generalized-alpha rollout over the ``sp`` mesh axis.
 
@@ -357,6 +358,17 @@ def build_spatial_genalpha(
     the final-node quirk); it enters the residual at the alpha-point
     velocity and is LAGGED in the Jacobian — exactly the single-chip
     treatment (``op.external_force`` enters residual only).
+
+    ``node_force``: optional custom external force ``f(x, t) -> (nodes,
+    3)`` with ``x = (2, nodes, 3)`` stacked (positions, velocities) in
+    node layout — the sharded counterpart of the single-chip engines'
+    ``external_force(x, t)`` (``ops/integrators.py``: residual-only at
+    the alpha point, lagged in the Jacobian). The callable runs INSIDE
+    ``shard_map`` on each device's node block, so it must be a NODEWISE
+    (shape-polymorphic, node-local) map — springs, dampers, follower
+    loads, time-harmonic forcing; anything coupling *different* nodes
+    would need its own halo exchange and belongs in a custom engine.
+    Constrained DOFs are masked before and after the call.
 
     Modified Newton with the zero-state tangent: the SPIKE preparation
     (local factorization + spike columns + interface inverse) happens ONCE
@@ -402,6 +414,7 @@ def build_spatial_genalpha(
     gmass_np = element_gravity_masses(beam) if has_gravity else np.zeros(Np)
     g_x = float(np.asarray(gravity).ravel()[0]) if has_gravity else 0.0
     g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
+    has_nf = node_force is not None
 
     def make_core(n_frames: int, substeps: int):
         @partial(
@@ -460,6 +473,11 @@ def build_spatial_genalpha(
                     q_at * m3, gmass, g_x, g_y, m3, axis, S
                 )
 
+            def nf(q_at, v_at, t_at):
+                return node_force(
+                    jnp.stack([q_at * m3, v_at * m3]), t_at
+                ) * m3
+
             u_m = u_node * m3
             q, v = x[0] * m3, x[1] * m3
             f0 = u_m - internal(q)
@@ -467,9 +485,11 @@ def build_spatial_genalpha(
                 f0 = f0 - drag(v)
             if has_gravity:
                 f0 = f0 + grav(q)
+            if has_nf:
+                f0 = f0 + nf(q, v, jnp.asarray(0.0, dtype))
             a = spike_solve(prep_mass, f0 * m3, axis, S) * m3
 
-            def substep(carry, _):
+            def substep(carry, t):
                 q, v, a = carry
                 q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
                 v_pred = v + (1.0 - gamma) * dt * a
@@ -479,12 +499,15 @@ def build_spatial_genalpha(
                     q_af = (1.0 - af) * q1 + af * q
                     a_am = (1.0 - am) * a1 + am * a
                     r = mass_apply(a_am) + internal(q_af) - u_m
-                    if has_fluid:
+                    if has_fluid or has_nf:
                         v1 = v_pred + gamma * dt * a1
                         v_af = (1.0 - af) * v1 + af * v
+                    if has_fluid:
                         r = r + drag(v_af)
                     if has_gravity:
                         r = r - grav(q_af)
+                    if has_nf:
+                        r = r - nf(q_af, v_af, t + (1.0 - af) * dt)
                     da = spike_solve(prep_jac, r * m3, axis, S) * m3
                     return a1 - da
 
@@ -493,14 +516,26 @@ def build_spatial_genalpha(
                 v1 = v_pred + gamma * dt * a1
                 return (q1, v1, a1), None
 
-            def frame(carry, _):
+            def frame(carry, fidx):
+                # Substep start times: only materialized on the node_force
+                # path (fidx is None otherwise — trace unchanged).
+                ts_sub = (
+                    None if fidx is None
+                    else (fidx * substeps
+                          + jnp.arange(substeps, dtype=dtype)) * dt
+                )
                 carry, _ = jax.lax.scan(
-                    substep, carry, None, length=substeps
+                    substep, carry, ts_sub, length=substeps
                 )
                 qf, vf, _ = carry
                 return carry, jnp.stack([qf, vf])
 
-            _, xs = jax.lax.scan(frame, (q, v, a), None, length=n_frames)
+            fidxs = (
+                jnp.arange(n_frames, dtype=dtype) if has_nf else None
+            )
+            _, xs = jax.lax.scan(
+                frame, (q, v, a), fidxs, length=n_frames
+            )
             return jnp.concatenate([jnp.stack([q, v])[None], xs], axis=0)
 
         return rollout_core
@@ -564,8 +599,13 @@ def build_spatial_genalpha_adaptive(
     safety: float = 0.9,
     fluid_density: float = None,
     gravity=None,
+    node_force: Callable = None,
 ) -> Callable:
     """ERROR-CONTROLLED implicit stepping over the ``sp`` mesh axis.
+
+    ``node_force``: optional nodewise custom external force ``f(x, t)``
+    (same contract as :func:`build_spatial_genalpha`) — evaluated at the
+    alpha point of every trial step, so error control sees it.
 
     The distributed counterpart of
     ``ops.integrators.integrate_generalized_alpha_adaptive`` — the same
@@ -624,6 +664,7 @@ def build_spatial_genalpha_adaptive(
     gmass_np = element_gravity_masses(beam) if has_gravity else np.zeros(Np)
     g_x = float(np.asarray(gravity).ravel()[0]) if has_gravity else 0.0
     g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
+    has_nf = node_force is not None
 
     def make_core(n_intervals: int, rtol: float, atol: float):
         @partial(
@@ -653,6 +694,11 @@ def build_spatial_genalpha_adaptive(
             )
             prep_mass = spike_prepare(md_bc, ml_bc, mu_bc, axis, S)
             n_free = jax.lax.psum(jnp.sum(m3), axis)
+
+            def nf(q_at, v_at, t_at):
+                return node_force(
+                    jnp.stack([q_at * m3, v_at * m3]), t_at
+                ) * m3
 
             def make_prep(dt):
                 c_jac = (1.0 - af) * beta * dt * dt
@@ -690,9 +736,11 @@ def build_spatial_genalpha_adaptive(
                 f0 = f0 - drag(v0)
             if has_gravity:
                 f0 = f0 + grav(q0)
+            if has_nf:
+                f0 = f0 + nf(q0, v0, t_evals[0])
             a0 = spike_solve(prep_mass, f0 * m3, axis, S) * m3
 
-            def trial_step(dt, q, v, a):
+            def trial_step(dt, q, v, a, t):
                 prep = make_prep(dt)
                 q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
                 v_pred = v + (1.0 - gamma) * dt * a
@@ -702,12 +750,15 @@ def build_spatial_genalpha_adaptive(
                     q_af = (1.0 - af) * q1 + af * q
                     a_am = (1.0 - am) * a1 + am * a
                     r = mass_apply(a_am) + internal(q_af) - u_m
-                    if has_fluid:
+                    if has_fluid or has_nf:
                         v1 = v_pred + gamma * dt * a1
                         v_af = (1.0 - af) * v1 + af * v
+                    if has_fluid:
                         r = r + drag(v_af)
                     if has_gravity:
                         r = r - grav(q_af)
+                    if has_nf:
+                        r = r - nf(q_af, v_af, t + (1.0 - af) * dt)
                     da = spike_solve(prep, r * m3, axis, S) * m3
                     return a1 - da
 
@@ -727,7 +778,7 @@ def build_spatial_genalpha_adaptive(
 
             def trial(t, dt_tr, state):
                 q, v, a = state
-                q1, v1, a1 = trial_step(dt_tr, q, v, a)
+                q1, v1, a1 = trial_step(dt_tr, q, v, a, t)
                 e = zx_coeff * dt_tr * dt_tr * (a1 - a)
                 # psum-contracted norm: every shard sees the same en, so
                 # the shared driver's accept/reject is globally identical.
@@ -802,8 +853,14 @@ def build_spatial_sdirk3(
     safety: float = 0.9,
     fluid_density: float = None,
     gravity=None,
+    node_force: Callable = None,
 ):
     """Error-controlled SDIRK3 on the sharded beam axis.
+
+    ``node_force``: optional nodewise custom external force ``f(x, t)``
+    (same contract as :func:`build_spatial_genalpha`) — evaluated at
+    every stage state/time, exactly like the single-chip
+    ``sdirk3_step``'s ``external_force``.
 
     The accuracy-grade stiff engine (L-stable 3rd-order Alexander DIRK with
     a TRUE embedded estimate — ``ops.integrators.sdirk3_step``) distributed
@@ -831,6 +888,7 @@ def build_spatial_sdirk3(
         _SD_A,
         _SD_B,
         _SD_BHAT,
+        _SD_C,
         _SD_G,
         AdaptiveStats,
         adaptive_drive,
@@ -865,6 +923,7 @@ def build_spatial_sdirk3(
     gmass_np = element_gravity_masses(beam) if has_gravity else np.zeros(Np)
     g_x = float(np.asarray(gravity).ravel()[0]) if has_gravity else 0.0
     g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
+    has_nf = node_force is not None
 
     def make_core(n_intervals: int, rtol: float, atol: float):
         @partial(
@@ -894,6 +953,11 @@ def build_spatial_sdirk3(
             )
             n_free = jax.lax.psum(jnp.sum(m3), axis)
 
+            def nf(q_at, v_at, t_at):
+                return node_force(
+                    jnp.stack([q_at * m3, v_at * m3]), t_at
+                ) * m3
+
             def make_prep(c):
                 jd = md + c * kd
                 jl = ml + c * klow
@@ -922,7 +986,7 @@ def build_spatial_sdirk3(
             q0 = x[0] * m3
             v0 = x[1] * m3
 
-            def sdirk_step(dt, q, v):
+            def sdirk_step(dt, q, v, t):
                 dt_g = dt * _SD_G
                 # One SPIKE preparation serves every stage Newton iterate
                 # and the stiff error filter (frozen zero-state tangent).
@@ -933,14 +997,18 @@ def build_spatial_sdirk3(
                     for j in range(i):
                         bq = bq + dt * _SD_A[i][j] * kqs[j]
                         bv = bv + dt * _SD_A[i][j] * kvs[j]
+                    t_s = t + _SD_C[i] * dt
 
-                    def newton(_, qi, bq=bq, bv=bv):
+                    def newton(_, qi, bq=bq, bv=bv, t_s=t_s):
                         f = u_m - internal(qi)
-                        if has_fluid:
+                        if has_fluid or has_nf:
                             vi = (qi - bq) / dt_g
+                        if has_fluid:
                             f = f - dfac * vi * jnp.abs(vi)
                         if has_gravity:
                             f = f + grav(qi)
+                        if has_nf:
+                            f = f + nf(qi, vi, t_s)
                         r = mass_apply((qi - bq) / dt_g - bv) - dt_g * f
                         dq = dt_g * spike_solve(prep, r * m3, axis, S) * m3
                         return qi - dq
@@ -977,7 +1045,7 @@ def build_spatial_sdirk3(
 
             def trial(t, dt_tr, state):
                 q, v = state
-                q1, v1, eq, ev = sdirk_step(dt_tr, q, v)
+                q1, v1, eq, ev = sdirk_step(dt_tr, q, v, t)
                 # Displacement-unit velocity weighting (see sdirk3's
                 # single-chip driver): e_v enters as dt*e_v.
                 en = jnp.maximum(

@@ -1515,3 +1515,123 @@ class TestSimulateSharded:
         with pytest.raises(ValueError, match="shape"):
             simulate_sharded(model, x0, 1e-4, 1e-4, mesh,
                              u=jnp.zeros(3))
+
+
+class TestSpatialNodeForce:
+    """Custom nodewise external forces on the sharded implicit tier.
+
+    `node_force(x, t)` (node layout, evaluated inside shard_map) must
+    reproduce the single-chip engines' `external_force(x_red, t)`
+    treatment exactly: residual-only at the alpha point / stage states,
+    lagged in the Jacobian. The force used mixes state feedback (spring +
+    damper on w) with explicit time dependence (harmonic drive), so the
+    time-threading of every engine is exercised too.
+    """
+
+    K_W, C_W, AMP, OMEGA = 40.0, 0.8, 0.03, 2500.0
+
+    @classmethod
+    def _node_force(cls):
+        k, c, A, w = cls.K_W, cls.C_W, cls.AMP, cls.OMEGA
+
+        def nf(x, t):
+            q, v = x[0], x[1]
+            f = jnp.zeros_like(q)
+            return f.at[:, 1].set(
+                -k * q[:, 1] - c * v[:, 1] + A * jnp.sin(w * t)
+            )
+
+        return nf
+
+    @classmethod
+    def _forces_func(cls, model):
+        free = np.asarray(model.beam_model.bc_info.free_dofs)
+        iw = jnp.asarray((free % 3 == 1).astype(float))
+        k, c, A, w = cls.K_W, cls.C_W, cls.AMP, cls.OMEGA
+        n = len(free)
+
+        def ff(x, t):
+            q, v = x[..., :n], x[..., n:]
+            return iw * (-k * q - c * v + A * jnp.sin(w * t))
+
+        return ff
+
+    def _run_pair(self, method, **kw):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        u = jnp.zeros(n).at[n - 2].set(0.05)
+        mesh = make_mesh({"sp": 8})
+        res_s = simulate_sharded(
+            model, x0, 4e-4, 1e-4, mesh, method=method, u=u,
+            node_force=self._node_force(), **kw,
+        )
+        res_1 = simulate(
+            model, x0, 4e-4, 1e-4, method=method, u=u,
+            forces_func=self._forces_func(model), **kw,
+        )
+        return res_s, res_1
+
+    def test_genalpha_matches_single_chip(self):
+        res_s, res_1 = self._run_pair(
+            "generalized_alpha", substeps=4, rho_inf=0.8, n_newton=2,
+        )
+        scale = float(jnp.abs(res_1.ys).max())
+        assert scale > 0
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys),
+            atol=1e-9 * scale,
+        )
+        # the force actually acts: drop it and the trajectory moves
+        from continuum_robot_tpu.models.simulate import simulate
+
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        u = jnp.zeros(n).at[n - 2].set(0.05)
+        res_0 = simulate(model, x0, 4e-4, 1e-4,
+                         method="generalized_alpha", u=u, substeps=4,
+                         rho_inf=0.8, n_newton=2)
+        assert float(jnp.abs(res_1.ys - res_0.ys).max()) > 1e-8 * scale
+
+    def test_sdirk3_matches_single_chip(self):
+        res_s, res_1 = self._run_pair("sdirk3", rtol=1e-6, atol=1e-9)
+        assert int(np.asarray(res_s.stats.n_accepted)) == int(
+            np.asarray(res_1.stats.n_accepted)
+        )
+        assert int(np.asarray(res_s.stats.n_rejected)) == int(
+            np.asarray(res_1.stats.n_rejected)
+        )
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys),
+            atol=1e-8 * scale,
+        )
+
+    def test_adaptive_genalpha_matches_single_chip(self):
+        res_s, res_1 = self._run_pair(
+            "generalized_alpha_adaptive", rtol=1e-6, atol=1e-9,
+            rho_inf=0.9,
+        )
+        assert int(np.asarray(res_s.stats.n_accepted)) == int(
+            np.asarray(res_1.stats.n_accepted)
+        )
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys),
+            atol=1e-8 * scale,
+        )
+
+    def test_rk4_matches_single_chip(self):
+        """node_force on the explicit sharded RHS == single-chip rk4
+        with the equivalent reduced forces_func (CG-tolerance bound)."""
+        res_s, res_1 = self._run_pair("rk4", substeps=2)
+        scale = float(jnp.abs(res_1.ys).max())
+        assert scale > 0
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys),
+            atol=1e-6 * scale,
+        )
