@@ -1,0 +1,61 @@
+"""Render a tools/tpu_session.sh results file as a markdown table.
+
+Usage:  python tools/bench_table.py [BENCH_SESSION.jsonl]
+
+Each input line is ``{"config": <label>, "result": <bench JSON or null>}``
+(see tools/tpu_session.sh). Output: one markdown table row per config with
+throughput, utilization, and roofline columns — the format NOTES_r2.md and
+README.md quote hardware measurements in.
+"""
+
+import json
+import sys
+
+
+def fmt_rate(v):
+    if v is None:
+        return "—"
+    if v >= 1e6:
+        return f"{v / 1e6:.1f}M"
+    if v >= 1e3:
+        return f"{v / 1e3:.1f}k"
+    return f"{v:.0f}"
+
+
+def main(path="BENCH_SESSION.jsonl"):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+
+    print("| config | env-steps/s | vs baseline | achieved | roofline_frac | bound |")
+    print("|---|---|---|---|---|---|")
+    for row in rows:
+        r = row.get("result")
+        if not r:
+            print(f"| {row['config']} | FAILED ({row.get('error', '?')}) | | | | |")
+            continue
+        # Achieved column: FLOP/s when compute-bound, HBM GB/s when
+        # memory-bound (matches how NOTES_r2 quotes utilization).
+        bound = r.get("bound", "—")
+        if bound == "compute" and "flops_per_sec" in r:
+            achieved = f"{r['flops_per_sec'] / 1e12:.2f} TFLOP/s"
+        elif "hbm_gbps" in r:
+            achieved = f"{r['hbm_gbps']:.0f} GB/s IO"
+        else:
+            achieved = "—"
+        frac = r.get("roofline_frac")
+        extra = ""
+        if "accepted_steps" in r:
+            extra = f" (acc {r['accepted_steps']}, rej {r['rejected_steps']})"
+        print(
+            f"| {row['config']}{extra} | {fmt_rate(r.get('value'))} | "
+            f"{fmt_rate(r.get('vs_baseline'))}x | {achieved} | "
+            f"{frac if frac is not None else '—'} | {bound} |"
+        )
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
