@@ -33,9 +33,13 @@ def main(path="BENCH_SESSION.jsonl"):
     print("| config | env-steps/s | vs baseline | achieved | roofline_frac | bound |")
     print("|---|---|---|---|---|---|")
     for row in rows:
+        # '|' in a label/error string would split the markdown row into
+        # extra cells; escape it (latent only — current labels are safe).
+        config = str(row["config"]).replace("|", "\\|")
         r = row.get("result")
         if not r:
-            print(f"| {row['config']} | FAILED ({row.get('error', '?')}) | | | | |")
+            err = str(row.get("error", "?")).replace("|", "\\|")
+            print(f"| {config} | FAILED ({err}) | | | | |")
             continue
         # Achieved column: FLOP/s when compute-bound, HBM GB/s when
         # memory-bound (matches how NOTES_r2 quotes utilization).
@@ -49,9 +53,12 @@ def main(path="BENCH_SESSION.jsonl"):
         frac = r.get("roofline_frac")
         extra = ""
         if "accepted_steps" in r:
-            extra = f" (acc {r['accepted_steps']}, rej {r['rejected_steps']})"
+            extra = (
+                f" (acc {r['accepted_steps']},"
+                f" rej {r.get('rejected_steps', '?')})"
+            )
         print(
-            f"| {row['config']}{extra} | {fmt_rate(r.get('value'))} | "
+            f"| {config}{extra} | {fmt_rate(r.get('value'))} | "
             f"{fmt_rate(r.get('vs_baseline'))}x | {achieved} | "
             f"{frac if frac is not None else '—'} | {bound} |"
         )

@@ -14,6 +14,18 @@ set -u
 cd "$(dirname "$0")/.."
 OUT="${1:-BENCH_SESSION.jsonl}"
 
+# Truncation trap: a run that dies mid-matrix (worker wedge, OOM-kill,
+# SIGTERM) must leave an explicit marker row — a silently-short file reads
+# as a complete matrix (round-2 lesson: the session stopped at row 6 of 14
+# with nothing in the file saying so).
+SESSION_COMPLETE=0
+on_exit() {
+    if [ "$SESSION_COMPLETE" -ne 1 ] && [ -f "$OUT" ]; then
+        printf '{"config": "__truncated__", "result": null, "error": "session did not run to completion — rows below the planned matrix are MISSING, not skipped"}\n' >>"$OUT"
+    fi
+}
+trap on_exit EXIT
+
 run_bench() { # label, env assignments...
     local label="$1"; shift
     echo "== $label" >&2
@@ -66,5 +78,6 @@ done
 run_bench "linear adaptive rtol=1e-6" BENCH_TOL=1e-6
 run_bench "nonlinear adaptive rtol=1e-6" BENCH_TYPE=nonlinear BENCH_TOL=1e-6
 
+SESSION_COMPLETE=1
 echo "results in $OUT" >&2
 cat "$OUT"
