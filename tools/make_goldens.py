@@ -255,6 +255,73 @@ def exact_zoh_golden(name, types, seg_len):
     )
 
 
+def stiff_damped_golden():
+    """Exact ZOH golden for the DAMPED stiff mesh: ``stiff60_damped.npz``.
+
+    Same 60-element reference-assembled beam as ``stiff60``, with Rayleigh
+    structural damping ``C = alpha M + beta K`` added to the reference's
+    own constrained matrices. The reference has no structural damping
+    (its only velocity coupling is the nonlinear fluid drag), so this
+    golden validates the repo's ``rayleigh=(alpha, beta)`` extension — but
+    the oracle construction is identical to :func:`exact_zoh_golden`:
+    the system is exactly LTI (``A = [[0, I], [-M^-1 K, -M^-1 C]]``) and
+    the tip impulse is piecewise-constant on the output grid, so the ZOH
+    discretization samples the continuous flow exactly (f64 expm roundoff
+    only). Written standalone (not merged into trajectories.npz) because
+    the damped config is a repo extension, not a reference workload.
+    """
+    import time
+
+    from scipy.linalg import expm
+    from continuum_robot.models.dynamic_beam_model import (
+        DynamicEulerBernoulliBeam as RefDyn,
+    )
+
+    alpha, beta = 5.0, 1e-8  # zeta ~ 0.9% at the first mode, 0.5% at 1e6 rad/s
+    t0 = time.time()
+    csv = helpers.write_beam_csv(["linear"] * STIFF_N, length=STIFF_LEN)
+    beam = RefDyn(csv)
+    K = beam.beam_model.get_stiffness_matrix()
+    M = beam.beam_model.get_mass_matrix()
+    os.unlink(csv)
+    n = K.shape[0]
+    C = alpha * M + beta * K
+    Minv = np.linalg.inv(M)
+    A = np.zeros((2 * n, 2 * n))
+    A[:n, n:] = np.eye(n)
+    A[n:, :n] = -Minv @ K
+    A[n:, n:] = -Minv @ C
+    B = np.zeros((2 * n, n))
+    B[n:, :] = Minv
+    aug = np.zeros((3 * n, 3 * n))
+    aug[: 2 * n, : 2 * n] = A
+    aug[: 2 * n, 2 * n :] = B
+    E = expm(aug * DT)
+    Phi, Gamma = E[: 2 * n, : 2 * n], E[: 2 * n, 2 * n :]
+
+    n_frames = int(round(T_FINAL / DT))
+    n_imp = int(round(0.01 / DT))
+    u_imp = np.zeros(n)
+    u_imp[-2] = 0.1
+    g_imp = Gamma @ u_imp
+    xs = np.zeros((n_frames + 1, 2 * n))
+    for k in range(n_frames):
+        xs[k + 1] = Phi @ xs[k] + (g_imp if k < n_imp else 0.0)
+    t = np.arange(n_frames + 1) * DT
+    np.savez(
+        os.path.join(GOLDEN_DIR, "stiff60_damped.npz"),
+        t=t, y=xs.T, method="exact_zoh", t_final=T_FINAL, dt=DT,
+        rayleigh_alpha=alpha, rayleigh_beta=beta,
+        n_elements=STIFF_N, segment_length=STIFF_LEN,
+        impulse_amplitude=0.1, impulse_t_end=0.01,
+    )
+    print(
+        f"  stiff60_damped: exact ZOH |y|max={np.abs(xs).max():.3e} "
+        f"({time.time() - t0:.0f}s)",
+        flush=True,
+    )
+
+
 def merge_trajectory_parts():
     """Combine the per-config part files into trajectories.npz (+ meta)."""
     out = {}
@@ -417,7 +484,9 @@ def lqr_closed_loop_goldens():
 
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    sections = set(sys.argv[1:]) or {"elements", "trajectories", "lqr", "lqr_cl"}
+    sections = set(sys.argv[1:]) or {
+        "elements", "trajectories", "stiff_damped", "lqr", "lqr_cl"
+    }
     if "elements" in sections:
         element_kernel_goldens()
     for s in list(sections):
@@ -427,6 +496,8 @@ if __name__ == "__main__":
         trajectory_goldens()
     if "merge" in sections:
         merge_trajectory_parts()
+    if "stiff_damped" in sections:
+        stiff_damped_golden()
     if "lqr" in sections:
         lqr_goldens()
     if "lqr_cl" in sections:

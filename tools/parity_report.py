@@ -136,9 +136,12 @@ def trajectory_parity():
         os.unlink(csv)
 
     # Production-scale stiff config: the same 1.5 m beam at 60 elements
-    # (~100x higher omega_max). Linear + no forces -> the exact ZOH
-    # propagator is the right engine (zero integration error for the
-    # piecewise-constant impulse), run in f64.
+    # (~100x higher omega_max). NOTE what this row checks: the repo's expm
+    # propagator uses the same ZOH recurrence that generated the golden
+    # (scipy expm of the assembled system), so its INTEGRATION error is
+    # tautologically ~0. Its real content is that the repo's 60-element
+    # K/M assembly + input map bit-match the reference's — independent
+    # stepper validation on this mesh lives in stiff_stepper_parity().
     if "stiff60_y" in data:
         from continuum_robot_tpu.ops.exponential import make_expm_propagator
         import jax.numpy as jnp
@@ -157,7 +160,7 @@ def trajectory_parity():
         ys = np.asarray(prop(jnp.zeros(2 * n), jnp.asarray(u_frames)))
         y_ref = data["stiff60_y"]
         y_new = ys.T[:, : y_ref.shape[1]]
-        row(f"trajectory ({horizon:g}s)", f"stiff60 ({n_el} elements, exact ZOH)",
+        row("assembly (60 el)", "stiff60 K/M + input map (same-recurrence ZOH)",
             np.abs(y_new - y_ref).max() / np.abs(y_ref).max(), 1e-6)
         os.unlink(csv)
 
@@ -294,6 +297,118 @@ def adaptive_engine_parity():
         os.unlink(csv)
 
 
+def stiff_stepper_parity():
+    """Independent validation of the production steppers on the stiff mesh.
+
+    The stiff60 golden is the exact ZOH flow of the reference-assembled
+    LTI system — a legitimate *independent* oracle for the steppers (they
+    discretize the ODE; the golden samples its continuous flow exactly).
+    Rows, all on the tip-displacement track:
+
+    * adaptive generalized-alpha / SDIRK3 / fixed-step modal vs the
+      undamped stiff60 golden at the full 1 s horizon;
+    * modal + modal-ROM with Rayleigh damping vs the damped exact-ZOH
+      golden (``stiff60_damped.npz``, the repo's damping extension on the
+      reference-assembled matrices);
+    * the NONLINEAR stiff mesh (consistent von Karman element — the
+      reference's variationally inconsistent polynomials are linearly
+      UNSTABLE at this refinement, max Re(eig) = +7.8e3 at q = 0; see
+      PARITY.md): SDIRK3 tolerance self-convergence and gen-alpha
+      cross-method agreement at 0.05 s. Explicit Dopri5 is NOT the oracle
+      here — on the linear stiff60 mesh, Dopri5 at rtol 1e-10 shows ~47%
+      tip error vs the exact ZOH flow (the error norm washes out the
+      small-amplitude near-Nyquist ringing the tip impulse excites and the
+      step settles at the stability boundary, where per-period phase error
+      accumulates over ~40k periods) — printed as an informational row:
+      the measured reason the implicit engines are the stiff answer.
+    """
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+    from continuum_robot_tpu.models.simulate import simulate
+
+    data = np.load(os.path.join(REPO, "tests", "goldens", "trajectories.npz"))
+    with open(os.path.join(REPO, "tests", "goldens",
+                           "trajectories_meta.json")) as f:
+        meta = json.load(f)
+    n_el = int(meta["stiff_n_elements"])
+    seg = meta["stiff_segment_length"]
+
+    # --- undamped stiff60: steppers vs the exact ZOH golden, 1 s ---
+    csv = helpers.write_beam_csv(["linear"] * n_el, length=seg)
+    beam = DynamicEulerBernoulliBeam(csv)
+    n = beam.n_pos_states
+    u = helpers.tip_impulse(n, meta["impulse_amplitude"],
+                            meta["impulse_t_end"])
+    tip_ref = data["stiff60_y"][n - 2, :]
+    sc = np.abs(tip_ref).max()
+    for name, method, bar, kw in [
+        ("stiff60 tip via adaptive gen-alpha (1s)",
+         "generalized_alpha_adaptive", 1e-4,
+         dict(rtol=1e-8, atol=1e-11, rho_inf=0.95, n_newton=2,
+              linear_solver="dense_inv")),
+        ("stiff60 tip via SDIRK3 (1s)", "sdirk3", 1e-4,
+         dict(rtol=1e-8, atol=1e-11, n_newton=2)),
+        ("stiff60 tip via modal h=1e-5 (1s)", "modal", 2e-3,
+         dict(substeps=100, rho_inf=0.95)),
+        ("stiff60 tip via explicit Dopri5@1e-10 (FYI: why implicit)",
+         "dopri5", None, dict(rtol=1e-10, atol=1e-14)),
+    ]:
+        res = simulate(beam, np.zeros(2 * n), meta["t_final"], meta["dt"],
+                       method=method, u=u, **kw)
+        tip = np.asarray(res.ys).T[n - 2, : tip_ref.shape[0]]
+        row("stiff steppers", name, np.abs(tip - tip_ref).max() / sc, bar)
+    os.unlink(csv)
+
+    # --- damped stiff60 (Rayleigh extension) vs its exact ZOH golden ---
+    gpath = os.path.join(REPO, "tests", "goldens", "stiff60_damped.npz")
+    if os.path.exists(gpath):
+        g = np.load(gpath)
+        csv = helpers.write_beam_csv(["linear"] * int(g["n_elements"]),
+                                     length=float(g["segment_length"]))
+        beam = DynamicEulerBernoulliBeam(csv)
+        n = beam.n_pos_states
+        u = helpers.tip_impulse(n, float(g["impulse_amplitude"]),
+                                float(g["impulse_t_end"]))
+        ray = (float(g["rayleigh_alpha"]), float(g["rayleigh_beta"]))
+        tip_ref = g["y"][n - 2, :]
+        sc = np.abs(tip_ref).max()
+        for name, method in [
+            ("stiff60 damped tip via modal+Rayleigh (1s)", "modal"),
+            ("stiff60 damped tip via modal-ROM+Rayleigh (1s)", "modal_rom"),
+        ]:
+            res = simulate(beam, np.zeros(2 * n), float(g["t_final"]),
+                           float(g["dt"]), method=method, u=u, rayleigh=ray,
+                           substeps=100, rho_inf=0.95)
+            tip = np.asarray(res.ys).T[n - 2, : tip_ref.shape[0]]
+            row("stiff steppers", name, np.abs(tip - tip_ref).max() / sc, 1e-3)
+        os.unlink(csv)
+
+    # --- nonlinear stiff mesh (consistent element): cross-method ---
+    csv = helpers.write_beam_csv(["nonlinear"] * n_el, length=seg)
+    beam = DynamicEulerBernoulliBeam(csv, use_consistent_nonlinear=True)
+    n = beam.n_pos_states
+    u = helpers.tip_impulse(n, meta["impulse_amplitude"],
+                            meta["impulse_t_end"])
+    hz = 0.05
+    runs = {}
+    for tag, method, kw in [
+        ("sdirk3@1e-8", "sdirk3", dict(rtol=1e-8, atol=1e-11, n_newton=3)),
+        ("sdirk3@1e-10", "sdirk3", dict(rtol=1e-10, atol=1e-13, n_newton=3)),
+        ("genalpha@1e-8", "generalized_alpha_adaptive",
+         dict(rtol=1e-8, atol=1e-11, rho_inf=0.95, n_newton=3,
+              linear_solver="dense_inv")),
+    ]:
+        res = simulate(beam, np.zeros(2 * n), hz, meta["dt"],
+                       method=method, u=u, **kw)
+        runs[tag] = np.asarray(res.ys).T[n - 2, :]
+    ref = runs["sdirk3@1e-10"]
+    sc = np.abs(ref).max()
+    row("stiff steppers", "stiff60nl SDIRK3 self-convergence (0.05s)",
+        np.abs(runs["sdirk3@1e-8"] - ref).max() / sc, 5e-5)
+    row("stiff steppers", "stiff60nl gen-alpha vs SDIRK3 (0.05s)",
+        np.abs(runs["genalpha@1e-8"] - ref).max() / sc, 5e-5)
+    os.unlink(csv)
+
+
 def lqr_parity():
     from continuum_robot_tpu.control import LinearQuadraticRegulator
 
@@ -312,6 +427,7 @@ if __name__ == "__main__":
     trajectory_parity()
     modal_engine_parity()
     adaptive_engine_parity()
+    stiff_stepper_parity()
     lqr_parity()
     lqr_closed_loop_parity()
     print("\nPARITY REPORT — continuum-robot-tpu vs reference")
