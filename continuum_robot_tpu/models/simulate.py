@@ -348,6 +348,17 @@ class ModalGenAlpha:
     dt: float
     cdamp: Optional[np.ndarray] = None  # (m,) modal Rayleigh damping, or None
 
+    def with_dt(self, dt: float) -> "ModalGenAlpha":
+        """The same engine at a different step size.
+
+        Every field except ``dt`` is dt-independent (the per-mode
+        effective-Jacobian inverses are computed lazily from ``dt`` by
+        :meth:`winv64`), so a dt sweep — e.g. a work-precision ladder
+        (tools/work_precision.py) — reuses one host eigendecomposition
+        instead of refactoring the (n, n) pencil per point.
+        """
+        return dataclasses.replace(self, dt=float(dt))
+
     def to_modal(self, q, v):
         """Physical reduced (q, v) -> modal (eta, etadot) via Phi^T M."""
         PhiTM = jnp.asarray(self.PhiTM, dtype=jnp.asarray(q).dtype)
@@ -707,6 +718,37 @@ class ModalROMGenAlpha:
     @property
     def n_modes(self) -> int:
         return self.Phi.shape[1]
+
+    def with_dt(self, dt: float) -> "ModalROMGenAlpha":
+        """The same ROM engine at a different step size.
+
+        Rebuilds the prefactored effective Jacobian for the new ``dt``
+        from the exactly-diagonal reduced linear operator ``lam`` —
+        available precisely when ``Sinv_diag`` was recorded (the
+        Petrov-Galerkin eigenbasis case, same precondition as
+        :meth:`rollout_adaptive`). A dt sweep then reuses one host
+        Arnoldi/eigen setup instead of re-running :func:`make_modal_rom`
+        per point. Augmented/defective bases with a genuinely coupled
+        reduced operator must rebuild via :func:`make_modal_rom`.
+        """
+        if self.Sinv_diag is None or self.lam is None:
+            raise ValueError(
+                "with_dt requires the diagonal reduced effective Jacobian "
+                "(Sinv_diag) — rebuild coupled/augmented engines with "
+                "make_modal_rom at the new dt"
+            )
+        am, af, beta, gamma_ga = self._coeffs()
+        d = (1.0 - am) + (1.0 - af) * beta * dt * dt * np.asarray(
+            self.lam, np.float64
+        )
+        if self.cdamp is not None:
+            d = d + (1.0 - af) * gamma_ga * dt * np.asarray(
+                self.cdamp, np.float64
+            )
+        return dataclasses.replace(
+            self, dt=float(dt), Sinv=np.diag(1.0 / d),
+            Sinv_diag=np.ascontiguousarray(1.0 / d),
+        )
 
     def to_modal(self, q, v):
         """Physical reduced (q, v) -> modal (eta, etadot) via PhiW^T M.

@@ -972,3 +972,77 @@ class TestEcswPersistence:
         other = _model(nonlinear_csv(8, include_fluid=False))
         with pytest.raises(ValueError, match="do not match"):
             make_modal_rom(other, 1e-4, basis=(V, np.asarray(ms.PhiW)))
+
+
+class TestWithDt:
+    """with_dt: one host setup serves a whole dt ladder (work-precision)."""
+
+    def test_modal_genalpha_with_dt_matches_fresh_build(self):
+        from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+        model = _model(linear_csv(4, include_fluid=False))
+        n = model.n_pos_states
+        u = _tip_impulse_const(n)
+        ms_a = make_modal_genalpha(model, 1e-4).with_dt(5e-5)
+        ms_b = make_modal_genalpha(model, 5e-5)
+        eta = jnp.zeros((2, ms_a.Phi.shape[1]))
+        u_m = jnp.asarray(ms_a.project_force_host(u))
+        out_a = ms_a.rollout(eta, eta, u_m, 50)
+        out_b = ms_b.rollout(eta, eta, u_m, 50)
+        for a, b in zip(out_a, out_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_modal_rom_with_dt_matches_fresh_build(self):
+        model = _model(nonlinear_csv(4, include_fluid=False))
+        n = model.n_pos_states
+        u = _tip_impulse_const(n)
+        ms_a = make_modal_rom(model, 1e-3, rho_inf=0.7).with_dt(2.5e-4)
+        ms_b = make_modal_rom(model, 2.5e-4, rho_inf=0.7)
+        np.testing.assert_allclose(
+            ms_a.Sinv_diag, ms_b.Sinv_diag, rtol=1e-12)
+        eta = jnp.zeros((2, ms_a.n_modes))
+        u_m = jnp.asarray(ms_a.project_force_host(u))
+        out_a = ms_a.rollout(eta, eta, u_m, 40, n_newton=2)
+        out_b = ms_b.rollout(eta, eta, u_m, 40, n_newton=2)
+        for a, b in zip(out_a, out_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-18)
+
+    def test_modal_rom_with_dt_rayleigh(self):
+        model = _model(nonlinear_csv(4, include_fluid=False))
+        ms_a = make_modal_rom(model, 1e-3, rho_inf=0.7,
+                              rayleigh=(2.0, 1e-6)).with_dt(2.5e-4)
+        ms_b = make_modal_rom(model, 2.5e-4, rho_inf=0.7,
+                              rayleigh=(2.0, 1e-6))
+        np.testing.assert_allclose(
+            ms_a.Sinv_diag, ms_b.Sinv_diag, rtol=1e-12)
+
+    def test_with_dt_requires_diagonal_jacobian(self):
+        model = DynamicEulerBernoulliBeam(
+            nonlinear_csv(4, include_fluid=False),
+            use_consistent_nonlinear=True,
+        )
+        ms = make_modal_rom(model, 1e-3)
+        if ms.Sinv_diag is not None and ms.lam is not None:
+            pytest.skip("consistent build recorded a split fast path")
+        with pytest.raises(ValueError, match="with_dt"):
+            ms.with_dt(5e-4)
+
+    def test_with_dt_preserves_ecsw_sample(self):
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        n = model.n_pos_states
+        u = _tip_impulse_const(n, 2.0)
+        ms = make_modal_rom(model, 1e-3, rho_inf=0.7)
+        z = jnp.zeros((1, ms.n_modes))
+        u_m = jnp.asarray(ms.project_force_host(u))
+        _, etas, _ = ms.rollout_frames(z, z, u_m, 10, substeps=4, n_newton=2)
+        ms_e = ms.hyper_reduce(np.asarray(etas[:, 0, :]), tau=1e-4)
+        ms_h = ms_e.with_dt(5e-4)
+        assert ms_h.sampled_params is not None
+        out_a = ms_h.rollout(z, z, u_m, 20, n_newton=2)
+        ms_f = make_modal_rom(model, 5e-4, rho_inf=0.7).hyper_reduce(
+            np.asarray(etas[:, 0, :]), tau=1e-4)
+        out_b = ms_f.rollout(z, z, u_m, 20, n_newton=2)
+        for a, b in zip(out_a, out_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-18)

@@ -1,0 +1,378 @@
+"""Work-precision curves: error vs throughput per engine on the benchmark
+workload.
+
+Every point is ONE hardware run of the 1000-element benchmark beam
+(bench.py's exact configuration: 0.25/6 m Nitinol elements, 4096 envs,
+constant 0.1 tip force, rest ICs, 0.2 s span, f32) that yields BOTH axes of
+the classic work-precision diagram at once:
+
+* **error** — relative L2 error of the endpoint displacement vector
+  ``q(T)`` on env 0, against the config's oracle;
+* **work** — env-steps/s (accepted steps for the adaptive engines), the
+  same convention as bench.py, so points are directly comparable to the
+  session matrix (``BENCH_SESSION.jsonl``).
+
+The dial is the engine's own accuracy knob: step size ``h`` for the
+fixed-step engines, ``rtol`` for the error-controlled ones. Because the
+runs execute in f32 on the TPU, the curves include the f32 floor users
+actually hit — this is deliberate (the f64 *method* error in isolation is
+characterized by tests/test_stiff_validation.py and the parity report).
+
+Oracles (documented per record in the JSON):
+
+* linear beam — the EXACT continuous flow: eigendecomposition of the
+  assembled ``(K, M)`` in float64 on the host; each mode's step response
+  to the constant tip force is analytic
+  (``eta_i(t) = (f_i / lam_i)(1 - cos(omega_i t))``). Independent of every
+  engine under test.
+* nonlinear beam — the dense generalized-alpha path at ``h = 1e-5``
+  (20x below the tightest ladder point, ``n_newton=2``, B=1): independent
+  of the ROM *basis*, so ROM/ECSW points honestly include basis-truncation
+  and sample-training error, which is exactly what a ROM user needs to
+  see. Its own time-integration error is O(h^2) below the ladder's.
+
+Usage:
+    python tools/work_precision.py run   [--quick] [--out work_precision.json]
+    python tools/work_precision.py render [work_precision.json]
+
+``run`` requires the TPU (one process at a time — do not run while another
+TPU job is active, CLAUDE.md); ``render`` prints the markdown table
+docs/design.md quotes. Runtime: ~25 min (dominated by per-point compiles
+and the dense-oracle run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPAN = 0.2           # bench.py: N_STEPS=2000 at DT=1e-4
+N_ENVS = 4096        # bench.py batch
+N_MODES = 256        # bench.py ROM basis
+ECSW_TAU = 1e-3      # bench.py ECSW training tolerance
+TIP_FORCE = 0.1
+
+
+def build_model(beam_type: str):
+    import pandas as pd
+
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+
+    L_el, E, r, rho = 0.25 / 6, 75e9, 0.005, 6450.0
+    I = np.pi * r**4 / 4
+    A = np.pi * r**2
+    n = 1000
+    df = pd.DataFrame(
+        {
+            "length": [L_el] * n,
+            "elastic_modulus": [E] * n,
+            "moment_inertia": [I] * n,
+            "density": [rho] * n,
+            "cross_area": [A] * n,
+            "type": [beam_type] * n,
+            "boundary_condition": ["FIXED"] + ["NONE"] * (n - 1),
+        }
+    )
+    return DynamicEulerBernoulliBeam(df)
+
+
+def exact_linear_endpoint(model, T: float) -> np.ndarray:
+    """Exact q(T) of the undamped LTI step response, float64 on host.
+
+    eta(t) = (f / lam) (1 - cos(sqrt(lam) t)) per mass-orthonormal mode —
+    the continuous flow itself, no discretization anywhere.
+    """
+    from scipy.linalg import eigh
+
+    K = np.asarray(model.beam_model.get_stiffness_matrix(), np.float64)
+    M = np.asarray(model.beam_model.get_mass_matrix(), np.float64)
+    lam, Phi = eigh(K, M)  # Phi^T M Phi = I
+    n = K.shape[0]
+    u = np.zeros(n)
+    u[-2] = TIP_FORCE
+    f = Phi.T @ u
+    eta_T = (f / lam) * (1.0 - np.cos(np.sqrt(lam) * T))
+    return Phi @ eta_T
+
+
+def rel_l2(q_new: np.ndarray, q_ref: np.ndarray) -> float:
+    return float(np.linalg.norm(q_new - q_ref) / np.linalg.norm(q_ref))
+
+
+def _timed(roll, args, sync):
+    """Run twice (warm-up = compile), time the second, sync via host scalar
+    (CLAUDE.md: block_until_ready does not await Pallas custom calls)."""
+    out = roll(*args)
+    sync(out)
+    t0 = time.time()
+    out = roll(*args)
+    sync(out)
+    return out, time.time() - t0
+
+
+def run_points(quick: bool = False):
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "float32")
+    import jax.numpy as jnp
+
+    from continuum_robot_tpu.models.simulate import (
+        make_modal_genalpha,
+        make_modal_rom,
+        make_newmark_operator,
+    )
+    from continuum_robot_tpu.ops.integrators import (
+        generalized_alpha_step,
+        integrate_generalized_alpha_adaptive,
+    )
+
+    backend = jax.default_backend()
+    interp = backend == "cpu"  # Pallas interpret-mode for CPU smoke runs
+    b = 8 if quick else N_ENVS
+    span = 0.02 if quick else SPAN
+    records = []
+
+    def record(**kw):
+        kw.setdefault("beam", "linear")
+        kw.setdefault("envs", b)
+        kw.setdefault("span_s", span)
+        records.append(kw)
+        print(f"# {kw}", file=sys.stderr, flush=True)
+
+    # ---------------- linear beam ----------------
+    model = build_model("linear")
+    n_red = model.n_pos_states
+    q_exact = exact_linear_endpoint(model, span)
+
+    h_ladder = [1e-4, 5e-5, 2e-5] if quick else [1e-4, 5e-5, 2e-5, 1e-5]
+    rho = 0.8  # bench.py dissipation for the linear workload
+    u_np = np.zeros(n_red, np.float32)
+    u_np[-2] = TIP_FORCE
+
+    ms_base = make_modal_genalpha(model, h_ladder[0], rho_inf=rho)
+    for engine in ("modal_pallas", "modal_xla_u4"):
+        for h in h_ladder:
+            ms = ms_base.with_dt(h)
+            n_steps = int(round(span / h))
+            q0 = jnp.zeros((b, n_red), jnp.float32)
+            eta, etad = jax.jit(ms.to_modal)(q0, q0)
+            u_m = jnp.asarray(ms.project_force_host(u_np), jnp.float32)
+            if engine == "modal_pallas":
+                def roll(e, ed, _n=n_steps, _u=u_m, _ms=ms):
+                    return _ms.rollout_pallas(e, ed, _u, _n, interpret=interp)
+            else:
+                roll = jax.jit(
+                    lambda e, ed, _n=n_steps, _u=u_m, _ms=ms:
+                    _ms.rollout(e, ed, _u, _n, unroll=4)
+                )
+            (e2, ed2, _), wall = _timed(
+                roll, (eta, etad), lambda o: float(jnp.sum(o[0]))
+            )
+            qT, _ = jax.jit(ms.from_modal)(e2, ed2)
+            err = rel_l2(np.asarray(qT[0], np.float64), q_exact)
+            record(engine=engine, dial="h", value=h, steps=n_steps,
+                   error=err, env_steps_per_s=round(n_steps * b / wall, 1),
+                   wall_s=round(wall, 3), oracle="exact-modal-flow-f64")
+
+    # Error-controlled dense engine: rtol ladder (bench.py BENCH_TOL path).
+    op = make_newmark_operator(model, dt=None, linear_solver="dense_inv")
+    t_eval = jnp.asarray([0.0, span], jnp.float32)
+    rtol_ladder = [1e-4, 1e-6] if quick else [1e-4, 1e-6, 1e-8]
+    for rtol in rtol_ladder:
+        q0 = jnp.zeros((b, n_red), jnp.float32)
+        run = jax.jit(
+            lambda q, v, _r=rtol: integrate_generalized_alpha_adaptive(
+                op, q, v, t_eval, u=jnp.asarray(u_np), rho_inf=rho,
+                rtol=_r, atol=_r * 1e-3, n_newton=1, dt0=1e-5,
+            )
+        )
+        (qs, vs, stats), wall = _timed(
+            run, (q0, q0), lambda o: float(jnp.sum(o[0][-1]))
+        )
+        n_acc = int(stats.n_accepted)
+        err = rel_l2(np.asarray(qs[-1, 0], np.float64), q_exact)
+        record(engine="genalpha_adaptive", dial="rtol", value=rtol,
+               steps=n_acc, rejected=int(stats.n_rejected), error=err,
+               env_steps_per_s=round(n_acc * b / wall, 1),
+               wall_s=round(wall, 3), oracle="exact-modal-flow-f64")
+
+    # ---------------- nonlinear beam ----------------
+    model_nl = build_model("nonlinear")
+    rho_nl = 0.5  # bench.py: the parity element needs stronger dissipation
+
+    # Dense-path oracle at h = 1e-5 (B=1): independent of the ROM basis.
+    h_oracle = 1e-4 if quick else 1e-5
+    am = (2.0 * rho_nl - 1.0) / (rho_nl + 1.0)
+    af = rho_nl / (rho_nl + 1.0)
+    beta_ga = 0.25 * (1.0 - am + af) ** 2
+    op_nl = make_newmark_operator(
+        model_nl, dt=None, linear_solver="dense_inv",
+        extra_systems=[(1.0 - am, (1.0 - af) * beta_ga * h_oracle * h_oracle)],
+    )
+    n_steps_oracle = int(round(span / h_oracle))
+    u_j = jnp.asarray(u_np)
+
+    def dense_roll(q, v, a):
+        def body(carry, _):
+            q, v, a = carry
+            q, v, a = generalized_alpha_step(
+                op_nl, 0.0, q, v, a, h_oracle, u_j,
+                rho_inf=rho_nl, n_newton=2,
+            )
+            return (q, v, a), None
+
+        (q, v, a), _ = jax.lax.scan(
+            body, (q, v, a), None, length=n_steps_oracle)
+        return q, v, a
+
+    q0 = jnp.zeros((1, n_red), jnp.float32)
+    a0 = op_nl.solve(q0, 0.0)(u_j - op_nl.internal_force(q0))
+    t0 = time.time()
+    qT_o, _, _ = jax.jit(dense_roll)(q0, q0, a0)
+    q_oracle = np.asarray(qT_o[0], np.float64)
+    print(f"# nonlinear dense oracle: h={h_oracle:g}, "
+          f"{n_steps_oracle} steps, {time.time() - t0:.0f}s",
+          file=sys.stderr, flush=True)
+
+    h_ladder_nl = [1e-4, 5e-5] if quick else [1e-4, 5e-5, 2e-5]
+    ms_nl_base = make_modal_rom(
+        model_nl, h_ladder_nl[0], rho_inf=rho_nl, n_modes=N_MODES)
+    # ECSW training (bench.py's protocol: short impulse rollout), once —
+    # the trained sample is dt-independent; with_dt re-prefactors per h.
+    u_tr = np.zeros(n_red, np.float32)
+    u_tr[-2] = 3.0
+    u_tr_m = jnp.asarray(ms_nl_base.project_force_host(u_tr), jnp.float32)
+    z = jnp.zeros((1, ms_nl_base.n_modes), jnp.float32)
+    _, etas_tr, _ = ms_nl_base.rollout_frames(
+        z, z, u_tr_m, 30, substeps=20, n_newton=2)
+    ms_ecsw_base, ecsw_info = ms_nl_base.hyper_reduce(
+        np.asarray(etas_tr[::3, 0, :]), tau=ECSW_TAU, return_info=True)
+    print(f"# ECSW sample: {ecsw_info['n_sampled']}/1000 elements",
+          file=sys.stderr, flush=True)
+
+    for engine in ("modal_rom", "modal_rom_pallas", "ecsw"):
+        for h in h_ladder_nl:
+            ms = (ms_ecsw_base if engine == "ecsw" else ms_nl_base).with_dt(h)
+            extra = (
+                {"ecsw_sampled": int(ecsw_info["n_sampled"])}
+                if engine == "ecsw" else {}
+            )
+            n_steps = int(round(span / h))
+            q0 = jnp.zeros((b, n_red), jnp.float32)
+            eta, etad = jax.jit(ms.to_modal)(q0, q0)
+            u_m = jnp.asarray(ms.project_force_host(u_np), jnp.float32)
+            prec = jax.lax.Precision.HIGHEST
+            nl_prec = jax.lax.Precision.HIGH  # bench.py default dial
+            if engine == "modal_rom_pallas":
+                fused = ms.make_pallas_rollout(tile=min(256, b))
+
+                def roll(e, ed, _n=n_steps, _u=u_m, _f=fused):
+                    return _f(e, ed, _u, _n, n_newton=1, precision=prec,
+                              nl_precision=nl_prec, interpret=interp)
+            else:
+                roll = jax.jit(
+                    lambda e, ed, _n=n_steps, _u=u_m, _ms=ms:
+                    _ms.rollout(e, ed, _u, _n, n_newton=1, precision=prec,
+                                nl_precision=nl_prec,
+                                unroll=8 if engine == "ecsw" else 1)
+                )
+            (e2, ed2, _), wall = _timed(
+                roll, (eta, etad), lambda o: float(jnp.sum(o[0]))
+            )
+            qT, _ = jax.jit(ms.from_modal)(e2, ed2)
+            err = rel_l2(np.asarray(qT[0], np.float64), q_oracle)
+            record(beam="nonlinear", engine=engine, dial="h", value=h,
+                   steps=n_steps, error=err,
+                   env_steps_per_s=round(n_steps * b / wall, 1),
+                   wall_s=round(wall, 3),
+                   oracle=f"dense-genalpha-h{h_oracle:g}", **extra)
+
+    # Error-controlled ROM: rtol ladder.
+    for rtol in rtol_ladder:
+        ms = ms_nl_base
+        q0 = jnp.zeros((b, n_red), jnp.float32)
+        eta, etad = jax.jit(ms.to_modal)(q0, q0)
+        u_m = jnp.asarray(ms.project_force_host(u_np), jnp.float32)
+        t_eval_nl = jnp.asarray([0.0, span], jnp.float32)
+        run = jax.jit(
+            lambda e, ed, _r=rtol, _ms=ms: _ms.rollout_adaptive(
+                e, ed, u_m, t_eval_nl, rtol=_r, atol=_r * 1e-3, n_newton=2,
+            )
+        )
+        (etas, etads, stats), wall = _timed(
+            run, (eta, etad), lambda o: float(jnp.sum(o[0][-1]))
+        )
+        qs, _ = jax.jit(ms.from_modal)(etas[-1], etads[-1])
+        n_acc = int(stats.n_accepted)
+        err = rel_l2(np.asarray(qs[0], np.float64), q_oracle)
+        record(beam="nonlinear", engine="modal_rom_adaptive", dial="rtol",
+               value=rtol, steps=n_acc, rejected=int(stats.n_rejected),
+               error=err, env_steps_per_s=round(n_acc * b / wall, 1),
+               wall_s=round(wall, 3), oracle=f"dense-genalpha-h{h_oracle:g}")
+
+    return records
+
+
+def render(path: str):
+    with open(path) as f:
+        data = json.load(f)
+    meta = data["meta"]
+    print(f"Work-precision on the benchmark workload "
+          f"(1000-element beam, {meta['envs']} envs, {meta['span_s']} s "
+          f"span, f32, backend={meta['backend']}, {meta['date']}):\n")
+    print("| beam | engine | dial | error (rel L2, q(T)) | env-steps/s | "
+          "steps | oracle |")
+    print("|---|---|---|---|---|---|---|")
+    for r in data["records"]:
+        dial = f"{r['dial']}={r['value']:g}"
+        extra = f" (s={r['ecsw_sampled']})" if "ecsw_sampled" in r else ""
+        rej = f" (+{r['rejected']} rej)" if "rejected" in r else ""
+        print(
+            f"| {r['beam']} | {r['engine']}{extra} | {dial} "
+            f"| {r['error']:.2e} | {r['env_steps_per_s'] / 1e6:.2f}M "
+            f"| {r['steps']}{rej} | {r['oracle']} |"
+        )
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "render":
+        render(sys.argv[2] if len(sys.argv) > 2
+               else os.path.join(REPO, "work_precision.json"))
+        return
+    if not (len(sys.argv) > 1 and sys.argv[1] == "run"):
+        raise SystemExit(__doc__)
+    quick = "--quick" in sys.argv
+    out = os.path.join(REPO, "work_precision.json")
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    records = run_points(quick=quick)
+    payload = {
+        "meta": {
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "envs": 8 if quick else N_ENVS,
+            "span_s": 0.02 if quick else SPAN,
+            "date": time.strftime("%Y-%m-%d"),
+            "quick": quick,
+        },
+        "records": records,
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"# wrote {out} ({len(records)} points)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
