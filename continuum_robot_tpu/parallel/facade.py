@@ -11,10 +11,12 @@ without touching the node-layout plumbing (``make_spatial_beam``,
 The reference scales only by ``multiprocessing.Pool`` over whole
 independent simulations (``/root/reference/examples/beam_comparison_fluid
 .py:53-84``); a beam too long for one device has no reference counterpart.
-The modal/ROM spatial tier keeps its richer builder API
-(``build_spatial_modal_rom``: hyper-reduction, envelope guards, sharded
-physical frames) — this facade covers the node-layout engines whose
-output is a plain trajectory.
+Every engine tier ``simulate()`` offers is dispatchable here — the
+node-layout engines (rk4 / gen-alpha / adaptive / SDIRK3) and the modal
+tier (modal / modal_rom / modal_rom_adaptive, via
+:func:`_simulate_sharded_modal`). The richer ECSW workflows
+(hyper-reduction training, envelope-guarded rollouts, sharded physical
+frames) keep the builder API (``build_spatial_modal_rom``).
 """
 
 from __future__ import annotations
@@ -41,6 +43,11 @@ _METHODS = (
     "generalized_alpha",
     "generalized_alpha_adaptive",
     "sdirk3",
+)
+_MODAL_METHODS = (
+    "modal",
+    "modal_rom",
+    "modal_rom_adaptive",
 )
 
 
@@ -102,6 +109,8 @@ def simulate_sharded(
     axis: str = "sp",
     cg_iters: int = 32,
     cg_tol: float = 1e-8,
+    n_modes: Optional[int] = None,
+    rayleigh: Optional[tuple] = None,
 ):
     """Run a sharded rollout with the single-chip ``simulate()`` contract.
 
@@ -121,7 +130,16 @@ def simulate_sharded(
             the inner step is ``dt / substeps``) |
             ``generalized_alpha_adaptive`` / ``sdirk3`` (error-controlled:
             ``rtol``/``atol`` pick every step, ``dt`` only spaces the
-            output frames).
+            output frames) |
+            ``modal`` (linear beams, node-sharded basis memory/transforms)
+            | ``modal_rom`` (nonlinear Petrov-Galerkin reduction, the
+            correction force sharded over the beam axis; ``n_modes``
+            truncates) | ``modal_rom_adaptive`` (error-controlled ROM
+            stepping) — the same engine selection as ``simulate()``, on
+            the ``sp`` axis. The modal methods accept ``rayleigh=`` and
+            reject ``node_force``/fluid/gravity (same force scope as the
+            single-chip modal engines); richer ECSW/guard workflows keep
+            the builder API (``build_spatial_modal_rom``).
         u: constant reduced force vector over position DOFs (node-layout
             conversion handled here), or None.
         node_force: optional custom nodewise external force ``f(x, t) ->
@@ -142,11 +160,24 @@ def simulate_sharded(
     from ..models.simulate import SimulationResult
     from ..ops import integrators
 
+    if method in _MODAL_METHODS:
+        return _simulate_sharded_modal(
+            model, x0, t_final, dt, mesh, method, u=u, rtol=rtol, atol=atol,
+            substeps=substeps, n_newton=n_newton, rho_inf=rho_inf,
+            use_consistent=use_consistent, fluid_density=fluid_density,
+            gravity=gravity, node_force=node_force, axis=axis,
+            n_modes=n_modes, rayleigh=rayleigh,
+        )
     if method not in _METHODS:
         raise ValueError(
-            f"Unknown sharded method: {method!r} (use one of {_METHODS}; "
-            "the modal/ROM spatial tier keeps its builder API — "
-            "build_spatial_modal / build_spatial_modal_rom)"
+            f"Unknown sharded method: {method!r} "
+            f"(use one of {_METHODS + _MODAL_METHODS})"
+        )
+    if rayleigh is not None:
+        raise ValueError(
+            "rayleigh structural damping is supported by the modal "
+            "sharded methods (method='modal'/'modal_rom'/"
+            "'modal_rom_adaptive'), matching simulate()"
         )
 
     fp = getattr(model, "force_params", None)
@@ -234,5 +265,115 @@ def simulate_sharded(
 
     ys = _node_frames_to_reduced(model, xs)
     if batched:  # builders put frames leading, envs second
+        ys = jnp.moveaxis(ys, 1, 0)
+    return SimulationResult(ts=jnp.asarray(ts), ys=ys, stats=stats)
+
+
+def _simulate_sharded_modal(
+    model, x0, t_final, dt, mesh, method, *, u, rtol, atol, substeps,
+    n_newton, rho_inf, use_consistent, fluid_density, gravity, node_force,
+    axis, n_modes, rayleigh,
+):
+    """``simulate()``-contract front end for the sharded modal/ROM tier.
+
+    Engine selection and argument semantics mirror
+    ``models.simulate.simulate(method='modal'/'modal_rom'/
+    'modal_rom_adaptive')``; the basis memory, the transforms, and (for
+    the ROM) the per-Newton correction force are sharded over ``axis``.
+    Force scope matches the single-chip modal engines: constant reduced
+    ``u`` only — fluid/gravity/``node_force`` raise here exactly like
+    ``make_modal_genalpha`` raises on registered registry forces.
+    """
+    from ..models.simulate import SimulationResult
+    from .spatial_modal import build_spatial_modal, build_spatial_modal_rom
+
+    if node_force is not None:
+        raise ValueError(
+            "node_force is supported by the node-layout sharded methods; "
+            "the modal tier's force scope is a constant reduced u (same "
+            "as the single-chip modal engines)"
+        )
+    fp = getattr(model, "force_params", None)
+    wants_forces = (
+        fluid_density is not None
+        or gravity is not None
+        or (fp is not None and (fp.enable_fluid_effects
+                                or fp.enable_gravity_effects))
+    )
+    if wants_forces:
+        raise ValueError(
+            "the sharded modal methods support no fluid/gravity forces "
+            "(same scope as make_modal_genalpha/make_modal_rom); use "
+            "method='generalized_alpha'/'sdirk3' for forced beams"
+        )
+    if use_consistent and method != "modal":
+        raise ValueError(
+            "the sharded ROM engine requires the parity element "
+            "(use_consistent=False) — see build_spatial_modal_rom"
+        )
+
+    x0 = jnp.asarray(x0)
+    if x0.ndim not in (1, 2):
+        raise ValueError(
+            "x0 must be reduced [q; v] with at most one leading batch "
+            f"axis, got shape {tuple(x0.shape)}"
+        )
+    batched = x0.ndim == 2
+    n = x0.shape[-1] // 2
+    n_frames = int(round(t_final / dt))
+
+    if callable(u):
+        raise ValueError(
+            "simulate_sharded takes a constant reduced force vector; "
+            "for time-varying inputs use the per-engine builders"
+        )
+
+    h = dt / substeps
+    if method == "modal":
+        eng = build_spatial_modal(
+            model, mesh, h, rho_inf=rho_inf, n_modes=n_modes,
+            rayleigh=rayleigh, axis=axis,
+        )
+    else:
+        eng = build_spatial_modal_rom(
+            model, mesh, h, rho_inf=rho_inf, n_modes=n_modes,
+            rayleigh=rayleigh, axis=axis,
+        )
+
+    beam_nodes = eng.n_nodes
+    xn = reduced_to_node_layout(model, x0, beam_nodes)
+    eta, etad = eng.to_modal(xn)
+    if u is not None and jnp.asarray(u).shape != (n,):
+        raise ValueError(
+            f"u must be a constant reduced force vector of shape ({n},), "
+            f"got {tuple(jnp.asarray(u).shape)}"
+        )
+    u_m = (
+        None if u is None
+        else jnp.asarray(eng.ms.project_force_host(u), x0.dtype)
+    )
+
+    stats = None
+    if method == "modal":
+        ts, etas, etads = eng.rollout_frames(
+            eta, etad, u_m, n_frames, substeps=substeps
+        )
+    elif method == "modal_rom":
+        ts, etas, etads = eng.rollout_frames(
+            eta, etad, u_m, n_frames, substeps=substeps,
+            n_newton=2 if n_newton is None else n_newton,
+        )
+    else:  # modal_rom_adaptive
+        t_eval = np.linspace(0.0, t_final, n_frames + 1)
+        etas, etads, stats = eng.rollout_adaptive(
+            eta, etad, u_m, jnp.asarray(t_eval, x0.dtype),
+            rtol=rtol, atol=atol,
+            n_newton=2 if n_newton is None else n_newton,
+        )
+        ts = jnp.asarray(t_eval, x0.dtype)
+
+    qs, vs = eng.ms.from_modal(etas, etads)
+    ys = jnp.concatenate([qs, vs], axis=-1)
+    if batched:  # frames leading, envs second -> envs leading
         ys = jnp.moveaxis(ys, 1, 0)
     return SimulationResult(ts=jnp.asarray(ts), ys=ys, stats=stats)

@@ -1635,3 +1635,129 @@ class TestSpatialNodeForce:
             np.asarray(res_s.ys), np.asarray(res_1.ys),
             atol=1e-6 * scale,
         )
+
+
+class TestSimulateShardedModal:
+    """The facade's modal tier: `simulate()` contract over sp for
+    method='modal'/'modal_rom'/'modal_rom_adaptive' (VERDICT r2 item 7)."""
+
+    def test_modal_matches_single_chip(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        u = jnp.zeros(n).at[n - 2].set(0.05)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="modal", u=u, substeps=4, rho_inf=0.9)
+        res_s = simulate_sharded(model, x0, 4e-4, 1e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 1e-4, **kw)
+        assert res_s.ys.shape == res_1.ys.shape == (5, 2 * n)
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-10 * scale)
+
+    def test_modal_rayleigh_matches_single_chip(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="modal", substeps=4, rayleigh=(4.0, 1e-7))
+        res_s = simulate_sharded(model, x0, 4e-4, 1e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 1e-4, **kw)
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-10 * scale)
+
+    def test_modal_rom_matches_single_chip(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        u = jnp.zeros(n).at[n - 2].set(0.05)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="modal_rom", u=u, substeps=4, rho_inf=0.8,
+                  n_newton=2)
+        res_s = simulate_sharded(model, x0, 4e-4, 1e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 1e-4, **kw)
+        assert res_s.ys.shape == res_1.ys.shape
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-9 * scale)
+
+    def test_modal_rom_truncated_batched(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        n = model.n_pos_states
+        x0 = np.zeros((2, 2 * n))
+        x0[0, n - 2] = 2e-4
+        x0[1, n - 2] = -1e-4
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        res_s = simulate_sharded(
+            model, jnp.asarray(x0), 4e-4, 2e-4, mesh, method="modal_rom",
+            substeps=2, n_modes=12,
+        )
+        assert res_s.ys.shape == (2, 3, 2 * n)
+        for b in (0, 1):
+            res_1 = simulate(
+                model, jnp.asarray(x0[b]), 4e-4, 2e-4, method="modal_rom",
+                substeps=2, n_modes=12,
+            )
+            scale = float(jnp.abs(res_1.ys).max())
+            np.testing.assert_allclose(
+                np.asarray(res_s.ys[b]), np.asarray(res_1.ys),
+                atol=1e-9 * scale)
+
+    def test_modal_rom_adaptive_matches_single_chip(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="modal_rom_adaptive", rtol=1e-6, atol=1e-12)
+        res_s = simulate_sharded(model, x0, 4e-4, 2e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 2e-4, **kw)
+        assert res_s.stats is not None
+        assert int(np.asarray(res_s.stats.n_accepted)) == int(
+            np.asarray(res_1.stats.n_accepted))
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-9 * scale)
+
+    def test_error_contracts(self):
+        from continuum_robot_tpu.models.config import ForceParams
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        mesh = make_mesh({"sp": 8})
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n)
+        with pytest.raises(ValueError, match="no fluid/gravity"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal_rom",
+                             fluid_density=1000.0)
+        fp_model = DynamicEulerBernoulliBeam(
+            helpers.mixed_csv(14, include_fluid=True),
+            ForceParams(fluid_density=1000.0, enable_fluid_effects=True),
+        )
+        with pytest.raises(ValueError, match="no fluid/gravity"):
+            simulate_sharded(fp_model, x0, 1e-4, 1e-4, mesh,
+                             method="modal_rom")
+        with pytest.raises(ValueError, match="node_force"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal_rom",
+                             node_force=lambda x, t: x[0])
+        with pytest.raises(ValueError, match="rayleigh"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh,
+                             method="generalized_alpha", rayleigh=(1.0, 0.0))
+        with pytest.raises(ValueError, match="parity element"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal_rom",
+                             use_consistent=True)
