@@ -28,7 +28,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .spatial import (
-    build_spatial_rhs,
     make_spatial_beam,
     reduced_to_node_layout,
 )
@@ -158,7 +157,6 @@ def simulate_sharded(
         carry per-env :class:`AdaptiveStats` in ``.stats``.
     """
     from ..models.simulate import SimulationResult
-    from ..ops import integrators
 
     if method in _MODAL_METHODS:
         return _simulate_sharded_modal(
@@ -215,24 +213,24 @@ def simulate_sharded(
                 "implicit methods; for explicit differentiable rollouts "
                 "use build_spatial_rhs directly with cg_tol=None"
             )
-        rhs = build_spatial_rhs(
-            beam, cg_iters=cg_iters, use_consistent=use_consistent,
-            cg_tol=cg_tol, fluid_density=fluid_density, gravity=gravity,
-            node_force=node_force,
-        )
+        from .spatial import spatial_rollout
 
-        def run(x_single):
-            return integrators.integrate_fixed(
-                rhs, x_single, 0.0, dt, n_frames, u=u_node,
-                substeps=substeps,
+        if cg_tol is not None:
+            # Counted CG cap-hit stat (the explicit tier's analogue of
+            # AdaptiveStats.n_incomplete) rides SimulationResult.stats.
+            ts, xs, stats = spatial_rollout(
+                beam, xn, t_final, dt, u=u_node, substeps=substeps,
+                cg_iters=cg_iters, use_consistent=use_consistent,
+                cg_tol=cg_tol, fluid_density=fluid_density,
+                gravity=gravity, node_force=node_force, cg_stats=True,
             )
-
-        if batched:
-            import jax
-
-            ts, xs = jax.vmap(run, out_axes=(None, 1))(xn)
         else:
-            ts, xs = run(xn)
+            ts, xs = spatial_rollout(
+                beam, xn, t_final, dt, u=u_node, substeps=substeps,
+                cg_iters=cg_iters, use_consistent=use_consistent,
+                cg_tol=cg_tol, fluid_density=fluid_density,
+                gravity=gravity, node_force=node_force,
+            )
     elif method == "generalized_alpha":
         roll = build_spatial_genalpha(
             beam, dt / substeps, rho_inf=rho_inf,

@@ -251,6 +251,7 @@ def build_spatial_rhs(
     fluid_density: float = None,
     gravity=None,
     node_force: Callable = None,
+    with_info: bool = False,
 ) -> Callable:
     """Fully sharded ``rhs(t, x, u)`` over the ``sp`` axis via shard_map.
 
@@ -273,7 +274,21 @@ def build_spatial_rhs(
     node-local contract as the implicit builders'
     (``spatial_implicit.build_spatial_genalpha``); evaluated at the RHS
     time ``t``, added to the assembled force before the mass solve.
+
+    ``with_info``: the returned ``rhs(t, x, u)`` additionally returns a
+    replicated scalar ``cg_incomplete`` — 1.0 when the solve exited on
+    the ``cg_iters`` CAP with the residual still above ``cg_tol`` (the
+    non-convergence that was previously silent), else 0.0. Consumed by
+    :func:`spatial_rollout`'s counted ``cg_stats`` (the explicit tier's
+    analogue of ``AdaptiveStats.n_incomplete``). Requires a tolerance
+    stop (``cg_tol is not None``: a fixed-iteration scan tracks no
+    residual by design).
     """
+    if with_info and cg_tol is None:
+        raise ValueError(
+            "with_info requires a tolerance stop (cg_tol is not None): "
+            "the fixed-iteration scan tracks no residual by design"
+        )
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
     arrays = beam.arrays
     mask = np.asarray(beam.free_mask, dtype=np.float32)
@@ -338,7 +353,7 @@ def build_spatial_rhs(
         in_specs=(PartitionSpec(), p_x, p_node, p_el, p_el, p_el, p_el,
                   p_el, p_node, p_block, p_block, p_block, p_block,
                   p_node, p_el),
-        out_specs=p_x,
+        out_specs=(p_x, PartitionSpec()) if with_info else p_x,
     )
     def rhs_core(t, x, u, a_len, a_E, a_I, a_A, a_nl, m_mask,
                  md, ml, mu, mdi, dfac, gmass):
@@ -399,6 +414,7 @@ def build_spatial_rhs(
                 None,
                 length=cg_iters,
             )
+            rr_final = None
         else:
             tol2 = jnp.asarray(cg_tol, f.dtype) ** 2
 
@@ -411,11 +427,18 @@ def build_spatial_rhs(
                 _, _, _, _, rr, i = carry
                 return jnp.logical_and(rr > tol2 * rr0, i < cg_iters)
 
-            acc, _, _, _, _, _ = jax.lax.while_loop(
+            acc, _, _, _, rr_final, _ = jax.lax.while_loop(
                 cg_cond, cg_body, (a0, r0, p0, rz0, rr0, 0)
             )
         acc = acc * m_mask
-        return jnp.stack([v * m_mask, acc], axis=0)
+        out = jnp.stack([v * m_mask, acc], axis=0)
+        if with_info:
+            # Cap-hit flag: the loop exited with the residual still above
+            # tolerance. rr/rr0 are psum-contracted, so the flag is
+            # identical on every shard (replicated out_spec).
+            incomplete = (rr_final > tol2 * rr0).astype(out.dtype)
+            return out, incomplete
+        return out
 
     def rhs(t, x, u=None):
         if u is None:
@@ -442,6 +465,7 @@ def spatial_rollout(
     fluid_density: float = None,
     gravity=None,
     node_force: Callable = None,
+    cg_stats: bool = False,
 ):
     """RK4 rollout of a node-sharded beam: the full CP-analogue pipeline.
 
@@ -452,27 +476,87 @@ def spatial_rollout(
     ``fluid_density`` / ``gravity`` / ``node_force`` pass through to
     :func:`build_spatial_rhs`. Returns
     ``(ts, xs (frames+1, ..., 2, Np, 3))``.
+
+    ``cg_stats``: additionally return ``{"cg_incomplete": n, "cg_evals":
+    total}`` counting the RHS evaluations whose mass-solve CG exited on
+    the iteration CAP without reaching ``cg_tol`` — the explicit tier's
+    analogue of ``AdaptiveStats.n_incomplete`` (a cap-hit was previously
+    silent). Per env when batched. Requires ``cg_tol is not None``.
     """
     from ..ops import integrators
 
-    rhs = build_spatial_rhs(
-        beam, cg_iters=cg_iters, use_consistent=use_consistent,
-        cg_tol=cg_tol, fluid_density=fluid_density, gravity=gravity,
-        node_force=node_force,
-    )
     n_steps = int(round(t_final / dt))
+    x0 = jnp.asarray(x0)
 
-    def run(x0):
-        return integrators.integrate_fixed(
-            rhs, x0, 0.0, dt, n_steps, u=u, substeps=substeps
+    if not cg_stats:
+        rhs = build_spatial_rhs(
+            beam, cg_iters=cg_iters, use_consistent=use_consistent,
+            cg_tol=cg_tol, fluid_density=fluid_density, gravity=gravity,
+            node_force=node_force,
         )
 
-    x0 = jnp.asarray(x0)
+        def run(x0):
+            return integrators.integrate_fixed(
+                rhs, x0, 0.0, dt, n_steps, u=u, substeps=substeps
+            )
+
+        if x0.ndim == 4:  # leading env batch -> vmap over dp
+            ts, xs = jax.vmap(run, out_axes=(None, 1))(x0)
+        else:
+            ts, xs = run(x0)
+        return ts, xs
+
+    rhs_info = build_spatial_rhs(
+        beam, cg_iters=cg_iters, use_consistent=use_consistent,
+        cg_tol=cg_tol, fluid_density=fluid_density, gravity=gravity,
+        node_force=node_force, with_info=True,
+    )
+    h = dt / substeps
+
+    def rk4_counted(t, x, u_t):
+        """rk4_step with the cap-hit flags of all four stages summed."""
+        k1, f1 = rhs_info(t, x, u_t)
+        k2, f2 = rhs_info(t + 0.5 * h, x + (0.5 * h) * k1, u_t)
+        k3, f3 = rhs_info(t + 0.5 * h, x + (0.5 * h) * k2, u_t)
+        k4, f4 = rhs_info(t + h, x + h * k3, u_t)
+        xn = x + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        return xn, f1 + f2 + f3 + f4
+
+    def run(x0):
+        u_const = None if callable(u) else u
+
+        def outer(carry, i):
+            x, n_inc = carry
+            t_frame = i * dt
+
+            def inner(c, j):
+                x, n_inc = c
+                t = t_frame + j * h
+                u_t = u(t) if callable(u) else u_const
+                x, inc = rk4_counted(t, x, u_t)
+                return (x, n_inc + inc), None
+
+            (x, n_inc), _ = jax.lax.scan(
+                inner, (x, n_inc), jnp.arange(substeps)
+            )
+            return (x, n_inc), x
+
+        (x_f, n_inc), xs = jax.lax.scan(
+            outer, (x0, jnp.zeros((), x0.dtype)), jnp.arange(n_steps)
+        )
+        xs = jnp.concatenate([x0[None], xs], axis=0)
+        return xs, n_inc
+
+    ts = dt * jnp.arange(n_steps + 1)
     if x0.ndim == 4:  # leading env batch -> vmap over dp
-        ts, xs = jax.vmap(run, out_axes=(None, 1))(x0)
+        xs, n_inc = jax.vmap(run, out_axes=(1, 0))(x0)
     else:
-        ts, xs = run(x0)
-    return ts, xs
+        xs, n_inc = run(x0)
+    stats = {
+        "cg_incomplete": n_inc,
+        "cg_evals": 4 * n_steps * substeps,
+    }
+    return ts, xs, stats
 
 
 def reduced_to_node_layout(model, x_red, n_nodes_padded: int):

@@ -1761,3 +1761,171 @@ class TestSimulateShardedModal:
         with pytest.raises(ValueError, match="parity element"):
             simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal_rom",
                              use_consistent=True)
+
+
+class TestCgIncompleteStat:
+    """CG iteration-cap hits are COUNTED, not silent (VERDICT r2 item 6c):
+    the explicit tier's analogue of AdaptiveStats.n_incomplete."""
+
+    @staticmethod
+    def _setup(n_el=10):
+        from continuum_robot_tpu.parallel import reduced_to_node_layout
+
+        csv = helpers.write_beam_csv(["linear"] * n_el)
+        model = DynamicEulerBernoulliBeam(csv)
+        n = model.n_pos_states
+        x0 = np.zeros(2 * n)
+        x0[n - 2] = 1e-4
+        mesh = make_mesh({"sp": 8})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        return model, beam, reduced_to_node_layout(model, x0, beam.n_nodes)
+
+    def test_converged_counts_zero_and_matches_plain(self):
+        from continuum_robot_tpu.parallel import spatial_rollout
+
+        _, beam, x0_sp = self._setup()
+        ts, xs, stats = spatial_rollout(
+            beam, x0_sp, 0.002, 0.001, substeps=10, cg_iters=40,
+            cg_tol=1e-8, cg_stats=True,
+        )
+        assert int(np.asarray(stats["cg_incomplete"])) == 0
+        assert stats["cg_evals"] == 4 * 2 * 10
+        ts2, xs2 = spatial_rollout(
+            beam, x0_sp, 0.002, 0.001, substeps=10, cg_iters=40,
+            cg_tol=1e-8,
+        )
+        np.testing.assert_array_equal(np.asarray(xs), np.asarray(xs2))
+
+    def test_cap_hit_is_counted(self):
+        from continuum_robot_tpu.parallel import spatial_rollout
+
+        _, beam, x0_sp = self._setup()
+        # cg_iters=1 cannot reach 1e-12 on a 31-node mass solve.
+        _, _, stats = spatial_rollout(
+            beam, x0_sp, 0.002, 0.001, substeps=5, cg_iters=1,
+            cg_tol=1e-12, cg_stats=True,
+        )
+        n_inc = int(np.asarray(stats["cg_incomplete"]))
+        assert n_inc > 0
+        assert n_inc <= stats["cg_evals"]
+
+    def test_with_info_requires_tolerance_stop(self):
+        from continuum_robot_tpu.parallel import build_spatial_rhs
+
+        _, beam, _ = self._setup()
+        with pytest.raises(ValueError, match="with_info"):
+            build_spatial_rhs(beam, cg_tol=None, with_info=True)
+
+    def test_facade_rk4_carries_stats(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.write_beam_csv(
+            ["linear"] * 10))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(1e-4)
+        mesh = make_mesh({"sp": 8})
+        res = simulate_sharded(model, x0, 2e-6, 1e-6, mesh, method="rk4",
+                               substeps=2)
+        assert res.stats is not None
+        assert int(np.asarray(res.stats["cg_incomplete"])) == 0
+
+    def test_batched_per_env_counts(self):
+        from continuum_robot_tpu.parallel import (
+            reduced_to_node_layout,
+            spatial_rollout,
+        )
+
+        csv = helpers.write_beam_csv(["linear"] * 10)
+        model = DynamicEulerBernoulliBeam(csv)
+        n = model.n_pos_states
+        x0 = np.zeros((2, 2 * n))
+        x0[:, n - 2] = 1e-4
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh,
+        )
+        x0_sp = reduced_to_node_layout(model, jnp.asarray(x0), beam.n_nodes)
+        _, xs, stats = spatial_rollout(
+            beam, x0_sp, 0.002, 0.001, substeps=5, cg_iters=40,
+            cg_tol=1e-8, cg_stats=True,
+        )
+        assert np.asarray(stats["cg_incomplete"]).shape == (2,)
+        assert xs.shape[1] == 2
+
+
+class TestShardedScaleParity:
+    """Sharded == unsharded at REALISTIC scale (VERDICT r2 item 6a).
+
+    Earlier parity tests shard 6-16 element beams (1-2 nodes per shard on
+    the 8-device fake mesh); these run 240 elements — 30 nodes per shard,
+    the regime the halo/SPIKE/interface machinery actually exists for —
+    so partition-boundary bookkeeping errors that vanish on toy meshes
+    have room to show up.
+    """
+
+    N_EL = 240
+
+    def test_spike_genalpha_240_elements(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["linear"] * self.N_EL))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        u = jnp.zeros(n).at[n - 2].set(0.05)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="generalized_alpha", u=u, substeps=2,
+                  rho_inf=0.8, n_newton=2)
+        res_s = simulate_sharded(model, x0, 4e-4, 2e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 2e-4,
+                         linear_solver="dense_inv", **kw)
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-8 * scale)
+
+    def test_spike_sdirk3_240_elements_counters(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["linear"] * self.N_EL))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="sdirk3", rtol=1e-5, atol=1e-8)
+        res_s = simulate_sharded(model, x0, 4e-4, 2e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 2e-4,
+                         linear_solver="dense_inv", **kw)
+        assert int(np.asarray(res_s.stats.n_accepted)) == int(
+            np.asarray(res_1.stats.n_accepted))
+        assert int(np.asarray(res_s.stats.n_rejected)) == int(
+            np.asarray(res_1.stats.n_rejected))
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-7 * scale)
+
+    def test_sharded_rom_240_elements(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        types = ["linear"] * (self.N_EL // 2) + \
+            ["nonlinear"] * (self.N_EL // 2)
+        model = DynamicEulerBernoulliBeam(helpers.write_beam_csv(types))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        u = jnp.zeros(n).at[n - 2].set(0.05)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="modal_rom", u=u, substeps=2, n_modes=24,
+                  n_newton=2)
+        res_s = simulate_sharded(model, x0, 4e-4, 2e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 2e-4, **kw)
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-8 * scale)
