@@ -501,43 +501,74 @@ def run_adaptive(jax, jnp, model, n_red, rtol):
     n_frames = 20
     t_eval = jnp.linspace(0.0, span, n_frames + 1)
 
-    rng = np.random.default_rng(0)
-    if BEAM_TYPE == "linear":
-        q = jnp.asarray(
-            rng.normal(scale=1e-6, size=(N_ENVS, n_red)), jnp.float32
-        )
-    else:
-        # Rest ICs for the nonlinear beam (the reference's
-        # impulse-from-rest workload shape). White-noise ICs excite the
-        # parity element's energy-pumping high-frequency band — physics a
-        # coarse fixed dt + rho_inf crushes unseen, but that an
-        # error-controlled integrator honestly RESOLVES: the trajectory
-        # blows up (|q| ~ 1e12 within the span, measured in f64, any
-        # rho_inf/n_newton) and the run dies on the n_incomplete guard.
-        q = jnp.zeros((N_ENVS, n_red), jnp.float32)
+    # Rest ICs for BOTH beam types (the reference's impulse-from-rest
+    # workload shape). White-noise ICs are wrong for an error-controlled
+    # run in two different ways, both measured:
+    # - nonlinear: they excite the parity element's energy-pumping
+    #   high-frequency band — physics a coarse fixed dt + rho_inf crushes
+    #   unseen, but that an error-controlled integrator honestly RESOLVES:
+    #   the trajectory blows up (|q| ~ 1e12 within the span, f64, any
+    #   rho_inf/n_newton) and the run dies on the n_incomplete guard.
+    # - linear: they put tolerance-relevant amplitude in EVERY mode, so the
+    #   controller must resolve the whole spectrum — dt collapses ~30x
+    #   (measured: 11457 vs 385 accepted steps for the same span at 100
+    #   elements).
+    q = jnp.zeros((N_ENVS, n_red), jnp.float32)
     v = jnp.zeros((N_ENVS, n_red), jnp.float32)
     u = jnp.zeros(n_red, jnp.float32).at[-2].set(0.1)
 
     # Same dissipation split as every fixed-dt path (NOTES_r1: the parity
     # nonlinear element needs rho_inf=0.5).
     rho = 0.8 if BEAM_TYPE == "linear" else 0.5
-    run = jax.jit(
-        lambda q, v: integrate_generalized_alpha_adaptive(
-            op, q, v, t_eval, u=u, rho_inf=rho,
-            rtol=rtol, atol=rtol * 1e-3, n_newton=1, dt0=1e-5,
+
+    # Chunked driving: ONE jitted call per output interval, warm-started
+    # from the controller's own proposal (stats.dt_next), instead of one
+    # call over the whole span. Numerically identical trajectory and step
+    # sequence — dt_next makes the restart seamless — but no single device
+    # execution runs longer than a few seconds. That matters on axon: the
+    # linear beam at rho_inf=0.8 legitimately needs ~5x the trial steps of
+    # the rho_inf=0.5 nonlinear run (measured: 9281 vs 1858 accepted at
+    # 100 elements, rest ICs), and at 1000 elements the single whole-span
+    # while_loop ran past the remote worker's execution watchdog, which
+    # kills the worker ("TPU worker process crashed or restarted",
+    # round-3 session, row 13 — twice, deterministic).
+    ts_host = np.linspace(0.0, span, n_frames + 1, dtype=np.float32)
+    run_chunk = jax.jit(
+        lambda q, v, ta, tb, dt0: integrate_generalized_alpha_adaptive(
+            op, q, v, jnp.stack([ta, tb]), u=u, rho_inf=rho,
+            rtol=rtol, atol=rtol * 1e-3, n_newton=1, dt0=dt0,
         )
     )
-    qs, vs, stats = run(q, v)
-    float(jnp.sum(qs[-1]))
+
+    def drive(check_frames):
+        qc, vc = q, v
+        dt = np.float32(1e-5)
+        n_acc = n_rej = n_inc = 0
+        for i in range(n_frames):
+            qs_c, vs_c, stats = run_chunk(
+                qc, vc, ts_host[i], ts_host[i + 1], dt
+            )
+            qc, vc = qs_c[-1], vs_c[-1]
+            # Host-side counter reads double as the per-chunk completion
+            # force (the house timing rule: scalars to the host).
+            n_acc += int(stats.n_accepted)
+            n_rej += int(stats.n_rejected)
+            n_inc += int(stats.n_incomplete)
+            dt = stats.dt_next
+            if check_frames:
+                assert bool(jnp.all(jnp.isfinite(qs_c))), (
+                    "non-finite states in benchmark"
+                )
+        return qc, vc, n_acc, n_rej, n_inc
+
+    drive(check_frames=True)  # compile + correctness pass (untimed)
     t0 = _time.time()
-    qs, vs, stats = run(q, v)
-    float(jnp.sum(qs[-1]))
+    qf, vf, n_acc, n_rej, n_inc = drive(check_frames=False)
+    float(jnp.sum(qf))
     wall = _time.time() - t0
 
-    n_acc = int(stats.n_accepted)
-    n_rej = int(stats.n_rejected)
-    assert bool(jnp.all(jnp.isfinite(qs))), "non-finite states in benchmark"
-    assert int(stats.n_incomplete) == 0, (
+    assert bool(jnp.all(jnp.isfinite(qf))), "non-finite states in benchmark"
+    assert n_inc == 0, (
         "adaptive benchmark truncated an output interval — the reported "
         "trajectory is not converged at this tolerance"
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -144,12 +144,21 @@ class AdaptiveStats(NamedTuple):
     advance stalled at the dtype's resolution): nonzero means frames from
     that point on are TRUNCATED states, not converged ones — loosen the
     tolerances, raise ``max_steps_per_interval``, or use a wider dtype.
+
+    ``dt_next`` is the controller's learned step proposal at the end of
+    the run — pass it back as ``dt0`` to resume a span WITHOUT re-paying
+    the ~log_5(dt_est/dt0) controller ramp-up (chunked driving, adaptive
+    checkpoint/resume). ``None`` on paths that don't thread it (the
+    default keeps old 4-field constructions — including shard_map
+    out_spec pytrees — structurally unchanged: a ``None`` leaf is an
+    empty pytree subtree).
     """
 
     n_steps: jax.Array
     n_accepted: jax.Array
     n_rejected: jax.Array
     n_incomplete: jax.Array = np.int32(0)
+    dt_next: Any = None
 
 
 def adaptive_drive(
@@ -261,10 +270,12 @@ def adaptive_drive(
 
     stats0 = AdaptiveStats(i32(0), i32(0), i32(0), i32(0))
     pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=-1)
-    (state_f, _, stats), frames = jax.lax.scan(
+    (state_f, dt_f, stats), frames = jax.lax.scan(
         advance_interval, (state0, dt0, stats0), pairs
     )
-    return state_f, frames, stats
+    # Attach the controller's final proposal OUTSIDE the scan carry (the
+    # carry keeps the 4-field structure; dt is already threaded separately).
+    return state_f, frames, stats._replace(dt_next=dt_f)
 
 
 def integrate_adaptive(

@@ -675,7 +675,7 @@ def build_spatial_genalpha_adaptive(
                       p_el, p_el, p_el),
             out_specs=(
                 PartitionSpec(None, None, axis, None),
-                AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
+                AdaptiveStats(p_rep, p_rep, p_rep, p_rep, p_rep),
             ),
         )
         def core(t_evals, dt0, x, u_node, dfac, m_mask, md, ml, mu, llm,
@@ -934,7 +934,7 @@ def build_spatial_sdirk3(
                       p_el, p_el, p_el),
             out_specs=(
                 PartitionSpec(None, None, axis, None),
-                AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
+                AdaptiveStats(p_rep, p_rep, p_rep, p_rep, p_rep),
             ),
         )
         def core(t_evals, dt0, x, u_node, dfac, m_mask, md, ml, mu, llm,

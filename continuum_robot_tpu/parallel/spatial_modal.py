@@ -695,7 +695,7 @@ class SpatialModalROM(_SpatialModalBase):
             ),
             out_specs=(
                 (PartitionSpec(None, None), PartitionSpec(None, None)),
-                AdaptiveStats(p_rep, p_rep, p_rep, p_rep),
+                AdaptiveStats(p_rep, p_rep, p_rep, p_rep, p_rep),
             ),
         )
         def core(eta0, etad0, u_mc, t_ev, dt0c, Phi, Wn, eL, eEI, eEA, eNL):

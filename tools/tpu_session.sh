@@ -74,6 +74,9 @@ for K in 4 8 16; do
         BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom BENCH_ECSW_TAU=1e-3 \
         BENCH_UNROLL=$K
 done
+# Dense-operator paths (the non-modal tier the README table quotes).
+run_bench "linear dense" BENCH_ENGINE=dense
+run_bench "nonlinear dense modified-Newton" BENCH_TYPE=nonlinear BENCH_ENGINE=dense
 # Error-controlled (BENCH_TOL) mode: the no-manual-dt capability.
 run_bench "linear adaptive rtol=1e-6" BENCH_TOL=1e-6
 run_bench "nonlinear adaptive rtol=1e-6" BENCH_TYPE=nonlinear BENCH_TOL=1e-6
