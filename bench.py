@@ -89,6 +89,13 @@ BENCH_TOL = os.environ.get("BENCH_TOL")
 # VMEM-resident).
 UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
 
+# BENCH_CARRY=bf16 stores the XLA-engine scan carry in bfloat16 (compute
+# stays f32): halves the compulsory carry traffic at one bf16 rounding of
+# the state per UNROLL steps. The bench quantifies the cost alongside the
+# gain: the JSON gains carry_drift_rel = relative endpoint deviation vs
+# the f32-carry run over the same 2 x N_STEPS horizon.
+CARRY = os.environ.get("BENCH_CARRY")
+
 
 def roofline_fields(cost, wall_s, tier="f32", model_tag="xla"):
     """Utilization block for the bench JSON (verdict: auditable FLOP/s).
@@ -373,10 +380,11 @@ def run_modal_rom(jax, jnp, model, n_red):
                          interpret=interp)
 
     else:
+        carry_dt = jnp.bfloat16 if CARRY == "bf16" else None
         roll = jax.jit(
             lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
                                      precision=prec, nl_precision=nl_prec,
-                                     unroll=UNROLL)
+                                     unroll=UNROLL, carry_dtype=carry_dt)
         )
 
     e1, ed1, _ = roll(eta, etad)
@@ -385,6 +393,22 @@ def run_modal_rom(jax, jnp, model, n_red):
     e2, ed2, _ = roll(e1, ed1)
     float(jnp.sum(e2))
     wall = _time.time() - t0
+
+    # Accuracy cost of the narrow carry, measured on the benchmark horizon
+    # itself: endpoint deviation vs the f32-carry run (the bit-exact
+    # engine) over the same 2 x N_STEPS trajectory.
+    carry_drift = None
+    if ENGINE != "modal_rom_pallas" and CARRY == "bf16":
+        roll_f32 = jax.jit(
+            lambda e, ed: ms.rollout(e, ed, u_m, N_STEPS, n_newton=1,
+                                     precision=prec, nl_precision=nl_prec,
+                                     unroll=UNROLL)
+        )
+        r1, rd1, _ = roll_f32(eta, etad)
+        r2, rd2, _ = roll_f32(r1, rd1)
+        num = jnp.sqrt(jnp.sum((e2 - r2) ** 2) + jnp.sum((ed2 - rd2) ** 2))
+        den = jnp.sqrt(jnp.sum(r2**2) + jnp.sum(rd2**2))
+        carry_drift = float(num / den)
 
     q2, _ = jax.jit(ms.from_modal)(e2, ed2)
     assert bool(jnp.all(jnp.isfinite(q2))), "non-finite states in benchmark"
@@ -437,9 +461,11 @@ def run_modal_rom(jax, jnp, model, n_red):
             # count is reported alongside.
             # With unroll=K the scan carry roundtrips HBM once per K fused
             # steps; the reduced operators still stream once per body.
+            # BENCH_CARRY=bf16 halves the carry bytes (2 B/elt vs 4).
+            carry_bytes = state_bytes * (0.5 if CARRY == "bf16" else 1.0)
             cost = {
                 "flops": cost["flops"],
-                "bytes": (2.0 * state_bytes + const_bytes)
+                "bytes": (2.0 * carry_bytes + const_bytes)
                 * N_STEPS / UNROLL,
                 "bytes_logical": cost["bytes"],
             }
@@ -455,13 +481,20 @@ def run_modal_rom(jax, jnp, model, n_red):
         else "bf16"
     )
     extra = roofline_fields(cost, wall, tier=rom_tier, model_tag=model_tag)
+    if carry_drift is not None:
+        extra["carry_drift_rel"] = round(carry_drift, 9)
+    carry_tag = (
+        f", carry={CARRY}"
+        if CARRY and ENGINE != "modal_rom_pallas" else ""
+    )
     print(
         json.dumps(
             {
                 "metric": (
                     f"implicit generalized-alpha "
                     f"({'fused-Pallas ' if ENGINE == 'modal_rom_pallas' else ''}"
-                    f"modal-ROM m={N_MODES}{ecsw_tag}) env-steps/sec/chip, "
+                    f"modal-ROM m={N_MODES}{ecsw_tag}{carry_tag}) "
+                    f"env-steps/sec/chip, "
                     f"{N_ELEMENTS}-element {BEAM_TYPE} beam, {N_ENVS} envs, f32"
                 ),
                 "value": round(env_steps_per_sec, 1),
@@ -470,6 +503,91 @@ def run_modal_rom(jax, jnp, model, n_red):
                     env_steps_per_sec / REF_EVALS_PER_SEC_NONLINEAR, 1
                 ),
                 **extra,
+            }
+        )
+    )
+
+
+def run_sharded(jax, jnp, model, n_red):
+    """BENCH_ENGINE=sharded_genalpha: the distributed-SPIKE generalized-α
+    engine on a 1-device ``sp`` mesh (VERDICT r2 item 6b).
+
+    Same beam, envs, steps, dissipation, and Newton count as the dense
+    row, so the row-to-row ratio IS the cost model of the multi-chip
+    machinery at sp=1: shard_map tracing/dispatch, halo ppermutes, the
+    SPIKE banded solve (vs the dense row's prefactored dense-inverse
+    matmul), and the 6-float interface all_gathers — everything a real
+    multi-chip run pays except the inter-chip wire time. BENCH_SP>1
+    shards the beam across that many real devices when available.
+    """
+    import time as _time
+
+    from jax.sharding import Mesh
+
+    from continuum_robot_tpu.parallel import make_spatial_beam
+    from continuum_robot_tpu.parallel.facade import _node_force
+    from continuum_robot_tpu.parallel.spatial_implicit import (
+        build_spatial_genalpha,
+    )
+
+    RHO_INF = 0.8 if BEAM_TYPE == "linear" else 0.5
+    n_newton = 1 if BEAM_TYPE == "linear" else 2
+    sp = int(os.environ.get("BENCH_SP", 1))
+    mesh = Mesh(np.array(jax.devices()[:sp]), ("sp",))
+    beam = make_spatial_beam(
+        model.beam_model.arrays,
+        model.beam_model.bc_info.free_mask.reshape(-1, 3),
+        mesh, axis="sp",
+    )
+    Np = beam.n_nodes
+    roll = build_spatial_genalpha(
+        beam, DT, rho_inf=RHO_INF, n_newton=n_newton
+    )
+
+    # Same initial state / tip force as the dense row, in node layout.
+    bc = model.beam_model.bc_info
+    free = np.asarray(bc.free_dofs)
+    n_full = bc.n_dofs_full
+    nn = n_full // 3
+    rng = np.random.default_rng(0)
+    qf = np.zeros((N_ENVS, n_full), np.float32)
+    qf[:, free] = rng.normal(scale=1e-6, size=(N_ENVS, n_red))
+    x0 = np.zeros((N_ENVS, 2, Np, 3), np.float32)
+    x0[:, 0, :nn, :] = qf.reshape(N_ENVS, nn, 3)
+    x0 = jnp.asarray(x0)
+    u_red = np.zeros(n_red, np.float32)
+    u_red[-2] = 0.1
+    u_node = _node_force(model, u_red, Np, jnp.float32)
+
+    # One frame of N_STEPS substeps: the same 2000-step span as the dense
+    # row with no per-step frame materialization.
+    run = jax.jit(
+        lambda x: roll(x, 1, u=u_node, substeps=N_STEPS)[1][-1]
+    )
+    x1 = run(x0)
+    float(jnp.sum(x1))
+    t0 = _time.time()
+    x2 = run(x1)
+    float(jnp.sum(x2))
+    wall = _time.time() - t0
+    assert bool(jnp.all(jnp.isfinite(x2))), "non-finite states in benchmark"
+
+    env_steps_per_sec = N_STEPS * N_ENVS / wall
+    ref = (
+        REF_EVALS_PER_SEC if BEAM_TYPE == "linear"
+        else REF_EVALS_PER_SEC_NONLINEAR
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"implicit generalized-alpha (distributed-SPIKE, "
+                    f"sp={sp} mesh) env-steps/sec/chip, {N_ELEMENTS}-element "
+                    f"{BEAM_TYPE} beam, {N_ENVS} envs, f32"
+                ),
+                "value": round(env_steps_per_sec, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(env_steps_per_sec / ref, 1),
             }
         )
     )
@@ -738,6 +856,8 @@ def main():
         )
     if ENGINE in ("modal_rom", "modal_rom_pallas"):
         return run_modal_rom(jax, jnp, model, n_red)
+    if ENGINE == "sharded_genalpha":
+        return run_sharded(jax, jnp, model, n_red)
 
     # Generalized-alpha: at omega_max*dt ~ 1e3 the undamped Newmark keeps
     # unit-circle high modes where f32 roundoff slowly destabilizes them;

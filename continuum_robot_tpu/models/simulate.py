@@ -488,12 +488,18 @@ class ModalGenAlpha:
 
     def rollout_pallas(
         self, eta, etad, u_modal, n_steps: int, t0: float = 0.0,
-        tile: int = 512, mode_tile: int = 256, interpret: bool = False,
+        tile: int = 1024, mode_tile: int = 16, interpret: bool = False,
+        unroll: int = 16,
     ):
         """Fused-kernel rollout: all ``n_steps`` run with the modal state
         resident in VMEM (``ops/pallas/modal_rollout.py``), touching HBM once
         per call instead of once per step. Constant ``u_modal`` only; same
         arithmetic as :meth:`rollout`.
+
+        Defaults (flat 16x1024 cells, in-kernel unroll=16) are the winners
+        of the 2026-08-19 hardware sweep — 75.2M env-steps/s vs 30.9M at
+        the old (256, 512, 1) configuration; ``unroll`` is bit-exact (see
+        ``fused_modal_steps``).
 
         ``eta``/``etad``: ``(B, m)``. Returns final ``(eta, etad, etadd)``.
         """
@@ -510,12 +516,13 @@ class ModalGenAlpha:
             jnp.asarray(self.lam, dtype), jnp.asarray(self.winv64(), dtype),
             u_modal, eta, etad, None, steps=n_steps, h=self.dt,
             rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
-            interpret=interpret, cdamp=cdamp,
+            interpret=interpret, cdamp=cdamp, unroll=unroll,
         )
 
     def rollout_frames_pallas(
         self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
-        tile: int = 512, mode_tile: int = 256, interpret: bool = False,
+        tile: int = 1024, mode_tile: int = 16, interpret: bool = False,
+        unroll: int = 16,
     ):
         """Frame-collecting fused-kernel rollout (constant ``u_modal`` only).
 
@@ -533,7 +540,7 @@ class ModalGenAlpha:
             jnp.asarray(self.lam, dtype), jnp.asarray(self.winv64(), dtype),
             u_modal, eta, etad, n_frames=n_frames, substeps=substeps,
             h=self.dt, rho_inf=self.rho_inf, tile=tile, mode_tile=mode_tile,
-            interpret=interpret, cdamp=cdamp,
+            interpret=interpret, cdamp=cdamp, unroll=unroll,
         )
         ts = (self.dt * substeps) * jnp.arange(n_frames + 1)
         return ts, etas, etads
@@ -891,7 +898,7 @@ class ModalROMGenAlpha:
     def rollout(
         self, eta, etad, u_modal, n_steps: int, t0: float = 0.0,
         n_newton: int = 1, precision=None, nl_precision=None,
-        unroll: int = 1,
+        unroll: int = 1, carry_dtype=None,
     ):
         """Scan ``n_steps`` ROM generalized-alpha steps; final (eta, etad, etadd).
 
@@ -904,16 +911,50 @@ class ModalROMGenAlpha:
         HBM once per iteration, so on the memory-bound ECSW engine
         unrolling divides the compulsory carry traffic by ``unroll``
         (identical per-step arithmetic — trajectories are unchanged).
+
+        ``carry_dtype`` (e.g. ``jnp.bfloat16``) stores the HBM-crossing
+        scan carry in a narrower dtype while every step still computes in
+        the input dtype: the scan is restructured as an outer loop over
+        ``unroll``-step chunks whose carry is downcast once per chunk and
+        upcast on entry (compute precision, Newton solves, and force
+        transforms are unchanged). Halves the compulsory carry traffic on
+        the memory-bound engines at a cost of one ``carry_dtype`` rounding
+        of the state per ``unroll`` steps — quantify drift for your
+        horizon (``bench.py`` reports it as ``carry_drift_rel``; bf16
+        rounding is ~4e-3 relative, so this is a throughput/accuracy
+        trade, not a free win). ``carry_dtype=None`` (default) keeps the
+        bit-exact single-scan path.
         """
         dtype = jnp.asarray(eta).dtype
         step = self._step_fn(dtype, u_modal, n_newton, precision, nl_precision)
         etadd = self.initial_accel(eta, etad, u_modal, t0, precision,
                                    nl_precision)
         ts = t0 + self.dt * jnp.arange(n_steps, dtype=dtype)
-        (eta, etad, etadd), _ = jax.lax.scan(
-            step, (eta, etad, etadd), ts, unroll=unroll
-        )
-        return eta, etad, etadd
+        if carry_dtype is None:
+            (eta, etad, etadd), _ = jax.lax.scan(
+                step, (eta, etad, etadd), ts, unroll=unroll
+            )
+            return eta, etad, etadd
+
+        cdt = jnp.dtype(carry_dtype)
+        k = max(1, min(int(unroll), int(n_steps)))
+        n_outer = int(n_steps) // k
+        rem = int(n_steps) - n_outer * k
+
+        def k_chunk(carry, ts_k):
+            c = tuple(x.astype(dtype) for x in carry)
+            c, _ = jax.lax.scan(step, c, ts_k, unroll=k)
+            return tuple(x.astype(cdt) for x in c), None
+
+        carry = tuple(x.astype(cdt) for x in (eta, etad, etadd))
+        if n_outer:
+            carry, _ = jax.lax.scan(
+                k_chunk, carry, ts[: n_outer * k].reshape(n_outer, k)
+            )
+        c = tuple(x.astype(dtype) for x in carry)
+        if rem:
+            c, _ = jax.lax.scan(step, c, ts[n_outer * k:], unroll=rem)
+        return c
 
     def rollout_adaptive(
         self, eta, etad, u_modal, t_eval, rtol: float = 1e-6,

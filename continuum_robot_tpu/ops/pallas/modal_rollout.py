@@ -111,7 +111,8 @@ def _tiling(eta, u_modal, lam, winv, cdamp, rho_inf: float,
     return m_p, Bp, pad_state, cols, grid, col_spec, state_spec
 
 
-def _make_kernel(steps: int, h: float, rho_inf: float, damped: bool = False):
+def _make_kernel(steps: int, h: float, rho_inf: float, damped: bool = False,
+                 unroll: int = 1):
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
     beta = 0.25 * (1.0 - am + af) ** 2
@@ -138,7 +139,24 @@ def _make_kernel(steps: int, h: float, rho_inf: float, damped: bool = False):
                 a1 = a1 - p5 * v_pred - p6 * v
             return (q_pred + bh2 * a1, v_pred + gh * a1, a1)
 
-        return jax.lax.fori_loop(0, steps, step, (q0, v0, a0))
+        # ``unroll``: pure loop transformation (identical arithmetic) —
+        # lets Mosaic schedule across step boundaries and drops per-
+        # iteration branch overhead. Hand-unrolled (K step applications
+        # per fori_loop iteration + trace-time remainder): Mosaic's
+        # fori_loop only accepts unroll=1 or full. Steps are sequentially
+        # dependent, so gains are scheduling, not ILP; measured in
+        # tools/modal_kernel_sweep.py.
+        k = max(1, min(int(unroll), steps))
+
+        def k_steps(_, qva):
+            for _ in range(k):
+                qva = step(None, qva)
+            return qva
+
+        qva = jax.lax.fori_loop(0, steps // k, k_steps, (q0, v0, a0))
+        for _ in range(steps - (steps // k) * k):
+            qva = step(None, qva)
+        return qva
 
     if damped:
 
@@ -176,7 +194,9 @@ def _make_kernel(steps: int, h: float, rho_inf: float, damped: bool = False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "h", "rho_inf", "tile", "mode_tile", "interpret"),
+    static_argnames=(
+        "steps", "h", "rho_inf", "tile", "mode_tile", "interpret", "unroll",
+    ),
 )
 def fused_modal_steps(
     lam,
@@ -188,10 +208,11 @@ def fused_modal_steps(
     steps: int = 1,
     h: float = 1e-4,
     rho_inf: float = 0.8,
-    tile: int = 512,
-    mode_tile: int = 256,
+    tile: int = 1024,
+    mode_tile: int = 16,
     interpret: bool = False,
     cdamp=None,
+    unroll: int = 16,
 ):
     """Advance modal ``(eta, etad, etadd)`` by ``steps`` fused gen-α steps.
 
@@ -208,9 +229,16 @@ def fused_modal_steps(
       steps, h, rho_inf: stepper configuration (static).
       tile / mode_tile: env lanes (128-aligned) / mode sublanes (8-aligned)
         per grid cell; VMEM per cell ~ 9 * mode_tile * tile * 4 B, doubled
-        by grid double-buffering — (512, 256) measures fastest on v5e
-        (25.5M env-steps/s at 3000 modes x 4096 envs; larger cells OOM the
-        16 MB VMEM).
+        by grid double-buffering. The 2026-08-19 hardware sweep
+        (tools/modal_kernel_sweep.py, /tmp→NOTES_r3) measured flat
+        (mode_tile=16, tile=1024) cells ~17% faster than the old square
+        (256, 512) default at unroll=1 and the best base for unrolling.
+      unroll: step applications per in-kernel fori_loop iteration (pure
+        loop transformation — identical arithmetic, bit-exact; remainder
+        steps are peeled at trace time). Steps are sequentially dependent,
+        so the gain is Mosaic scheduling across step boundaries + loop
+        overhead, not ILP: measured 36.2M (unroll=1) → 75.2M (unroll=16)
+        → 76.2M (unroll=32) env-steps/s at 3000 modes x 4096 envs on v5e.
 
     Returns the advanced ``(B, m)`` state triple.
     """
@@ -226,7 +254,9 @@ def fused_modal_steps(
     m_p, Bp, pad_state, cols, grid, col_spec, state_spec = _tiling(
         eta, u_modal, lam, winv, cdamp, float(rho_inf), mode_tile, tile
     )
-    kernel = _make_kernel(int(steps), float(h), float(rho_inf), damped)
+    kernel = _make_kernel(
+        int(steps), float(h), float(rho_inf), damped, unroll=int(unroll)
+    )
     out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
     qo, vo, ao = pl.pallas_call(
         kernel,
@@ -247,7 +277,7 @@ def fused_modal_steps(
     jax.jit,
     static_argnames=(
         "n_frames", "substeps", "h", "rho_inf", "tile", "mode_tile",
-        "interpret",
+        "interpret", "unroll",
     ),
 )
 def fused_modal_frames(
@@ -260,10 +290,11 @@ def fused_modal_frames(
     substeps: int = 1,
     h: float = 1e-4,
     rho_inf: float = 0.8,
-    tile: int = 512,
-    mode_tile: int = 256,
+    tile: int = 1024,
+    mode_tile: int = 16,
     interpret: bool = False,
     cdamp=None,
+    unroll: int = 16,
 ):
     """Frame-collecting fused rollout: trajectories at fused-kernel speed.
 
@@ -290,7 +321,8 @@ def fused_modal_frames(
     )
     q0, v0, a0 = pad_state(eta), pad_state(etad), pad_state(etadd)
 
-    kernel = _make_kernel(int(substeps), float(h), float(rho_inf), damped)
+    kernel = _make_kernel(int(substeps), float(h), float(rho_inf), damped,
+                          unroll=int(unroll))
     out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
     call = pl.pallas_call(
         kernel,

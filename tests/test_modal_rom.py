@@ -880,6 +880,58 @@ class TestScanUnroll:
         np.testing.assert_allclose(np.asarray(f4), np.asarray(f1),
                                    rtol=1e-12, atol=1e-18)
 
+    def test_rom_rollout_carry_dtype_same_dtype_neutral(self):
+        """carry_dtype equal to the compute dtype restructures the scan
+        (outer chunks + remainder) without changing the arithmetic: the
+        step applications are the same ops in the same order, so the
+        trajectory matches the single-scan path to roundoff."""
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.7)
+        n = model.n_pos_states
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(scale=1e-6, size=(4, n)))
+        v = jnp.zeros((4, n))
+        eta, etad = ms.to_modal(q, v)
+        u_m = jnp.asarray(ms.project_force_host(_tip_impulse_const(n)))
+        base = ms.rollout(eta, etad, u_m, 37, n_newton=2)
+        # 37 = 4*9 + 1: exercises chunked outer scan + remainder tail.
+        out = ms.rollout(eta, etad, u_m, 37, n_newton=2, unroll=4,
+                         carry_dtype=eta.dtype)
+        for a, b in zip(out, base):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-18
+            )
+
+    def test_rom_rollout_bf16_carry_tracks_f32(self):
+        """bf16 carry with full-precision compute: one bf16 rounding of
+        the state per ``unroll`` steps. The trajectory must stay finite
+        and track the exact rollout to bf16-grade relative accuracy on a
+        short horizon (the throughput/accuracy trade bench.py measures
+        as carry_drift_rel on hardware)."""
+        model = _model(nonlinear_csv(6, include_fluid=False))
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.7)
+        n = model.n_pos_states
+        rng = np.random.default_rng(9)
+        q = jnp.asarray(
+            rng.normal(scale=1e-6, size=(4, n)), jnp.float32
+        )
+        v = jnp.zeros((4, n), jnp.float32)
+        eta, etad = ms.to_modal(q, v)
+        u_m = jnp.asarray(
+            ms.project_force_host(_tip_impulse_const(n)), jnp.float32
+        )
+        base = ms.rollout(eta, etad, u_m, 200, n_newton=1)
+        out = ms.rollout(eta, etad, u_m, 200, n_newton=1, unroll=8,
+                         carry_dtype=jnp.bfloat16)
+        for a, b in zip(out, base):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            assert np.all(np.isfinite(a))
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+            # ~25 bf16 roundings (eps 3.9e-3) over 200 steps; the modal
+            # recurrence is dissipative (rho_inf<1), so drift stays at
+            # the few-percent level rather than compounding.
+            assert rel < 0.05, rel
+
 
 class TestEcswPersistence:
     """Trained ECSW samples are the expensive artifact: they persist

@@ -175,9 +175,10 @@ def main():
         print(json.dumps(r), flush=True)
 
     flops_per_envstep = 16.0 * m  # 8 FMAs x 2 per mode per env-step
+    unroll_only = "--unroll-only" in sys.argv
 
     # --- 1. block-size sweep at the benchmark step count -----------------
-    combos = [
+    combos = [] if unroll_only else [
         (256, 512),  # current default
         (8, 128), (8, 256), (8, 512), (8, 1024),
         (16, 256), (16, 512), (16, 1024),
@@ -206,15 +207,19 @@ def main():
             wall_s=round(wall, 4),
         )
 
-    best = max(
-        (r for r in records if r["kind"] == "block_sweep" and "error" not in r),
-        key=lambda r: r["env_steps_per_sec"],
-    )
-    mt, tl = best["mode_tile"], best["tile"]
+    if unroll_only:
+        mt, tl = 16, 1024  # phase-1 winner (2026-08-19 sweep)
+    else:
+        best = max(
+            (r for r in records
+             if r["kind"] == "block_sweep" and "error" not in r),
+            key=lambda r: r["env_steps_per_sec"],
+        )
+        mt, tl = best["mode_tile"], best["tile"]
 
     # --- 2. fixed-vs-marginal at the best block ---------------------------
-    for steps in ([500, 2000, 8000] if quick else [250, 500, 1000, 2000,
-                                                   4000, 8000, 16000]):
+    for steps in ([] if unroll_only else [500, 2000, 8000] if quick
+                  else [250, 500, 1000, 2000, 4000, 8000, 16000]):
         wall = time_call(
             lambda e, ed: ms.rollout_pallas(
                 e, ed, u_m, steps, tile=tl, mode_tile=mt
@@ -232,22 +237,81 @@ def main():
         (r for r in records if r["kind"] == "step_sweep"),
         key=lambda r: r["steps"],
     )
-    s0, s1 = ss[-2], ss[-1]
-    marg = (s1["steps"] - s0["steps"]) * N_ENVS / (
-        s1["wall_s"] - s0["wall_s"]
-    )
-    fixed_ms = 1e3 * (
-        s1["wall_s"] - s1["steps"] * N_ENVS / marg / 1.0
-    )
-    rec(
-        "marginal", mode_tile=mt, tile=tl,
-        env_steps_per_sec=round(marg, 1),
-        tflops=round(marg * flops_per_envstep / 1e12, 3),
-        fixed_overhead_ms=round(fixed_ms, 2),
-    )
+    if len(ss) >= 2:
+        s0, s1 = ss[-2], ss[-1]
+        marg = (s1["steps"] - s0["steps"]) * N_ENVS / (
+            s1["wall_s"] - s0["wall_s"]
+        )
+        fixed_ms = 1e3 * (
+            s1["wall_s"] - s1["steps"] * N_ENVS / marg / 1.0
+        )
+        rec(
+            "marginal", mode_tile=mt, tile=tl,
+            env_steps_per_sec=round(marg, 1),
+            tflops=round(marg * flops_per_envstep / 1e12, 3),
+            fixed_overhead_ms=round(fixed_ms, 2),
+        )
+
+    # --- 2b. wide-lane blocks + in-kernel fori_loop unroll ----------------
+    # Steps are sequentially dependent, so unroll buys scheduling (Mosaic
+    # interleaving across step boundaries + fewer loop branches), not ILP.
+    variants = [
+        (16, 1024, 2), (16, 1024, 4), (16, 1024, 8),
+        (8, 2048, 1), (8, 2048, 4),
+        (16, 2048, 1), (16, 2048, 4),
+        (8, 4096, 1), (8, 4096, 4),
+        (32, 1024, 1), (32, 1024, 4),
+        (256, 512, 4),
+    ]
+    if "--phase2" in sys.argv:  # follow-up around the phase-1 winner
+        variants = [
+            (16, 1024, 8), (16, 1024, 16), (16, 1024, 32),
+            (8, 1024, 8), (8, 1024, 16),
+            (32, 1024, 8), (16, 512, 8), (256, 512, 8),
+            (16, 1024, 8),  # repeat for run-to-run stability
+        ]
+    if quick:
+        variants = [(16, 1024, 4), (8, 2048, 4)]
+    for vmt, vtl, ur in variants:
+        try:
+            wall = time_call(
+                lambda e, ed: ms.rollout_pallas(
+                    e, ed, u_m, N_STEPS, tile=vtl, mode_tile=vmt, unroll=ur
+                ),
+                eta, etad,
+            )
+        except Exception as e:
+            rec("unroll_sweep", mode_tile=vmt, tile=vtl, unroll=ur,
+                error=str(e)[:200])
+            continue
+        rate = N_STEPS * N_ENVS / wall
+        rec(
+            "unroll_sweep", mode_tile=vmt, tile=vtl, unroll=ur,
+            steps=N_STEPS,
+            env_steps_per_sec=round(rate, 1),
+            tflops=round(rate * flops_per_envstep / 1e12, 3),
+            wall_s=round(wall, 4),
+        )
+
+    # Parity: the best unrolled variant must stay bit-identical to the
+    # default kernel (unroll is a pure loop transformation).
+    cands = [r for r in records
+             if r["kind"] == "unroll_sweep" and "error" not in r]
+    if cands:
+        bu = max(cands, key=lambda r: r["env_steps_per_sec"])
+        ref_out = ms.rollout_pallas(eta, etad, u_m, 400)
+        new_out = ms.rollout_pallas(
+            eta, etad, u_m, 400, tile=bu["tile"],
+            mode_tile=bu["mode_tile"], unroll=bu["unroll"],
+        )
+        dev = max(
+            float(jnp.max(jnp.abs(a - b))) for a, b in zip(ref_out, new_out)
+        )
+        rec("unroll_parity", mode_tile=bu["mode_tile"], tile=bu["tile"],
+            unroll=bu["unroll"], max_abs_dev_400_steps=dev)
 
     # --- 3. speed-of-light twin at default + best blocks ------------------
-    for pmt, ptl in {(256, 512), (mt, tl)}:
+    for pmt, ptl in [] if unroll_only else {(256, 512), (mt, tl)}:
         wall = sol_probe(pmt, ptl, m, N_ENVS, N_STEPS)
         rate = N_STEPS * N_ENVS / wall
         rec(

@@ -74,9 +74,22 @@ for K in 4 8 16; do
         BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom BENCH_ECSW_TAU=1e-3 \
         BENCH_UNROLL=$K
 done
+# bf16 scan carry on the HBM-bound ECSW engine (compute stays f32): halves
+# the compulsory carry traffic; the row's carry_drift_rel field quantifies
+# the accuracy cost on the same horizon (VERDICT r2 item 5).
+for K in 8 16; do
+    run_bench "nonlinear ECSW tau=1e-3 unroll=$K carry=bf16" \
+        BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom BENCH_ECSW_TAU=1e-3 \
+        BENCH_UNROLL=$K BENCH_CARRY=bf16
+done
 # Dense-operator paths (the non-modal tier the README table quotes).
 run_bench "linear dense" BENCH_ENGINE=dense
 run_bench "nonlinear dense modified-Newton" BENCH_TYPE=nonlinear BENCH_ENGINE=dense
+# Multi-chip machinery cost at sp=1 (vs the dense rows above — VERDICT r2
+# item 6b): shard_map + SPIKE + halo/interface collectives on one chip.
+run_bench "linear sharded-SPIKE sp=1" BENCH_ENGINE=sharded_genalpha
+run_bench "nonlinear sharded-SPIKE sp=1" \
+    BENCH_TYPE=nonlinear BENCH_ENGINE=sharded_genalpha
 # Error-controlled (BENCH_TOL) mode: the no-manual-dt capability.
 run_bench "linear adaptive rtol=1e-6" BENCH_TOL=1e-6
 run_bench "nonlinear adaptive rtol=1e-6" BENCH_TYPE=nonlinear BENCH_TOL=1e-6
