@@ -375,9 +375,12 @@ def run_modal_rom(jax, jnp, model, n_red):
         interp = jax.default_backend() == "cpu"
 
         def roll(e, ed):
+            # BENCH_UNROLL here drives the IN-KERNEL step unroll (the same
+            # loop transformation that fixed the fused modal kernel's
+            # fori_loop-overhead limiter), not the XLA scan unroll.
             return fused(e, ed, u_m, N_STEPS, n_newton=1,
                          precision=prec, nl_precision=nl_prec,
-                         interpret=interp)
+                         interpret=interp, unroll=UNROLL)
 
     else:
         carry_dt = jnp.bfloat16 if CARRY == "bf16" else None

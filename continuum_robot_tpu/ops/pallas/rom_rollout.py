@@ -73,6 +73,7 @@ def _make_kernel(
     gathered: bool = False,
     diag_newton: bool = False,
     damped: bool = False,
+    unroll: int = 1,
 ):
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
@@ -306,9 +307,25 @@ def _make_kernel(
                 a1,
             )
 
-        q, v, a = jax.lax.fori_loop(
-            0, steps, step, (q_ref[:, :], v_ref[:, :], a_ref[:, :])
+        # In-kernel unroll (same transformation as modal_rollout._make_kernel,
+        # where it was the fix for the fori_loop-overhead limiter): K step
+        # applications per fori_loop iteration, remainder peeled at trace
+        # time — identical arithmetic, bit-exact. The ROM step body is
+        # MXU-dot-heavy so the per-iteration overhead share is smaller than
+        # the modal kernel's; default stays 1 until measured ahead.
+        k = max(1, min(int(unroll), steps))
+
+        def k_steps(_, qva):
+            for _i in range(k):
+                qva = step(None, qva)
+            return qva
+
+        qva = jax.lax.fori_loop(
+            0, steps // k, k_steps, (q_ref[:, :], v_ref[:, :], a_ref[:, :])
         )
+        for _i in range(steps - (steps // k) * k):
+            qva = step(None, qva)
+        q, v, a = qva
         qo_ref[:, :] = q
         vo_ref[:, :] = v
         ao_ref[:, :] = a
@@ -318,7 +335,7 @@ def _make_kernel(
 
 def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
               precision, nl_precision, interpret, gathered=False,
-              diag_newton=False, damped=False):
+              diag_newton=False, damped=False, unroll=1):
     """Shared layout/spec setup for the step and frames drivers.
 
     Returns ``(pad_state, make_call, m_p, B, Bp)``: the state padder into
@@ -346,7 +363,7 @@ def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
         kernel = _make_kernel(
             int(n_steps), float(h), float(rho_inf), int(n_newton),
             int(s_pad), precision, nl_precision, gathered=gathered,
-            diag_newton=diag_newton, damped=damped,
+            diag_newton=diag_newton, damped=damped, unroll=unroll,
         )
         n_consts = len(basis) + 7 + (1 if damped else 0)
         return pl.pallas_call(
@@ -374,7 +391,7 @@ def _plumbing(basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
     static_argnames=(
         "steps", "chunk", "h", "rho_inf", "n_newton", "s_pad", "tile",
         "precision", "nl_precision", "interpret", "gathered",
-        "diag_newton",
+        "diag_newton", "unroll",
     ),
 )
 def _fused_rom_call(
@@ -382,7 +399,7 @@ def _fused_rom_call(
     eta, etad, etadd,
     steps: int, chunk: int, h: float, rho_inf: float, n_newton: int,
     s_pad: int, tile: int, precision, nl_precision, interpret: bool,
-    gathered: bool = False, diag_newton: bool = False,
+    gathered: bool = False, diag_newton: bool = False, unroll: int = 1,
 ):
     # The kernel advances `chunk` steps per invocation; an XLA scan strings
     # chunks together in the kernel's native (modes, envs) layout. One
@@ -395,7 +412,7 @@ def _fused_rom_call(
     pad_state, make_call, m_p, B, Bp = _plumbing(
         basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
         precision, nl_precision, interpret, gathered=gathered,
-        diag_newton=diag_newton, damped=damped,
+        diag_newton=diag_newton, damped=damped, unroll=unroll,
     )
     consts = (*basis, sinv, lam_col, u_col,
               *((cd_col,) if damped else ()),
@@ -420,7 +437,7 @@ def _fused_rom_call(
     static_argnames=(
         "n_frames", "substeps", "h", "rho_inf", "n_newton", "s_pad", "tile",
         "precision", "nl_precision", "interpret", "gathered",
-        "diag_newton",
+        "diag_newton", "unroll",
     ),
 )
 def _fused_rom_frames(
@@ -428,7 +445,7 @@ def _fused_rom_frames(
     eta, etad, etadd,
     n_frames: int, substeps: int, h: float, rho_inf: float, n_newton: int,
     s_pad: int, tile: int, precision, nl_precision, interpret: bool,
-    gathered: bool = False, diag_newton: bool = False,
+    gathered: bool = False, diag_newton: bool = False, unroll: int = 1,
 ):
     """Frame-collecting variant: one ``substeps``-step kernel call per frame,
     state carried in the kernel's (modes, envs) layout across the span."""
@@ -436,7 +453,7 @@ def _fused_rom_frames(
     pad_state, make_call, m_p, B, Bp = _plumbing(
         basis, sinv, eta, s_pad, tile, h, rho_inf, n_newton,
         precision, nl_precision, interpret, gathered=gathered,
-        diag_newton=diag_newton, damped=damped,
+        diag_newton=diag_newton, damped=damped, unroll=unroll,
     )
     call = make_call(substeps)
     consts = (*basis, sinv, lam_col, u_col,
@@ -643,12 +660,15 @@ class FusedROMRollout:
     def __call__(
         self, eta, etad, u_modal, n_steps: int, n_newton: int = 1,
         precision=None, nl_precision=None, interpret: bool = False,
+        unroll: int = 1,
     ):
         """Advance ``(eta, etad)`` by ``n_steps`` fused ROM gen-α steps.
 
         ``u_modal`` must be a constant modal force vector (or None). The
         initial acceleration is computed with the engine's XLA
         ``initial_accel`` (identical arithmetic to the scan path).
+        ``unroll``: in-kernel step applications per fori_loop iteration
+        (bit-exact loop transformation; see modal_rollout).
         """
         consts, etadd, prec, nl_prec = self._prep(
             eta, etad, u_modal, precision, nl_precision
@@ -660,12 +680,13 @@ class FusedROMRollout:
             s_pad=self.s_pad, tile=self.tile,
             precision=prec, nl_precision=nl_prec, interpret=interpret,
             gathered=self.gathered, diag_newton=self.diag_newton,
+            unroll=int(unroll),
         )
 
     def frames(
         self, eta, etad, u_modal, n_frames: int, substeps: int = 1,
         n_newton: int = 1, precision=None, nl_precision=None,
-        interpret: bool = False,
+        interpret: bool = False, unroll: int = 1,
     ):
         """Frame-collecting fused rollout (``rollout_frames`` contract).
 
@@ -684,6 +705,7 @@ class FusedROMRollout:
             n_newton=int(n_newton), s_pad=self.s_pad, tile=self.tile,
             precision=prec, nl_precision=nl_prec, interpret=interpret,
             gathered=self.gathered, diag_newton=self.diag_newton,
+            unroll=int(unroll),
         )
         ts = (self.ms.dt * substeps) * jnp.arange(n_frames + 1)
         return ts, etas, etads

@@ -245,6 +245,36 @@ class TestFusedROMRollout:
             np.asarray(e2), np.asarray(e1), rtol=0, atol=5e-6 * scale
         )
 
+    def test_unroll_matches_to_roundoff(self):
+        """In-kernel unroll is a pure loop transformation: same step body
+        applied in the same order (K per fori_loop iteration, remainder
+        peeled at trace time). 50 steps at unroll=4 exercises 12 fori_loop
+        iterations + a 2-step trace-time tail. Interpret mode recompiles
+        the unrolled body, so XLA:CPU may contract FMAs differently —
+        agreement is roundoff-grade (measured ~2e-7 relative), not
+        bitwise; the on-hardware Mosaic parity probe in
+        tools/modal_kernel_sweep.py pins the bit-exact claim."""
+        import jax
+
+        from tests import helpers
+
+        ms, eta, etad, u_m = self._setup(helpers.nonlinear_csv)
+        fused = ms.make_pallas_rollout(tile=128)
+        kw = dict(
+            n_newton=2,
+            precision=jax.lax.Precision.HIGHEST,
+            nl_precision=jax.lax.Precision.HIGHEST,
+            interpret=True,
+        )
+        base = fused(eta, etad, u_m, 50, **kw)
+        for K in (4, 50):  # chunked + fully-unrolled (no fori_loop) forms
+            out = fused(eta, etad, u_m, 50, unroll=K, **kw)
+            for a, b in zip(out, base):
+                scale = float(jnp.abs(b).max()) + 1e-30
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=0, atol=2e-6 * scale
+                )
+
     def test_zero_force_semi_implicit(self):
         """None input force; the n_newton=1 throughput configuration."""
         from tests import helpers
