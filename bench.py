@@ -316,6 +316,90 @@ def run_modal(jax, jnp, model, n_red, use_pallas=True):
     )
 
 
+def run_modal_power(jax, jnp, model, n_red):
+    """BENCH_ENGINE=modal_power: the composed-propagator modal engine.
+
+    The linear gen-α step is an exact per-mode affine map on (eta, etad,
+    etadd); K steps compose on the host (f64) into ONE 3x3 map whose
+    application costs 18 VPU ops per element — vs 8 FMAs *per step* for
+    the stepper kernels, i.e. ~K-fold less arithmetic for the SAME
+    discrete trajectory (roundoff-level deviation, quantified per run in
+    the vs_stepper_rel field against the bit-exact fused stepper over the
+    same timed span). The discrete analogue of the ZOH expm propagator.
+    BENCH_K sets the composition depth (default 64).
+    """
+    import time as _time
+
+    from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+    K = int(os.environ.get("BENCH_K", 64))
+    ms = make_modal_genalpha(model, DT, rho_inf=0.8)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(scale=1e-6, size=(N_ENVS, n_red)), jnp.float32)
+    v = jnp.zeros((N_ENVS, n_red), jnp.float32)
+    u = np.zeros(n_red, np.float32)
+    u[-2] = 0.1
+
+    eta, etad = jax.jit(ms.to_modal)(q, v)
+    u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+    interp = jax.default_backend() == "cpu"
+    unroll = UNROLL if UNROLL > 1 else 8
+
+    def roll(e, ed):
+        return ms.rollout_power(e, ed, u_m, N_STEPS, K=K, unroll=unroll,
+                                interpret=interp)
+
+    e1, ed1, _ = roll(eta, etad)
+    float(jnp.sum(e1))
+    t0 = _time.time()
+    e2, ed2, _ = roll(e1, ed1)
+    float(jnp.sum(e2))
+    wall = _time.time() - t0
+
+    q2, _ = jax.jit(ms.from_modal)(e2, ed2)
+    assert bool(jnp.all(jnp.isfinite(q2))), "non-finite states in benchmark"
+
+    # Accuracy vs the production stepper over the SAME timed span: the
+    # fused Pallas stepper is bit-equal to the XLA modal engine, so this
+    # is the composed map's whole-span drift, not kernel noise.
+    er, edr, _ = ms.rollout_pallas(e1, ed1, u_m, N_STEPS, interpret=interp)
+    num = jnp.sqrt(jnp.sum((e2 - er) ** 2) + jnp.sum((ed2 - edr) ** 2))
+    den = jnp.sqrt(jnp.sum(er**2) + jnp.sum(edr**2))
+    drift = float(num / den)
+
+    env_steps_per_sec = N_STEPS * N_ENVS / wall
+    # Analytic cost model: 18 VPU ops per element per map application
+    # (9 mul + 9 add), n_apps = ceil-ish applications incl. remainder,
+    # + 3 ops/element initial accel; HBM traffic = carry in + out once
+    # per call + the 12 coefficient columns.
+    m = int(jnp.asarray(eta).shape[-1])
+    B = int(jnp.asarray(eta).shape[0])
+    n_apps = N_STEPS // K + (1 if N_STEPS % K else 0)
+    state_bytes = 3 * B * m * 4
+    cost = {
+        "flops": (18.0 * n_apps + 3.0) * m * B,
+        "bytes": 2.0 * state_bytes + 12 * m * 4,
+    }
+    extra = roofline_fields(cost, wall, tier="vpu", model_tag="analytic")
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"implicit generalized-alpha (composed-propagator modal, "
+                    f"K={K}) env-steps/sec/chip, {N_ELEMENTS}-element linear "
+                    f"beam, {N_ENVS} envs, f32"
+                ),
+                "value": round(env_steps_per_sec, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(env_steps_per_sec / REF_EVALS_PER_SEC, 1),
+                "vs_stepper_rel": round(drift, 9),
+                **extra,
+            }
+        )
+    )
+
+
 def run_modal_rom(jax, jnp, model, n_red):
     """Nonlinear benchmark on the Petrov-Galerkin modal-reduction engine.
 
@@ -850,6 +934,14 @@ def main():
         return run_adaptive(jax, jnp, model, n_red, float(BENCH_TOL))
     if ENGINE in ("modal", "modal_pallas") and BEAM_TYPE == "linear":
         return run_modal(jax, jnp, model, n_red, use_pallas=(ENGINE == "modal_pallas"))
+    if ENGINE == "modal_power":
+        if BEAM_TYPE != "linear":
+            raise SystemExit(
+                "BENCH_ENGINE=modal_power requires BENCH_TYPE=linear "
+                "(step composition is exact only for the affine modal "
+                "recurrence)"
+            )
+        return run_modal_power(jax, jnp, model, n_red)
     if ENGINE == "modal_rom_pallas" and BEAM_TYPE == "linear":
         raise SystemExit(
             "BENCH_ENGINE=modal_rom_pallas requires BENCH_TYPE=nonlinear "

@@ -275,6 +275,115 @@ def fused_modal_steps(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("apps", "tile", "mode_tile", "interpret", "unroll"),
+)
+def fused_affine_steps(
+    tmat,
+    bvec,
+    eta,
+    etad,
+    etadd,
+    apps: int = 1,
+    tile: int = 1024,
+    mode_tile: int = 16,
+    interpret: bool = False,
+    unroll: int = 8,
+):
+    """Apply a per-mode affine map ``s -> T s + b`` ``apps`` times, fused.
+
+    The composed-propagator engine (``ModalGenAlpha.rollout_power``): the
+    linear gen-α step is an affine map on ``s = (eta, etad, etadd)`` per
+    mode, so K steps collapse into one host-precomputed 3x3 map. This
+    kernel is the VMEM-resident applier — same tiling as the step kernel
+    (modes on sublanes, envs on lanes), 9 FMAs + 3 adds per element per
+    application (vs 8 FMAs *per step* for the step kernel — the map
+    advances K steps per application).
+
+    Args:
+      tmat: ``(m, 3, 3)`` per-mode map (float32/float64 — cast to state
+        dtype); ``bvec``: ``(m, 3)`` per-mode offset.
+      eta, etad, etadd: ``(B, m)`` state triple (etadd required — the map
+        is over the full triple).
+      apps: number of map applications (static).
+      unroll: in-kernel applications per fori_loop iteration (pure loop
+        transformation, remainder peeled at trace time).
+
+    Returns the advanced ``(B, m)`` state triple.
+    """
+    B, m = eta.shape
+    dtype = eta.dtype
+    m_p = -(-m // mode_tile) * mode_tile
+    Bp = -(-B // tile) * tile
+
+    def pad_state(s):
+        return jnp.pad(s.T, ((0, m_p - m), (0, Bp - B)))
+
+    def pad_col(v):
+        return jnp.zeros((m_p, 1), dtype).at[:m, 0].set(jnp.asarray(v, dtype))
+
+    # 12 loop-invariant per-mode columns. Padded modes carry all-zero
+    # coefficients: zero state maps to exactly zero.
+    tmat = jnp.asarray(tmat)
+    bvec = jnp.asarray(bvec)
+    cols = tuple(
+        pad_col(tmat[:, i, j]) for i in range(3) for j in range(3)
+    ) + tuple(pad_col(bvec[:, i]) for i in range(3))
+
+    grid = (m_p // mode_tile, Bp // tile)
+    col_spec = pl.BlockSpec(
+        (mode_tile, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec(
+        (mode_tile, tile), lambda i, b: (i, b), memory_space=pltpu.VMEM
+    )
+
+    k = max(1, min(int(unroll), int(apps)))
+    n_loop = int(apps) // k
+    n_rem = int(apps) - n_loop * k
+
+    def kernel(*refs):
+        (t00, t01, t02, t10, t11, t12, t20, t21, t22, b0, b1, b2) = (
+            r[:, :] for r in refs[:12]
+        )
+        q_ref, v_ref, a_ref, qo_ref, vo_ref, ao_ref = refs[12:]
+
+        def app(qva):
+            q, v, a = qva
+            return (
+                t00 * q + t01 * v + t02 * a + b0,
+                t10 * q + t11 * v + t12 * a + b1,
+                t20 * q + t21 * v + t22 * a + b2,
+            )
+
+        def k_apps(_, qva):
+            for _i in range(k):
+                qva = app(qva)
+            return qva
+
+        qva = jax.lax.fori_loop(
+            0, n_loop, k_apps, (q_ref[:, :], v_ref[:, :], a_ref[:, :])
+        )
+        for _i in range(n_rem):
+            qva = app(qva)
+        q, v, a = qva
+        qo_ref[:, :] = q
+        vo_ref[:, :] = v
+        ao_ref[:, :] = a
+
+    out_shape = jax.ShapeDtypeStruct((m_p, Bp), dtype)
+    qo, vo, ao = pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape, out_shape),
+        grid=grid,
+        in_specs=[col_spec] * 12 + [state_spec] * 3,
+        out_specs=(state_spec, state_spec, state_spec),
+        interpret=interpret,
+    )(*cols, pad_state(eta), pad_state(etad), pad_state(etadd))
+    return qo[:m, :B].T, vo[:m, :B].T, ao[:m, :B].T
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "n_frames", "substeps", "h", "rho_inf", "tile", "mode_tile",
         "interpret", "unroll",

@@ -1,0 +1,141 @@
+"""Composed-propagator modal engine (``ModalGenAlpha.rollout_power``).
+
+The linear modal gen-α step is an exact affine map per mode, so K steps
+compose on the host (float64, O(log K) batched 3x3 matmuls) into one map
+whose application costs 12 ops per element — the discrete-map analogue of
+the ZOH ``expm`` propagator (``ops/exponential.py``), reproducing the
+production stepper's *discrete* trajectory instead of the continuous flow.
+
+Contract under test: rollout_power == rollout up to roundoff of the
+composed coefficients (NOT bit-equal — composition reassociates the
+arithmetic), on both the fused-Pallas and XLA tiers, with remainder steps,
+damping, no-force, and stiff-mesh configurations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import helpers
+from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+from continuum_robot_tpu.models.simulate import make_modal_genalpha
+
+
+def _setup(n_el=8, rayleigh=None, dtype=jnp.float64, segment_length=None,
+           rho_inf=0.8, B=4):
+    if segment_length is not None:
+        csv = helpers.write_beam_csv(["linear"] * n_el,
+                                     length=segment_length)
+        model = DynamicEulerBernoulliBeam(csv)
+    else:
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(n_el))
+    ms = make_modal_genalpha(model, 1e-4, rho_inf=rho_inf,
+                             rayleigh=rayleigh)
+    n = model.n_pos_states
+    rng = np.random.default_rng(3)
+    eta = jnp.asarray(rng.normal(scale=1e-4, size=(B, n)), dtype)
+    etad = jnp.asarray(rng.normal(scale=1e-4, size=(B, n)), dtype)
+    u = np.zeros(n)
+    u[-2] = 0.1
+    u_m = jnp.asarray(ms.project_force_host(u), dtype)
+    return ms, eta, etad, u_m
+
+
+def _rel(a, b):
+    return float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-300))
+
+
+class TestRolloutPower:
+    @pytest.mark.parametrize("rayleigh", [None, (0.5, 1e-6)])
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_matches_stepper_f64(self, rayleigh, use_pallas):
+        """f64: composition roundoff is ~1e-12 — the map IS the stepper.
+
+        137 = 8*17 + 1 exercises the fused applications plus the
+        remainder map; damped engines exercise the p5/p6 columns."""
+        ms, eta, etad, u_m = _setup(rayleigh=rayleigh)
+        base = ms.rollout(eta, etad, u_m, 137)
+        out = ms.rollout_power(eta, etad, u_m, 137, K=8,
+                               use_pallas=use_pallas, interpret=True)
+        for a, b in zip(out, base):
+            assert _rel(a, b) < 1e-10
+
+    def test_k_equals_one_and_k_exceeds_steps(self):
+        """K=1 is the stepper itself in map form; K > n_steps runs the
+        whole span as one remainder map."""
+        ms, eta, etad, u_m = _setup()
+        base = ms.rollout(eta, etad, u_m, 37)
+        for K in (1, 37, 100):
+            out = ms.rollout_power(eta, etad, u_m, 37, K=K,
+                                   use_pallas=False)
+            for a, b in zip(out, base):
+                assert _rel(a, b) < 1e-10, K
+
+    def test_no_force(self):
+        ms, eta, etad, _ = _setup()
+        base = ms.rollout(eta, etad, None, 64)
+        out = ms.rollout_power(eta, etad, None, 64, K=16, use_pallas=False)
+        for a, b in zip(out, base):
+            assert _rel(a, b) < 1e-10
+
+    def test_stiff_mesh(self):
+        """60 elements of the Nitinol material at 1/60 segment length —
+        omega_max*dt >> 1, the regime the implicit stepper exists for.
+        The composed map must track the stepper through the strongly
+        dissipative high modes (large |T| entries, spectral radius < 1)."""
+        ms, eta, etad, u_m = _setup(n_el=60, segment_length=0.25 / 60,
+                                    rho_inf=0.95, B=2)
+        base = ms.rollout(eta, etad, u_m, 500)
+        out = ms.rollout_power(eta, etad, u_m, 500, K=32, use_pallas=False)
+        for a, b in zip(out, base):
+            assert _rel(a, b) < 1e-9
+
+    def test_f32_long_horizon_drift(self):
+        """f32 tier over 2000 steps: the composed coefficients round once
+        per mode, the per-application roundoff replaces K steps' worth —
+        drift vs the f32 stepper stays at the f32-trajectory noise level."""
+        ms, eta, etad, u_m = _setup(dtype=jnp.float32)
+        base = ms.rollout(eta, etad, u_m, 2000)
+        out = ms.rollout_power(eta, etad, u_m, 2000, K=16, use_pallas=False)
+        for a, b in zip(out, base):
+            assert _rel(a, b) < 1e-3
+
+    def test_frames_match_rollout_frames(self):
+        ms, eta, etad, u_m = _setup()
+        ts_ref, etas_ref, etads_ref = ms.rollout_frames(
+            eta, etad, u_m, 6, substeps=20
+        )
+        ts, etas, etads = ms.rollout_frames_power(
+            eta, etad, u_m, 6, substeps=20
+        )
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(ts_ref),
+                                   rtol=1e-12)
+        assert etas.shape == etas_ref.shape
+        assert _rel(etas[-1], etas_ref[-1]) < 1e-10
+        assert _rel(etads[-1], etads_ref[-1]) < 1e-10
+
+    def test_error_contracts(self):
+        ms, eta, etad, u_m = _setup()
+        with pytest.raises(ValueError, match="constant"):
+            ms.rollout_power(eta, etad, lambda t: u_m, 10)
+        with pytest.raises(ValueError, match="constant"):
+            ms.rollout_frames_power(eta, etad, lambda t: u_m, 10)
+        with pytest.raises(ValueError, match="K"):
+            ms.rollout_power(eta, etad, u_m, 10, K=0)
+
+    def test_affine_power_algebra(self):
+        """_affine_power against literal repeated multiplication."""
+        from continuum_robot_tpu.models.simulate import _affine_power
+
+        rng = np.random.default_rng(0)
+        T = rng.normal(scale=0.5, size=(5, 3, 3))
+        for K in (1, 2, 3, 7, 16):
+            P, S = _affine_power(T, K)
+            P_ref = np.broadcast_to(np.eye(3), T.shape).copy()
+            S_ref = np.zeros_like(T)
+            for _ in range(K):
+                S_ref = S_ref + P_ref
+                P_ref = np.einsum("mij,mjk->mik", T, P_ref)
+            np.testing.assert_allclose(P, P_ref, rtol=1e-12, atol=1e-14)
+            np.testing.assert_allclose(S, S_ref, rtol=1e-12, atol=1e-14)
