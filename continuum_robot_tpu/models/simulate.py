@@ -2560,10 +2560,14 @@ def simulate(
         static_vectors, modal_derivatives: ``modal_rom`` only — basis
             enrichment for load-dominated responses (see
             :func:`make_modal_rom`).
-        engine: ``modal`` / ``modal_rom`` only — ``"xla"`` (default) or
-            ``"pallas"`` for the fused whole-span VMEM kernels (constant
-            input force, no external forces; interpreted automatically on
-            the CPU backend).
+        engine: ``modal`` / ``modal_rom`` only — ``"xla"`` (default),
+            ``"pallas"`` for the fused whole-span VMEM kernels, or
+            ``"power"`` (``modal`` only) for the composed-propagator
+            drive: one precomputed ``substeps``-step affine map per
+            output frame, same discrete trajectory to roundoff.
+            ``"pallas"``/``"power"`` require a constant input force
+            (no external forces); Pallas kernels run interpreted
+            automatically on the CPU backend.
         rayleigh: optional ``(alpha, beta)`` Rayleigh structural damping
             ``C = alpha M + beta K`` — modal engines only (both the XLA
             and fused-Pallas paths), exact in the recurrence and the
@@ -2580,8 +2584,46 @@ def simulate(
             "engines (method='modal'/'modal_rom'/'modal_rom_adaptive')"
         )
 
-    if engine not in ("xla", "pallas"):
-        raise ValueError(f"Unknown engine: {engine!r} (use 'xla'|'pallas')")
+    if engine not in ("xla", "pallas", "power"):
+        raise ValueError(
+            f"Unknown engine: {engine!r} (use 'xla'|'pallas'|'power')"
+        )
+    if engine == "power":
+        # Composed-propagator drive: each output frame is ONE application
+        # of the host-precomputed substeps-step affine map (12 ops per
+        # element per frame regardless of substeps) — the same discrete
+        # trajectory as engine='xla'/'pallas' to roundoff
+        # (ModalGenAlpha.rollout_frames_power).
+        if method != "modal":
+            raise ValueError(
+                "engine='power' applies to method='modal' (exact step "
+                "composition exists only for the affine linear recurrence)"
+            )
+        if callable(u):
+            raise ValueError(
+                "engine='power' requires a constant input force (the "
+                "composed map bakes the modal force in); use engine='xla' "
+                "for time-varying inputs"
+            )
+        if forces_func is not None:
+            raise ValueError(
+                "method='modal' cannot include state-dependent forces"
+            )
+        ms_p = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf,
+                                   rayleigh=rayleigh)
+        squeeze = x0.ndim == 1
+        xb = x0[None, :] if squeeze else x0
+        n = xb.shape[-1] // 2
+        u_modal = None if u is None else ms_p.project_force_host(u)
+        eta, etad = jax.jit(ms_p.to_modal)(xb[..., :n], xb[..., n:])
+        ts, etas, etads = ms_p.rollout_frames_power(
+            eta, etad, u_modal, n_steps, substeps=substeps
+        )
+        qs, vs = jax.jit(ms_p.from_modal)(etas, etads)
+        ys = jnp.concatenate([qs, vs], axis=-1)
+        if squeeze:
+            ys = ys[:, 0, :]
+        return SimulationResult(ts=ts, ys=ys, stats=None)
     if engine == "pallas":
         if method not in ("modal", "modal_rom"):
             raise ValueError(

@@ -124,6 +124,40 @@ class TestRolloutPower:
         with pytest.raises(ValueError, match="K"):
             ms.rollout_power(eta, etad, u_m, 10, K=0)
 
+    def test_simulate_facade_engine_power(self):
+        """simulate(engine='power') == simulate(engine='xla') trajectory
+        (method='modal'), including the squeeze/batch contract."""
+        from continuum_robot_tpu.models.simulate import simulate
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(8))
+        n = model.n_pos_states
+        u = np.zeros(n)
+        u[-2] = 0.1
+        x0 = np.zeros(2 * n)
+        ref = simulate(model, x0, 0.01, 1e-3, method="modal", u=u,
+                       substeps=10, rho_inf=0.8)
+        out = simulate(model, x0, 0.01, 1e-3, method="modal", u=u,
+                       substeps=10, rho_inf=0.8, engine="power")
+        assert out.ys.shape == ref.ys.shape
+        np.testing.assert_allclose(np.asarray(out.ts), np.asarray(ref.ts),
+                                   rtol=1e-12)
+        err = np.abs(np.asarray(out.ys) - np.asarray(ref.ys)).max()
+        scale = np.abs(np.asarray(ref.ys)).max()
+        assert err < 1e-10 * max(scale, 1e-30)
+
+    def test_simulate_facade_engine_power_contracts(self):
+        from continuum_robot_tpu.models.simulate import simulate
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(6))
+        n = model.n_pos_states
+        x0 = np.zeros(2 * n)
+        with pytest.raises(ValueError, match="method='modal'"):
+            simulate(model, x0, 0.01, 1e-3, method="newmark",
+                     engine="power")
+        with pytest.raises(ValueError, match="constant"):
+            simulate(model, x0, 0.01, 1e-3, method="modal",
+                     u=lambda t: np.zeros(n), engine="power")
+
     def test_affine_power_algebra(self):
         """_affine_power against literal repeated multiplication."""
         from continuum_robot_tpu.models.simulate import _affine_power
