@@ -157,7 +157,7 @@ def run_points(quick: bool = False):
     u_np[-2] = TIP_FORCE
 
     ms_base = make_modal_genalpha(model, h_ladder[0], rho_inf=rho)
-    for engine in ("modal_pallas", "modal_xla_u4"):
+    for engine in ("modal_pallas", "modal_xla_u4", "modal_power_k64"):
         for h in h_ladder:
             ms = ms_base.with_dt(h)
             n_steps = int(round(span / h))
@@ -167,6 +167,14 @@ def run_points(quick: bool = False):
             if engine == "modal_pallas":
                 def roll(e, ed, _n=n_steps, _u=u_m, _ms=ms):
                     return _ms.rollout_pallas(e, ed, _u, _n, interpret=interp)
+            elif engine == "modal_power_k64":
+                # Composed-propagator tier: same gen-α discretization, so
+                # the error axis should match the steppers at each h while
+                # the work axis runs ~K-fold faster — the curve that shows
+                # step composition is accuracy-free throughput.
+                def roll(e, ed, _n=n_steps, _u=u_m, _ms=ms):
+                    return _ms.rollout_power(e, ed, _u, _n, K=64,
+                                             interpret=interp)
             else:
                 roll = jax.jit(
                     lambda e, ed, _n=n_steps, _u=u_m, _ms=ms:
