@@ -89,6 +89,35 @@ def build_rollout_fn(
             u=u, forces_func=forces_func,
         )
 
+    elif method == "modal_power":
+        # Composed-propagator drive: each output frame is ONE application
+        # of the host-precomputed substeps-step affine map — the same
+        # discrete trajectory as method="modal" to roundoff at ~1/substeps
+        # of its per-frame arithmetic (ModalGenAlpha.rollout_frames_power).
+        # Constant input force only (the map bakes the modal force in).
+        from ..models.simulate import make_modal_genalpha
+
+        if forces_func is not None:
+            raise ValueError(
+                "method='modal_power' cannot include state-dependent forces"
+            )
+        if callable(u):
+            raise ValueError(
+                "method='modal_power' requires a constant input force; "
+                "use method='modal' for time-varying inputs"
+            )
+        ms_p = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
+        u_modal_p = None if u is None else ms_p.project_force_host(u)
+
+        def rollout(x0):
+            n = x0.shape[-1] // 2
+            eta, etad = ms_p.to_modal(x0[..., :n], x0[..., n:])
+            ts, etas, etads = ms_p.rollout_frames_power(
+                eta, etad, u_modal_p, n_steps, substeps=substeps
+            )
+            qs, vs = ms_p.from_modal(etas, etads)
+            return ts, jnp.concatenate([qs, vs], axis=-1)
+
     elif method == "modal_rom":
         from ..models.simulate import make_modal_rom
 

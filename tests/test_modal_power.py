@@ -158,6 +158,27 @@ class TestRolloutPower:
             simulate(model, x0, 0.01, 1e-3, method="modal",
                      u=lambda t: np.zeros(n), engine="power")
 
+    def test_batched_rollout_modal_power(self):
+        """parallel.batched_rollout(method='modal_power') == method='modal'
+        trajectories over a vmapped batch."""
+        from continuum_robot_tpu.parallel import batched_rollout
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(8))
+        n = model.n_pos_states
+        u = np.zeros(n)
+        u[-2] = 0.1
+        rng = np.random.default_rng(5)
+        x0 = jnp.asarray(rng.normal(scale=1e-6, size=(3, 2 * n)))
+        res_r = batched_rollout(model, x0, 0.01, 1e-3,
+                                method="modal", u=u, substeps=10)
+        res = batched_rollout(model, x0, 0.01, 1e-3,
+                              method="modal_power", u=u, substeps=10)
+        ys_r, ys = res_r.ys, res.ys
+        assert ys.shape == ys_r.shape
+        err = float(jnp.abs(ys - ys_r).max())
+        scale = float(jnp.abs(ys_r).max())
+        assert err < 1e-10 * max(scale, 1e-30)
+
     def test_affine_power_algebra(self):
         """_affine_power against literal repeated multiplication."""
         from continuum_robot_tpu.models.simulate import _affine_power
