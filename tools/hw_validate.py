@@ -169,6 +169,17 @@ def main():
     dev = float(jnp.abs(e_pd - e_xd).max() / jnp.abs(e_xd).max())
     report("fused damped-modal steps vs XLA", dev < 1e-6, f"rel dev {dev:.2e}")
 
+    # 3b2. composed-propagator engine vs the stepper: K steps as one
+    # host-precomputed affine map. Roundoff-grade agreement (composition
+    # reassociates f32 arithmetic), not bit-equality.
+    e_pw, _, _ = ms.rollout_power(
+        eta, etad, u_m, NS, K=16, tile=128,
+        mode_tile=8 if interpret else 16, interpret=interpret,
+    )
+    dev = float(jnp.abs(e_pw - e_x).max() / jnp.abs(e_x).max())
+    report("composed-propagator vs XLA modal", dev < 1e-4,
+           f"rel dev {dev:.2e}")
+
     # 3c. scan-unroll neutrality on this backend: unroll=8 fuses 8 steps
     # per scan iteration (the HBM-carry dial) and must not change results.
     e_u, ed_u, _ = jax.jit(
