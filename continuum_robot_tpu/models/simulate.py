@@ -352,6 +352,73 @@ def _affine_app(P, b, s):
     )
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class PiecewiseConstant:
+    """Piecewise-constant input force: ``values[i]`` holds on
+    ``[breaks[i-1], breaks[i])`` (``values[0]`` before ``breaks[0]``,
+    ``values[-1]`` from ``breaks[-1]`` on).
+
+    The reference's flagship workloads force the beam in exactly this shape
+    — a tip impulse held for 10 ms then released
+    (``/root/reference/examples/example_utilities.py:139-149``) — passed as
+    an opaque Python callable. This type keeps the callable contract
+    (``__call__`` is trace-compatible, so it drops into every integrator
+    and engine that accepts ``u=callable``) while *declaring* the
+    structure, which lets the composed-propagator drive
+    (:meth:`ModalGenAlpha.rollout_power`, ``simulate(engine="power")``,
+    ``batched_rollout(method="modal_power")``) reproduce the stepper
+    exactly: one host-composed affine map per constant-force span instead
+    of rejecting the callable.
+
+    ``breaks``: strictly-ascending interior breakpoints (k-1 floats for k
+    values). ``values``: ``(k, n)`` array (or ``(k,)`` for scalar/modal
+    forces), one force vector per span.
+    """
+
+    breaks: tuple
+    values: np.ndarray
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "breaks", tuple(float(b) for b in self.breaks)
+        )
+        object.__setattr__(
+            self, "values", np.asarray(jax.device_get(self.values))
+        )
+        if self.values.ndim < 1 or (
+            self.values.shape[0] != len(self.breaks) + 1
+        ):
+            raise ValueError(
+                f"values needs len(breaks)+1 = {len(self.breaks) + 1} rows "
+                f"(one per span), got shape {self.values.shape}"
+            )
+        if any(b2 <= b1 for b1, b2 in zip(self.breaks, self.breaks[1:])):
+            raise ValueError("breaks must be strictly ascending")
+
+    def __call__(self, t):
+        idx = jnp.searchsorted(
+            jnp.asarray(np.asarray(self.breaks, np.float64)), t,
+            side="right",
+        )
+        return jnp.asarray(self.values)[idx]
+
+    def value_at(self, t: float) -> np.ndarray:
+        """Host-side (float64-classified) value lookup."""
+        i = int(np.searchsorted(
+            np.asarray(self.breaks, np.float64), float(t), side="right"
+        ))
+        return np.asarray(self.values)[i]
+
+    def map_values(self, fn) -> "PiecewiseConstant":
+        """A new schedule with ``fn`` applied to each value (e.g. the
+        modal force projection)."""
+        return PiecewiseConstant(
+            self.breaks,
+            np.stack([np.asarray(jax.device_get(fn(v)))
+                      for v in self.values]),
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -368,13 +435,7 @@ def _power_drive(
     map (one elementwise application), all in one program."""
     from ..ops.pallas.modal_rollout import fused_affine_steps
 
-    dtype = eta.dtype
-    a0 = -jnp.asarray(lam, dtype) * eta
-    if u_m is not None:
-        a0 = a0 + jnp.asarray(u_m, dtype)
-    if cdamp is not None:
-        a0 = a0 - jnp.asarray(cdamp, dtype) * etad
-    s = (eta, etad, a0)
+    s = (eta, etad, _power_a0(lam, cdamp, u_m, eta, etad))
     if apps:
         if use_pallas:
             s = fused_affine_steps(
@@ -397,12 +458,7 @@ def _power_drive(
 def _power_frames_drive(lam, cdamp, u_m, P, b, eta, etad, n_frames: int):
     """Frame-collecting composed-propagator rollout: each scan iteration is
     one precomputed ``substeps``-step map application (XLA elementwise)."""
-    dtype = eta.dtype
-    a0 = -jnp.asarray(lam, dtype) * eta
-    if u_m is not None:
-        a0 = a0 + jnp.asarray(u_m, dtype)
-    if cdamp is not None:
-        a0 = a0 - jnp.asarray(cdamp, dtype) * etad
+    a0 = _power_a0(lam, cdamp, u_m, eta, etad)
 
     def frame(s, _):
         s2 = _affine_app(P, b, s)
@@ -414,6 +470,79 @@ def _power_frames_drive(lam, cdamp, u_m, P, b, eta, etad, n_frames: int):
     etas = jnp.concatenate([eta[None], qs], axis=0)
     etads = jnp.concatenate([etad[None], vs], axis=0)
     return etas, etads
+
+
+def _power_a0(lam, cdamp, u0_m, eta, etad):
+    """Consistent initial modal acceleration from the t0 force value."""
+    dtype = eta.dtype
+    a0 = -jnp.asarray(lam, dtype) * eta
+    if u0_m is not None:
+        a0 = a0 + jnp.asarray(u0_m, dtype)
+    if cdamp is not None:
+        a0 = a0 - jnp.asarray(cdamp, dtype) * etad
+    return a0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "apps", "tile", "mode_tile", "unroll", "interpret", "use_pallas",
+    ),
+)
+def _power_drive_schedule(
+    lam, cdamp, u0_m, PKs, bKs, Prs, brs, eta, etad,
+    apps: tuple, tile: int, mode_tile: int, unroll: int, interpret: bool,
+    use_pallas: bool,
+):
+    """Multi-segment composed-propagator drive (piecewise-constant force):
+    consistent initial acceleration from the t0 force value, then each
+    constant-force segment's fused applications + remainder map in
+    sequence. The full affine state ``(eta, etad, etadd)`` carries across
+    force switches exactly like the step-by-step recurrence does (the
+    stepper never recomputes the acceleration at a force change)."""
+    from ..ops.pallas.modal_rollout import fused_affine_steps
+
+    s = (eta, etad, _power_a0(lam, cdamp, u0_m, eta, etad))
+    for i, ap in enumerate(apps):
+        if ap:
+            if use_pallas:
+                s = fused_affine_steps(
+                    PKs[i], bKs[i], *s, apps=ap, tile=tile,
+                    mode_tile=mode_tile, interpret=interpret, unroll=unroll,
+                )
+            else:
+                def app(si, _, _P=PKs[i], _b=bKs[i]):
+                    return _affine_app(_P, _b, si), None
+
+                s, _ = jax.lax.scan(
+                    app, s, None, length=ap,
+                    unroll=max(1, min(unroll, ap)),
+                )
+        if Prs[i] is not None:
+            s = _affine_app(Prs[i], brs[i], s)
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("counts",))
+def _power_frames_drive_schedule(lam, cdamp, u0_m, Ps, bs, eta, etad,
+                                 counts: tuple):
+    """Frame-collecting composed-propagator rollout over a schedule of
+    per-frame maps: ``counts[i]`` consecutive frames apply ``(Ps[i],
+    bs[i])`` (frames whose substep span crosses a force break get their
+    own host-composed map — see ``ModalGenAlpha._pwc_frame_runs``)."""
+    s = (eta, etad, _power_a0(lam, cdamp, u0_m, eta, etad))
+    qs_out, vs_out = [eta[None]], [etad[None]]
+    for i, c in enumerate(counts):
+        def frame(si, _, _P=Ps[i], _b=bs[i]):
+            s2 = _affine_app(_P, _b, si)
+            return s2, (s2[0], s2[1])
+
+        s, (qs, vs) = jax.lax.scan(frame, s, None, length=c)
+        qs_out.append(qs)
+        vs_out.append(vs)
+    return (
+        jnp.concatenate(qs_out, axis=0), jnp.concatenate(vs_out, axis=0)
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -699,6 +828,86 @@ class ModalGenAlpha:
         P, S = _affine_power(T, k)
         return P, np.einsum("mij,mj->mi", S, b)
 
+    def _pwc_segments(self, u_pwc: PiecewiseConstant, n_steps: int,
+                      t0: float):
+        """Step counts per constant-force span of a piecewise-constant
+        modal force, exactly matching the stepper's convention.
+
+        Step ``n`` (starting at ``t0 + n h``) reads the force at its gen-α
+        evaluation point ``tau_n = t0 + (n + 1 - af) h`` (``_step_fn``), so
+        the value switches at the first step whose ``tau_n`` crosses the
+        break — breaks need NOT be step-aligned. Classification happens in
+        float64 on the host; the traced stepper classifies in the rollout
+        dtype, so exact agreement on a step whose ``tau_n`` sits within
+        f32-eps of a break needs f64 (the parity-test regime).
+
+        Returns ``[(count, value_f64), ...]`` with zero-count spans
+        dropped; counts sum to ``n_steps``.
+        """
+        af = self.rho_inf / (self.rho_inf + 1.0)
+        h = float(self.dt)
+        n_steps = int(n_steps)
+        vals = np.asarray(u_pwc.values, np.float64)
+        edges = [
+            int(min(max(np.ceil((b - t0) / h - (1.0 - af)), 0), n_steps))
+            for b in u_pwc.breaks
+        ]
+        bounds = [0] + edges + [n_steps]
+        return [
+            (bounds[i + 1] - bounds[i], vals[i])
+            for i in range(len(bounds) - 1)
+            if bounds[i + 1] > bounds[i]
+        ]
+
+    def _pwc_frame_runs(self, u_pwc: PiecewiseConstant, n_frames: int,
+                        substeps: int, t0: float):
+        """Per-frame composed maps for a piecewise-constant force, grouped
+        into runs of consecutive frames sharing one map.
+
+        Frames fully inside one constant-force span share that span's
+        ``substeps``-step map; a frame whose substep window crosses a break
+        gets its own map, composed from the partial-span pieces in order.
+        Returns ``[(P (m,3,3), b (m,3), n_frames_run), ...]`` (float64).
+        """
+        segs = self._pwc_segments(u_pwc, n_frames * substeps, t0)
+        m = np.asarray(self.lam).shape[0]
+        full_maps = {}
+        runs = []  # [key, P, b, count]
+        si, rem_seg = 0, (segs[0][0] if segs else 0)
+        for _f in range(int(n_frames)):
+            pieces = []
+            need = int(substeps)
+            while need:
+                k = min(need, rem_seg)
+                pieces.append((k, si))
+                need -= k
+                rem_seg -= k
+                if rem_seg == 0 and si + 1 < len(segs):
+                    si += 1
+                    rem_seg = segs[si][0]
+            if len(pieces) == 1:
+                key = pieces[0][1]
+                if runs and runs[-1][0] == key:
+                    runs[-1][3] += 1
+                    continue
+                if key not in full_maps:
+                    full_maps[key] = self._power_map(
+                        int(substeps), segs[key][1]
+                    )
+                runs.append([key, *full_maps[key], 1])
+            else:
+                P = np.broadcast_to(
+                    np.eye(3), (m, 3, 3)
+                ).astype(np.float64).copy()
+                b = np.zeros((m, 3), np.float64)
+                for k, idx in pieces:
+                    Pk, bk = self._power_map(k, segs[idx][1])
+                    b = np.einsum("mij,mj->mi", Pk, b) + bk
+                    P = np.einsum("mij,mjk->mik", Pk, P)
+                # unique key: break-crossing frames never merge into runs
+                runs.append([("mix", _f), P, b, 1])
+        return [(P, b, c) for _key, P, b, c in runs]
+
     def rollout_power(
         self, eta, etad, u_modal, n_steps: int, t0: float = 0.0,
         K: int = 16, tile: int = 1024, mode_tile: int = 16,
@@ -723,12 +932,51 @@ class ModalGenAlpha:
         ``use_pallas=False`` runs the applications as an XLA scan (the
         memory-bound tier; still K-fold less carry traffic per step than
         ``rollout``). Returns final ``(eta, etad, etadd)``.
+
+        ``u_modal`` may also be a :class:`PiecewiseConstant` over modal
+        force (the tip-impulse workload shape): each constant-force span
+        composes its own maps, and the affine state carries across the
+        switch exactly like the stepper's does (``_pwc_segments`` matches
+        its force-evaluation convention step-for-step).
         """
-        if callable(u_modal):
-            raise ValueError("rollout_power takes a constant modal force")
         K = int(K)
         if K < 1:
             raise ValueError(f"K must be >= 1, got {K}")
+        if isinstance(u_modal, PiecewiseConstant):
+            segs = self._pwc_segments(u_modal, n_steps, t0)
+            dtype = jnp.asarray(eta).dtype
+            PKs, bKs, Prs, brs, apps = [], [], [], [], []
+            for count, u_host in segs:
+                n_outer, rem = divmod(int(count), K)
+                PK, bK = self._power_map(K, u_host)
+                apps.append(n_outer)
+                PKs.append(jnp.asarray(PK, dtype))
+                bKs.append(jnp.asarray(bK, dtype))
+                if rem:
+                    Pr, br = self._power_map(rem, u_host)
+                    Prs.append(jnp.asarray(Pr, dtype))
+                    brs.append(jnp.asarray(br, dtype))
+                else:
+                    Prs.append(None)
+                    brs.append(None)
+            cdamp = (
+                None
+                if self.cdamp is None
+                else jnp.asarray(self.cdamp, dtype)
+            )
+            u0_m = jnp.asarray(u_modal.value_at(t0), dtype)
+            return _power_drive_schedule(
+                jnp.asarray(self.lam, dtype), cdamp, u0_m,
+                tuple(PKs), tuple(bKs), tuple(Prs), tuple(brs),
+                eta, etad, apps=tuple(apps), tile=tile,
+                mode_tile=mode_tile, unroll=unroll, interpret=interpret,
+                use_pallas=use_pallas,
+            )
+        if callable(u_modal):
+            raise ValueError(
+                "rollout_power takes a constant modal force (or a "
+                "PiecewiseConstant schedule)"
+            )
         n_outer, rem = divmod(int(n_steps), K)
         u_host = (
             None
@@ -759,13 +1007,35 @@ class ModalGenAlpha:
         Each output frame advances ``substeps`` steps via one precomputed
         map application (XLA elementwise — the per-frame work is 12 ops
         per element regardless of ``substeps``), so trajectory collection
-        runs at effectively the fused-kernel rate. Constant ``u_modal``
-        only. Returns ``(ts, etas, etads)`` including the initial state,
+        runs at effectively the fused-kernel rate. ``u_modal`` is a
+        constant modal force or a :class:`PiecewiseConstant` schedule
+        (frames crossing a force break get their own host-composed map).
+        Returns ``(ts, etas, etads)`` including the initial state,
         matching :meth:`rollout_frames_pallas`.
         """
+        if isinstance(u_modal, PiecewiseConstant):
+            runs = self._pwc_frame_runs(
+                u_modal, int(n_frames), int(substeps), 0.0
+            )
+            dtype = jnp.asarray(eta).dtype
+            cdamp = (
+                None
+                if self.cdamp is None
+                else jnp.asarray(self.cdamp, dtype)
+            )
+            etas, etads = _power_frames_drive_schedule(
+                jnp.asarray(self.lam, dtype), cdamp,
+                jnp.asarray(u_modal.value_at(0.0), dtype),
+                tuple(jnp.asarray(P, dtype) for P, _b, _c in runs),
+                tuple(jnp.asarray(b, dtype) for _P, b, _c in runs),
+                eta, etad, counts=tuple(c for _P, _b, c in runs),
+            )
+            ts = (self.dt * substeps) * jnp.arange(int(n_frames) + 1)
+            return ts, etas, etads
         if callable(u_modal):
             raise ValueError(
-                "rollout_frames_power takes a constant modal force"
+                "rollout_frames_power takes a constant modal force (or a "
+                "PiecewiseConstant schedule)"
             )
         u_host = (
             None
@@ -2565,8 +2835,10 @@ def simulate(
             ``"power"`` (``modal`` only) for the composed-propagator
             drive: one precomputed ``substeps``-step affine map per
             output frame, same discrete trajectory to roundoff.
-            ``"pallas"``/``"power"`` require a constant input force
-            (no external forces); Pallas kernels run interpreted
+            ``"pallas"`` requires a constant input force; ``"power"``
+            takes a constant force or a :class:`PiecewiseConstant`
+            schedule (the tip-impulse workload shape) — no external
+            forces either way. Pallas kernels run interpreted
             automatically on the CPU backend.
         rayleigh: optional ``(alpha, beta)`` Rayleigh structural damping
             ``C = alpha M + beta K`` — modal engines only (both the XLA
@@ -2599,11 +2871,11 @@ def simulate(
                 "engine='power' applies to method='modal' (exact step "
                 "composition exists only for the affine linear recurrence)"
             )
-        if callable(u):
+        if callable(u) and not isinstance(u, PiecewiseConstant):
             raise ValueError(
-                "engine='power' requires a constant input force (the "
-                "composed map bakes the modal force in); use engine='xla' "
-                "for time-varying inputs"
+                "engine='power' requires a constant or PiecewiseConstant "
+                "input force (the composed maps bake the modal force in); "
+                "use engine='xla' for arbitrary time-varying inputs"
             )
         if forces_func is not None:
             raise ValueError(
@@ -2614,7 +2886,12 @@ def simulate(
         squeeze = x0.ndim == 1
         xb = x0[None, :] if squeeze else x0
         n = xb.shape[-1] // 2
-        u_modal = None if u is None else ms_p.project_force_host(u)
+        if u is None:
+            u_modal = None
+        elif isinstance(u, PiecewiseConstant):
+            u_modal = u.map_values(ms_p.project_force_host)
+        else:
+            u_modal = ms_p.project_force_host(u)
         eta, etad = jax.jit(ms_p.to_modal)(xb[..., :n], xb[..., n:])
         ts, etas, etads = ms_p.rollout_frames_power(
             eta, etad, u_modal, n_steps, substeps=substeps

@@ -94,20 +94,27 @@ def build_rollout_fn(
         # of the host-precomputed substeps-step affine map — the same
         # discrete trajectory as method="modal" to roundoff at ~1/substeps
         # of its per-frame arithmetic (ModalGenAlpha.rollout_frames_power).
-        # Constant input force only (the map bakes the modal force in).
-        from ..models.simulate import make_modal_genalpha
+        # Constant or PiecewiseConstant input force only (the maps bake
+        # the modal force in).
+        from ..models.simulate import PiecewiseConstant, make_modal_genalpha
 
         if forces_func is not None:
             raise ValueError(
                 "method='modal_power' cannot include state-dependent forces"
             )
-        if callable(u):
+        if callable(u) and not isinstance(u, PiecewiseConstant):
             raise ValueError(
-                "method='modal_power' requires a constant input force; "
-                "use method='modal' for time-varying inputs"
+                "method='modal_power' requires a constant or "
+                "PiecewiseConstant input force; use method='modal' for "
+                "arbitrary time-varying inputs"
             )
         ms_p = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf)
-        u_modal_p = None if u is None else ms_p.project_force_host(u)
+        if u is None:
+            u_modal_p = None
+        elif isinstance(u, PiecewiseConstant):
+            u_modal_p = u.map_values(ms_p.project_force_host)
+        else:
+            u_modal_p = ms_p.project_force_host(u)
 
         def rollout(x0):
             n = x0.shape[-1] // 2

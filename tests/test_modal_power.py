@@ -179,6 +179,164 @@ class TestRolloutPower:
         scale = float(jnp.abs(ys_r).max())
         assert err < 1e-10 * max(scale, 1e-30)
 
+    def test_piecewise_constant_callable_contract(self):
+        """PiecewiseConstant IS a callable of t — it drops into every
+        engine that accepts u=callable, with [b_{i-1}, b_i) spans."""
+        from continuum_robot_tpu.models.simulate import PiecewiseConstant
+
+        vals = np.arange(6.0).reshape(3, 2)
+        pwc = PiecewiseConstant((0.01, 0.02), vals)
+        np.testing.assert_allclose(np.asarray(pwc(0.0)), vals[0])
+        np.testing.assert_allclose(np.asarray(pwc(0.0099)), vals[0])
+        np.testing.assert_allclose(np.asarray(pwc(0.01)), vals[1])
+        np.testing.assert_allclose(np.asarray(pwc(0.02)), vals[2])
+        np.testing.assert_allclose(np.asarray(pwc(5.0)), vals[2])
+        np.testing.assert_allclose(pwc.value_at(0.015), vals[1])
+        # traced classification (jit over t)
+        f = jax.jit(pwc)
+        np.testing.assert_allclose(np.asarray(f(jnp.asarray(0.011))),
+                                   vals[1])
+
+    def test_piecewise_constant_validation(self):
+        from continuum_robot_tpu.models.simulate import PiecewiseConstant
+
+        with pytest.raises(ValueError, match="ascending"):
+            PiecewiseConstant((0.02, 0.01), np.zeros((3, 2)))
+        with pytest.raises(ValueError, match="rows"):
+            PiecewiseConstant((0.01,), np.zeros((3, 2)))
+
+    @pytest.mark.parametrize("rayleigh", [None, (0.5, 1e-6)])
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_pwc_rollout_power_matches_stepper(self, rayleigh, use_pallas):
+        """Piecewise-constant forcing (impulse-then-release + a second
+        level) through the composed-propagator drive == the step-by-step
+        stepper fed the same schedule as a callable, f64. Breaks fall
+        mid-span (not K-aligned) and one span is shorter than K."""
+        from continuum_robot_tpu.models.simulate import PiecewiseConstant
+
+        ms, eta, etad, u_m = _setup(rayleigh=rayleigh)
+        h = ms.dt
+        u2 = np.stack([np.asarray(u_m), 0.3 * np.asarray(u_m),
+                       np.zeros_like(u_m)])
+        pwc = PiecewiseConstant((100 * h, 103 * h), u2)
+        base = ms.rollout(eta, etad, pwc, 137)
+        out = ms.rollout_power(eta, etad, pwc, 137, K=8,
+                               use_pallas=use_pallas, interpret=True)
+        for a, b in zip(out, base):
+            assert _rel(a, b) < 1e-10
+
+    def test_pwc_rollout_power_unaligned_breaks(self):
+        """Breaks strictly inside a step interval: the f64 host
+        classification must match the stepper's tau_n = (n+1-af)h force
+        evaluation point, not the step start."""
+        from continuum_robot_tpu.models.simulate import PiecewiseConstant
+
+        ms, eta, etad, u_m = _setup()
+        h = ms.dt
+        # one break just below tau_50 and one just above tau_80:
+        # af = 0.8/1.8 -> 1-af = 5/9; tau_n = (n + 5/9) h
+        b1 = (50 + 0.4) * h   # < tau_50: step 50 already sees the new value
+        b2 = (80 + 0.7) * h   # > tau_80: step 80 still sees the old value
+        u2 = np.stack([np.asarray(u_m), np.zeros_like(u_m),
+                       -0.5 * np.asarray(u_m)])
+        pwc = PiecewiseConstant((b1, b2), u2)
+        base = ms.rollout(eta, etad, pwc, 120)
+        out = ms.rollout_power(eta, etad, pwc, 120, K=16, use_pallas=False)
+        for a, b in zip(out, base):
+            assert _rel(a, b) < 1e-10
+        segs = ms._pwc_segments(pwc, 120, 0.0)
+        assert [c for c, _v in segs] == [50, 31, 39]
+
+    def test_pwc_frames_match_stepper_frames(self):
+        """Frame-collecting PWC rollout == rollout_frames fed the same
+        schedule as a callable — including a break that lands MID-frame
+        (frame 2 of substeps=20 crosses step 45)."""
+        from continuum_robot_tpu.models.simulate import PiecewiseConstant
+
+        ms, eta, etad, u_m = _setup()
+        h = ms.dt
+        u2 = np.stack([np.asarray(u_m), np.zeros_like(u_m)])
+        pwc = PiecewiseConstant((45 * h,), u2)
+        ts_ref, etas_ref, etads_ref = ms.rollout_frames(
+            eta, etad, pwc, 6, substeps=20
+        )
+        ts, etas, etads = ms.rollout_frames_power(
+            eta, etad, pwc, 6, substeps=20
+        )
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(ts_ref),
+                                   rtol=1e-12)
+        assert etas.shape == etas_ref.shape
+        for f in range(7):
+            assert _rel(etas[f], etas_ref[f]) < 1e-10, f
+            assert _rel(etads[f], etads_ref[f]) < 1e-10, f
+
+    @pytest.mark.parametrize("breaks_steps", [
+        (25, 45),   # ADJACENT frames each cross a break: the run grouping
+                    # must not merge the two distinct break-crossing maps
+        (25, 35),   # both breaks inside ONE frame: 3 partial pieces
+    ])
+    def test_pwc_consecutive_midframe_breaks(self, breaks_steps):
+        from continuum_robot_tpu.models.simulate import PiecewiseConstant
+
+        ms, eta, etad, u_m = _setup()
+        h = ms.dt
+        u3 = np.stack([np.asarray(u_m), 0.2 * np.asarray(u_m),
+                       np.zeros_like(u_m)])
+        pwc = PiecewiseConstant(tuple(s * h for s in breaks_steps), u3)
+        ts_ref, etas_ref, etads_ref = ms.rollout_frames(
+            eta, etad, pwc, 5, substeps=20
+        )
+        ts, etas, etads = ms.rollout_frames_power(
+            eta, etad, pwc, 5, substeps=20
+        )
+        for f in range(6):
+            assert _rel(etas[f], etas_ref[f]) < 1e-10, f
+            assert _rel(etads[f], etads_ref[f]) < 1e-10, f
+
+    def test_simulate_engine_power_tip_impulse(self):
+        """The flagship workload shape — tip impulse held then released
+        (reference example_utilities.py:139-149) — runs on
+        simulate(engine='power') via PiecewiseConstant and matches
+        engine='xla' fed the identical schedule."""
+        from continuum_robot_tpu.models.simulate import (
+            PiecewiseConstant, simulate,
+        )
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(8))
+        n = model.n_pos_states
+        u_imp = np.zeros(n)
+        u_imp[-2] = 0.1
+        pwc = PiecewiseConstant((0.01,), np.stack([u_imp, np.zeros(n)]))
+        ref = simulate(model, np.zeros(2 * n), 0.05, 1e-3, method="modal",
+                       u=pwc, substeps=10, rho_inf=0.8)
+        out = simulate(model, np.zeros(2 * n), 0.05, 1e-3, method="modal",
+                       u=pwc, substeps=10, rho_inf=0.8, engine="power")
+        assert out.ys.shape == ref.ys.shape
+        err = np.abs(np.asarray(out.ys) - np.asarray(ref.ys)).max()
+        scale = np.abs(np.asarray(ref.ys)).max()
+        assert scale > 0
+        assert err < 1e-10 * scale
+
+    def test_batched_rollout_modal_power_pwc(self):
+        from continuum_robot_tpu.models.simulate import PiecewiseConstant
+        from continuum_robot_tpu.parallel import batched_rollout
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(8))
+        n = model.n_pos_states
+        u_imp = np.zeros(n)
+        u_imp[-2] = 0.1
+        pwc = PiecewiseConstant((0.01,), np.stack([u_imp, np.zeros(n)]))
+        rng = np.random.default_rng(5)
+        x0 = jnp.asarray(rng.normal(scale=1e-6, size=(3, 2 * n)))
+        res_r = batched_rollout(model, x0, 0.05, 1e-3,
+                                method="modal", u=pwc, substeps=10)
+        res = batched_rollout(model, x0, 0.05, 1e-3,
+                              method="modal_power", u=pwc, substeps=10)
+        assert res.ys.shape == res_r.ys.shape
+        err = float(jnp.abs(res.ys - res_r.ys).max())
+        scale = float(jnp.abs(res_r.ys).max())
+        assert err < 1e-10 * max(scale, 1e-30)
+
     def test_affine_power_algebra(self):
         """_affine_power against literal repeated multiplication."""
         from continuum_robot_tpu.models.simulate import _affine_power
