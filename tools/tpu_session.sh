@@ -64,6 +64,12 @@ run_bench "linear modal XLA" BENCH_ENGINE=modal
 for K in 2 4 8 16; do
     run_bench "linear modal XLA unroll=$K" BENCH_ENGINE=modal BENCH_UNROLL=$K
 done
+# Composed-propagator drive: the same discrete trajectory as the modal
+# stepper, K steps per precomputed affine map (vs_stepper_rel in the row
+# quantifies the whole-span composition drift on this horizon).
+for K in 16 64 256; do
+    run_bench "linear modal_power K=$K" BENCH_ENGINE=modal_power BENCH_K=$K
+done
 run_bench "nonlinear modal_rom m=256" BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom
 run_bench "nonlinear modal_rom_pallas m=256" \
     BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom_pallas
