@@ -110,6 +110,7 @@ def simulate_sharded(
     cg_tol: float = 1e-8,
     n_modes: Optional[int] = None,
     rayleigh: Optional[tuple] = None,
+    engine: str = "xla",
 ):
     """Run a sharded rollout with the single-chip ``simulate()`` contract.
 
@@ -150,6 +151,15 @@ def simulate_sharded(
         arrays: optional TRACED :class:`BeamArrays` for the implicit
             methods — the differentiable-parameter path (see
             ``build_spatial_genalpha``'s rollout).
+        engine: stepping engine for ``method='modal'``, matching
+            ``simulate()``'s dial — ``"xla"`` (default scan), ``"pallas"``
+            (fused whole-span VMEM kernel), or ``"power"`` (composed
+            propagator: one host-precomputed ``substeps``-step affine map
+            per output frame; ``u`` may also be a
+            :class:`~continuum_robot_tpu.models.simulate.PiecewiseConstant`
+            schedule). Stepping is replicated either way (the per-mode
+            recurrence has no physical-space work, ``SpatialModal``); the
+            sharded value stays in the basis memory and transforms.
 
     Returns:
         :class:`SimulationResult` with reduced-layout ``ys`` (env batch
@@ -164,7 +174,12 @@ def simulate_sharded(
             substeps=substeps, n_newton=n_newton, rho_inf=rho_inf,
             use_consistent=use_consistent, fluid_density=fluid_density,
             gravity=gravity, node_force=node_force, axis=axis,
-            n_modes=n_modes, rayleigh=rayleigh,
+            n_modes=n_modes, rayleigh=rayleigh, engine=engine,
+        )
+    if engine != "xla":
+        raise ValueError(
+            "engine= selects the modal stepping engine "
+            "(method='modal'; 'xla'|'pallas'|'power', matching simulate())"
         )
     if method not in _METHODS:
         raise ValueError(
@@ -270,7 +285,7 @@ def simulate_sharded(
 def _simulate_sharded_modal(
     model, x0, t_final, dt, mesh, method, *, u, rtol, atol, substeps,
     n_newton, rho_inf, use_consistent, fluid_density, gravity, node_force,
-    axis, n_modes, rayleigh,
+    axis, n_modes, rayleigh, engine="xla",
 ):
     """``simulate()``-contract front end for the sharded modal/ROM tier.
 
@@ -282,9 +297,19 @@ def _simulate_sharded_modal(
     ``u`` only — fluid/gravity/``node_force`` raise here exactly like
     ``make_modal_genalpha`` raises on registered registry forces.
     """
-    from ..models.simulate import SimulationResult
+    from ..models.simulate import PiecewiseConstant, SimulationResult
     from .spatial_modal import build_spatial_modal, build_spatial_modal_rom
 
+    if engine not in ("xla", "pallas", "power"):
+        raise ValueError(
+            f"Unknown engine: {engine!r} (use 'xla'|'pallas'|'power')"
+        )
+    if engine != "xla" and method != "modal":
+        raise ValueError(
+            "engine='pallas'/'power' applies to method='modal' here; the "
+            "sharded ROM tiers step through the sp-sharded correction "
+            "force (fused single-chip ROM kernels live in simulate())"
+        )
     if node_force is not None:
         raise ValueError(
             "node_force is supported by the node-layout sharded methods; "
@@ -320,10 +345,13 @@ def _simulate_sharded_modal(
     n = x0.shape[-1] // 2
     n_frames = int(round(t_final / dt))
 
-    if callable(u):
+    u_is_pwc = isinstance(u, PiecewiseConstant)
+    if callable(u) and not (u_is_pwc and engine == "power"):
         raise ValueError(
-            "simulate_sharded takes a constant reduced force vector; "
-            "for time-varying inputs use the per-engine builders"
+            "simulate_sharded takes a constant reduced force vector "
+            "(engine='power' additionally accepts a PiecewiseConstant "
+            "schedule, matching simulate()); for arbitrary time-varying "
+            "inputs use the per-engine builders"
         )
 
     h = dt / substeps
@@ -341,21 +369,41 @@ def _simulate_sharded_modal(
     beam_nodes = eng.n_nodes
     xn = reduced_to_node_layout(model, x0, beam_nodes)
     eta, etad = eng.to_modal(xn)
-    if u is not None and jnp.asarray(u).shape != (n,):
+    if u is not None and not u_is_pwc and jnp.asarray(u).shape != (n,):
         raise ValueError(
             f"u must be a constant reduced force vector of shape ({n},), "
             f"got {tuple(jnp.asarray(u).shape)}"
         )
-    u_m = (
-        None if u is None
-        else jnp.asarray(eng.ms.project_force_host(u), x0.dtype)
-    )
+    if u is None:
+        u_m = None
+    elif u_is_pwc:
+        u_m = u.map_values(
+            lambda v: jnp.asarray(eng.ms.project_force_host(v), x0.dtype)
+        )
+    else:
+        u_m = jnp.asarray(eng.ms.project_force_host(u), x0.dtype)
 
     stats = None
     if method == "modal":
-        ts, etas, etads = eng.rollout_frames(
-            eta, etad, u_m, n_frames, substeps=substeps
-        )
+        if engine == "power":
+            ts, etas, etads = eng.ms.rollout_frames_power(
+                eta, etad, u_m, n_frames, substeps=substeps
+            )
+        elif engine == "pallas":
+            import jax
+
+            if not batched:  # the fused kernel's state layout is (B, m)
+                eta, etad = eta[None, :], etad[None, :]
+            ts, etas, etads = eng.ms.rollout_frames_pallas(
+                eta, etad, u_m, n_frames, substeps=substeps,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if not batched:
+                etas, etads = etas[:, 0, :], etads[:, 0, :]
+        else:
+            ts, etas, etads = eng.rollout_frames(
+                eta, etad, u_m, n_frames, substeps=substeps
+            )
     elif method == "modal_rom":
         ts, etas, etads = eng.rollout_frames(
             eta, etad, u_m, n_frames, substeps=substeps,

@@ -1734,6 +1734,97 @@ class TestSimulateShardedModal:
         np.testing.assert_allclose(
             np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-9 * scale)
 
+    def test_modal_power_engine_matches_single_chip(self):
+        """engine='power' (composed propagator) through the sharded facade
+        == simulate(engine='power') == the sharded XLA stepper (roundoff
+        of the host-composed coefficients)."""
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        u = jnp.zeros(n).at[n - 2].set(0.05)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="modal", u=u, substeps=8, rho_inf=0.9)
+        res_p = simulate_sharded(model, x0, 4e-4, 1e-4, mesh,
+                                 engine="power", **kw)
+        res_1 = simulate(model, x0, 4e-4, 1e-4, engine="power", **kw)
+        res_x = simulate_sharded(model, x0, 4e-4, 1e-4, mesh, **kw)
+        assert res_p.ys.shape == res_1.ys.shape == (5, 2 * n)
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_p.ys), np.asarray(res_1.ys), atol=1e-12 * scale)
+        np.testing.assert_allclose(
+            np.asarray(res_p.ys), np.asarray(res_x.ys), atol=1e-9 * scale)
+
+    def test_modal_power_piecewise_constant(self):
+        """The tip-impulse workload shape (PiecewiseConstant) rides
+        engine='power' through the sharded facade, matching simulate()."""
+        from continuum_robot_tpu.models.simulate import (
+            PiecewiseConstant,
+            simulate,
+        )
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n)
+        vals = np.zeros((2, n))
+        vals[0, n - 2] = 0.05  # held 0.25 ms, then released
+        u = PiecewiseConstant((2.5e-4,), vals)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="modal", u=u, substeps=8, rho_inf=0.9)
+        res_p = simulate_sharded(model, x0, 6e-4, 1e-4, mesh,
+                                 engine="power", **kw)
+        res_1 = simulate(model, x0, 6e-4, 1e-4, engine="power", **kw)
+        scale = float(jnp.abs(res_1.ys).max())
+        assert scale > 0
+        np.testing.assert_allclose(
+            np.asarray(res_p.ys), np.asarray(res_1.ys), atol=1e-12 * scale)
+
+    def test_modal_pallas_engine_matches_single_chip(self):
+        """engine='pallas' (fused whole-span kernel, interpreted on CPU)
+        through the sharded facade matches the XLA stepper."""
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(helpers.linear_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n).at[n - 2].set(2e-4)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="modal", substeps=4, rho_inf=0.9)
+        res_p = simulate_sharded(model, x0, 4e-4, 1e-4, mesh,
+                                 engine="pallas", **kw)
+        res_x = simulate_sharded(model, x0, 4e-4, 1e-4, mesh, **kw)
+        scale = float(jnp.abs(res_x.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_p.ys), np.asarray(res_x.ys), atol=1e-9 * scale)
+
+    def test_engine_error_contracts(self):
+        from continuum_robot_tpu.models.simulate import PiecewiseConstant
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        mesh = make_mesh({"sp": 8})
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n)
+        with pytest.raises(ValueError, match="Unknown engine"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal",
+                             engine="cuda")
+        with pytest.raises(ValueError, match="method='modal'"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal_rom",
+                             engine="power")
+        with pytest.raises(ValueError, match="modal stepping engine"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh,
+                             method="generalized_alpha", engine="power")
+        # PiecewiseConstant is power-only (the XLA stepper path keeps the
+        # constant-vector contract).
+        vals = np.zeros((2, n))
+        u = PiecewiseConstant((5e-5,), vals)
+        with pytest.raises(ValueError, match="PiecewiseConstant"):
+            simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal",
+                             u=u)
+
     def test_error_contracts(self):
         from continuum_robot_tpu.models.config import ForceParams
         from continuum_robot_tpu.parallel import simulate_sharded
