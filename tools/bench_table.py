@@ -30,6 +30,22 @@ def main(path="BENCH_SESSION.jsonl"):
             if line:
                 rows.append(json.loads(line))
 
+    # Append-mode re-runs (BENCH_FILTER, tpu_session.sh) add fresh rows for
+    # configs already in the file: keep the LAST row per config, in first-
+    # seen order, so a re-measured FAILED row renders once with its newest
+    # result. The __truncated__ marker is never deduped away.
+    latest = {}
+    order = []
+    for row in rows:
+        key = row.get("config")
+        if key == "__truncated__":
+            order.append(row)
+            continue
+        if key not in latest:
+            order.append(key)
+        latest[key] = row
+    rows = [r if isinstance(r, dict) else latest[r] for r in order]
+
     print("| config | env-steps/s | vs baseline | achieved | roofline_frac | bound |")
     print("|---|---|---|---|---|---|")
     for row in rows:

@@ -10,9 +10,16 @@
 # matrix, one process at a time (concurrent TPU access can crash the axon
 # remote worker, CLAUDE.md). Each bench line is appended as JSON to the
 # results file with its configuration alongside.
+#
+# BENCH_FILTER=<regex> runs only the matching rows and APPENDS to the
+# results file instead of truncating it — for completing a matrix after a
+# worker crash (re-measure the FAILED/missing rows) without re-running the
+# clean ones. Dedup afterward: keep the LAST row per config
+# (tools/bench_table.py does).
 set -u
 cd "$(dirname "$0")/.."
 OUT="${1:-BENCH_SESSION.jsonl}"
+FILTER="${BENCH_FILTER:-}"
 
 # Truncation trap: a run that dies mid-matrix (worker wedge, OOM-kill,
 # SIGTERM) must leave an explicit marker row — a silently-short file reads
@@ -28,6 +35,9 @@ trap on_exit EXIT
 
 run_bench() { # label, env assignments...
     local label="$1"; shift
+    if [ -n "$FILTER" ] && ! printf '%s' "$label" | grep -Eq "$FILTER"; then
+        return 0
+    fi
     echo "== $label" >&2
     # No pipe: capture everything so the exit status tested is python's,
     # then keep the last line (the JSON). Validate it's non-empty AND
@@ -54,8 +64,10 @@ if ! timeout 1800 python tools/hw_validate.py; then
     exit 1
 fi
 
-: >"$OUT"
-: >"$OUT.stderr"
+if [ -z "$FILTER" ]; then
+    : >"$OUT"
+    : >"$OUT.stderr"
+fi
 
 # Headline engines at default settings (what the round driver runs).
 run_bench "linear modal_pallas (default)"
