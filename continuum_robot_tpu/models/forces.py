@@ -112,6 +112,54 @@ class FluidDragForce(AbstractForce):
         out = jnp.zeros((*x.shape[:-1], n_pos), dtype=x.dtype)
         return out.at[..., c["w_pos_indices"]].set(drag)
 
+    def make_reduced_modal(self, Phi, PhiW):
+        """Reduced-basis drag closure for the modal-ROM split fast path.
+
+        Drag reads velocities at the wetted ``w`` rows and writes forces at
+        the same nodes' ``w`` rows — so in a modal engine (``q = Phi eta``,
+        ``v = Phi etad``, test projection ``PhiW^T``) its exact modal
+        contribution is ``W_out^T @ d(Phi_v @ etad)`` with ``Phi_v``/
+        ``W_out`` the ~N/3 wetted rows of the bases: two restricted
+        ``(k, m)`` transforms per evaluation instead of the full
+        ``(3N, m)`` pair, algebraically identical to
+        ``PhiW^T compute_forces(x, t)`` (unit-tested).
+
+        Returns ``(eta, etad, t, precision) -> (..., m)`` modal force, or
+        ``None`` when the basis does not match this force's state mapping
+        (callers then fall back to the full-transform path). Enablement is
+        honored at trace time, like the aggregated registry function.
+        """
+        if self.fluid_coefficients is None:
+            return None
+        c = self.fluid_coefficients
+        Phi = np.asarray(Phi, np.float64)
+        PhiW = np.asarray(PhiW, np.float64)
+        if Phi.shape[0] != c["n_pos_states"]:
+            return None
+        vel_rows = np.asarray(c["w_vel_indices"], np.int64) - c["n_pos_states"]
+        if vel_rows.size == 0:
+            return lambda eta, etad, t, precision=None: jnp.zeros(
+                (*jnp.asarray(eta).shape[:-1], Phi.shape[1]),
+                dtype=jnp.asarray(eta).dtype,
+            )
+        Phi_v = np.ascontiguousarray(Phi[vel_rows])  # (k, m)
+        W_out = np.ascontiguousarray(PhiW[np.asarray(c["w_pos_indices"])])
+        factors_h = np.asarray(c["drag_factors"], np.float64)
+
+        def reduced(eta, etad, t, precision=None):
+            dtype = jnp.asarray(etad).dtype
+            if not self.is_enabled():  # trace-time, like the registry
+                return jnp.zeros(
+                    (*jnp.asarray(eta).shape[:-1], Phi_v.shape[1]), dtype
+                )
+            Pv = jnp.asarray(Phi_v, dtype)
+            Wo = jnp.asarray(W_out, dtype)
+            v = jnp.einsum("km,...m->...k", Pv, etad, precision=precision)
+            drag = -jnp.asarray(factors_h, dtype) * v * jnp.abs(v)
+            return jnp.einsum("km,...k->...m", Wo, drag, precision=precision)
+
+        return reduced
+
 
 class GravityForce(AbstractForce):
     """Deformation-aware distributed gravity (parity: ``gravity_forces.py``).
@@ -229,6 +277,66 @@ class GravityForce(AbstractForce):
         )
         out = jnp.zeros((*x.shape[:-1], n_pos), dtype=x.dtype)
         return out.at[..., plan["targets"]].add(vals)
+
+    def make_reduced_modal(self, Phi, PhiW):
+        """Reduced-basis gravity closure for the modal-ROM split fast path.
+
+        Gravity reads one averaged rotation per segment (a LINEAR map of
+        ``q``, so ``phi_avg = G_in @ eta`` with ``G_in`` the weighted
+        ``phi_a``/``phi_b`` rows of ``Phi``) and writes per-segment
+        axial/transverse half-weights to at most four target rows; grouping
+        the test-basis rows by segment folds the scatter into two
+        ``(n_seg, m)`` output transforms: ``WA^T f_axial + WT^T f_trans``.
+        Algebraically identical to ``PhiW^T compute_forces(x, t)`` incl.
+        the reference's reduced-index quirk (the index plan is shared).
+
+        Returns ``(eta, etad, t, precision) -> (..., m)``, or ``None`` when
+        the basis doesn't match the plan. The gravity vector and enablement
+        are read at trace time (``set_gravity_vector`` takes effect on the
+        next trace, like the dense aggregated path).
+        """
+        if not self._segment_masses:
+            return None
+        Phi = np.asarray(Phi, np.float64)
+        PhiW = np.asarray(PhiW, np.float64)
+        n_pos = Phi.shape[0]
+        plan = self._indices_for(n_pos)
+        G_in = (
+            plan["wa"][:, None] * Phi[plan["phi_a"]]
+            + plan["wb"][:, None] * Phi[plan["phi_b"]]
+        )  # (n_seg, m)
+        n_seg = len(self._segment_masses)
+        m = Phi.shape[1]
+        WA = np.zeros((n_seg, m))
+        WT = np.zeros((n_seg, m))
+        ax = np.asarray(plan["axial_sel"])
+        np.add.at(WA, plan["seg_ids"][ax], PhiW[plan["targets"][ax]])
+        np.add.at(WT, plan["seg_ids"][~ax], PhiW[plan["targets"][~ax]])
+        masses_h = np.asarray(plan["masses"], np.float64)
+
+        def reduced(eta, etad, t, precision=None):
+            dtype = jnp.asarray(eta).dtype
+            if not self.is_enabled():  # trace-time, like the registry
+                return jnp.zeros((*jnp.asarray(eta).shape[:-1], m), dtype)
+            gx = float(self.gravity_vector[0])
+            gy = float(self.gravity_vector[1])
+            Gi = jnp.asarray(G_in, dtype)
+            phi_avg = jnp.einsum("sm,...m->...s", Gi, eta,
+                                 precision=precision)
+            cos_phi = jnp.cos(phi_avg)
+            sin_phi = jnp.sin(phi_avg)
+            mass = jnp.asarray(masses_h, dtype)
+            f_ax = (cos_phi * gx + sin_phi * gy) * mass * 0.5
+            f_tr = (-sin_phi * gx + cos_phi * gy) * mass * 0.5
+            return jnp.einsum(
+                "sm,...s->...m", jnp.asarray(WA, dtype), f_ax,
+                precision=precision,
+            ) + jnp.einsum(
+                "sm,...s->...m", jnp.asarray(WT, dtype), f_tr,
+                precision=precision,
+            )
+
+        return reduced
 
     def is_enabled(self) -> bool:
         return self.enabled

@@ -1120,7 +1120,10 @@ def make_modal_genalpha(
         raise ValueError("Modal stepping requires a purely linear beam")
     if len(model.force_registry) > 0:
         raise ValueError(
-            "Modal stepping cannot include state-dependent registry forces"
+            "Modal stepping (exact superposition) cannot include "
+            "state-dependent registry forces — use make_modal_rom / "
+            "simulate(method='modal_rom'): fluid drag and gravity ride "
+            "its split fast path as reduced corrections"
         )
 
     K = np.asarray(model.beam_model.get_stiffness_matrix(), dtype=np.float64)
@@ -1188,6 +1191,16 @@ class ModalROMGenAlpha:
     dt: float
     internal_force: Callable  # reduced-coordinate element force k(q_red)
     external_force: Optional[Callable] = None  # (x_red, t) -> force, or None
+    # Reduced external-force correction riding the split fast path:
+    # ``(eta_af, etad_af, t_af, precision) -> (..., m)`` modal projection of
+    # the external force, built from restricted basis rows (see
+    # ``forces.FluidDragForce.make_reduced_modal`` /
+    # ``GravityForce.make_reduced_modal``). Unlike ``external_force`` (which
+    # forces the full (3N, m) transforms every Newton iteration), this
+    # composes with the ``lam * eta + W^T g`` split — and with ECSW
+    # hyper-reduction, since it is exact (not sampled). Built automatically
+    # by make_modal_rom when every registered registry force supports it.
+    ext_modal: Optional[Callable] = None
     # Split fast path (parity element kernel, no external forces): the
     # internal force is evaluated as ``W^T k(Phi eta) = lam * eta +
     # W^T g(Phi eta)`` with ``lam = diag(W^T K0 Phi)`` the exactly-diagonal
@@ -1333,6 +1346,13 @@ class ModalROMGenAlpha:
                 g_p = g_p.reshape(*q_p.shape[:-1], 3 * n_sub)
                 f_m = f_m + jnp.einsum(
                     "nm,...n->...m", W, g_p, precision=nl_prec
+                )
+            if self.ext_modal is not None:
+                # Reduced external forces (fluid drag / gravity) enter the
+                # residual with the same sign as the general path's
+                # ``k(q) - F_ext``: subtract the modal projection of F_ext.
+                f_m = f_m - self.ext_modal(
+                    eta_af, etad_af, t_af, precision=nl_prec
                 )
             return f_m
         Phi = jnp.asarray(self.Phi, dtype=dtype)
@@ -1609,9 +1629,14 @@ class ModalROMGenAlpha:
         not assumed (tests/test_modal_rom.py).
 
         Only the split planar fast path can be hyper-reduced (parity
-        kernel, no external forces). The returned engine supports the
-        fused Pallas rollout: ``make_pallas_rollout`` builds the
-        gathered-layout kernel from ``sampled_params``.
+        kernel, no general ``external_force``). REDUCED external forces
+        (``ext_modal`` — fluid drag / gravity via their restricted-basis
+        closures) compose exactly: the sample only approximates the
+        element correction ``g``, while ``ext_modal`` keeps evaluating the
+        exact projected force, so ECSW + forced beams is supported. The
+        returned engine supports the fused Pallas rollout
+        (``make_pallas_rollout`` builds the gathered-layout kernel from
+        ``sampled_params``) only when no external forces are attached.
         """
         if self.lam is None or self.planar_correction is None:
             raise ValueError(
@@ -1965,6 +1990,17 @@ class ModalROMGenAlpha:
         tile (``ops/pallas/rom_rollout.py``). Constant-input,
         no-external-force configurations only.
         """
+        if self.ext_modal is not None:
+            raise ValueError(
+                "the fused Pallas ROM kernel does not evaluate reduced "
+                "external forces (fluid/gravity) in-kernel — run forced "
+                "beams on the XLA split path (simulate(engine='xla'), "
+                "rollout/rollout_frames/rollout_adaptive)"
+            )
+        if self.external_force is not None:
+            raise ValueError(
+                "the fused Pallas ROM kernel supports no external forces"
+            )
         from ..ops.pallas.rom_rollout import FusedROMRollout
 
         return FusedROMRollout(self, tile=tile)
@@ -2443,6 +2479,36 @@ def _modal_derivative_loads(k_red_np, K0, V, md: int) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
+def _make_ext_modal(forces, Phi, PhiW):
+    """Sum of reduced-modal closures for a list of registry forces.
+
+    Returns ``(eta_af, etad_af, t_af, precision) -> (..., m)`` — the modal
+    projection ``PhiW^T sum_i F_i(Phi eta, Phi etad, t)`` evaluated via each
+    force's restricted basis rows (``make_reduced_modal``) — or ``None``
+    when any force lacks that protocol (callers fall back to the general
+    full-transform ``external_force`` path).
+    """
+    closures = []
+    for force in forces:
+        maker = getattr(force, "make_reduced_modal", None)
+        cl = None if maker is None else maker(Phi, PhiW)
+        if cl is None:
+            return None
+        closures.append(cl)
+    if not closures:
+        return None
+    if len(closures) == 1:
+        return closures[0]
+
+    def ext_modal(eta_af, etad_af, t_af, precision=None):
+        total = closures[0](eta_af, etad_af, t_af, precision=precision)
+        for cl in closures[1:]:
+            total = total + cl(eta_af, etad_af, t_af, precision=precision)
+        return total
+
+    return ext_modal
+
+
 def make_modal_rom(
     model,
     dt: float,
@@ -2494,8 +2560,15 @@ def make_modal_rom(
     n_full = bc_info.n_dofs_full
     use_consistent = getattr(model, "use_consistent_nonlinear", False)
 
+    # Registry forces: prefer the REDUCED closures (fluid drag / gravity
+    # project onto the basis exactly like the von Karman correction — the
+    # split fast path and ECSW survive); fall back to the full-transform
+    # ``external_force`` path for arbitrary user forces. An explicit
+    # ``forces_func`` override always takes the general path (its state
+    # access pattern is unknown). Built after the basis below.
+    registry_forces = None
     if forces_func is None and len(model.force_registry) > 0:
-        forces_func = model.force_registry.create_aggregated_function()
+        registry_forces = model.force_registry.get_registered_forces()
 
     M = np.asarray(model.beam_model.M.toarray(), dtype=np.float64)
     K0 = reduce_matrix_dense(arrays, free, use_consistent)
@@ -2581,6 +2654,13 @@ def make_modal_rom(
     if static_vectors is not None and V.shape[1] < K0.shape[0]:
         V, W = _augment_static(K0, M, V, W, static_vectors)
 
+    ext_modal = None
+    if registry_forces is not None:
+        if not use_consistent:  # the consistent kernel has no split path
+            ext_modal = _make_ext_modal(registry_forces, V, W)
+        if ext_modal is None:
+            forces_func = model.force_registry.create_aggregated_function()
+
     am = (2.0 * rho_inf - 1.0) / (rho_inf + 1.0)
     af = rho_inf / (rho_inf + 1.0)
     beta = 0.25 * (1.0 - am + af) ** 2
@@ -2663,6 +2743,7 @@ def make_modal_rom(
         dt=dt,
         internal_force=internal_force,
         external_force=forces_func,
+        ext_modal=ext_modal,
         lam=lam,
         Phi_planar=Phi_p,
         PhiW_planar=W_p,
@@ -2692,8 +2773,10 @@ def make_modal_rollout_fn(
     """
     if forces_func is not None:
         raise ValueError(
-            "method='modal' cannot include state-dependent forces; "
-            "use 'newmark'/'generalized_alpha' for those"
+            "method='modal' (exact superposition) cannot include "
+            "state-dependent forces; use method='modal_rom' — fluid "
+            "drag/gravity ride its split fast path as reduced "
+            "corrections — or 'newmark'/'generalized_alpha'"
         )
     ms = make_modal_genalpha(model, dt / substeps, rho_inf=rho_inf,
                              rayleigh=rayleigh)

@@ -176,15 +176,15 @@ def simulate_sharded(
             gravity=gravity, node_force=node_force, axis=axis,
             n_modes=n_modes, rayleigh=rayleigh, engine=engine,
         )
-    if engine != "xla":
-        raise ValueError(
-            "engine= selects the modal stepping engine "
-            "(method='modal'; 'xla'|'pallas'|'power', matching simulate())"
-        )
     if method not in _METHODS:
         raise ValueError(
             f"Unknown sharded method: {method!r} "
             f"(use one of {_METHODS + _MODAL_METHODS})"
+        )
+    if engine != "xla":
+        raise ValueError(
+            "engine= selects the modal stepping engine "
+            "(method='modal'; 'xla'|'pallas'|'power', matching simulate())"
         )
     if rayleigh is not None:
         raise ValueError(
@@ -376,11 +376,18 @@ def _simulate_sharded_modal(
         )
     if u is None:
         u_m = None
-    elif u_is_pwc:
-        u_m = u.map_values(
-            lambda v: jnp.asarray(eng.ms.project_force_host(v), x0.dtype)
+    elif engine == "power":
+        # No dtype cast here: rollout_frames_power composes the maps on
+        # the host in float64 and converts to the state dtype on device —
+        # pre-casting to x0.dtype (f32 in production) would diverge from
+        # simulate(engine='power')'s single-chip trajectory.
+        u_m = (
+            u.map_values(eng.ms.project_force_host)
+            if u_is_pwc
+            else eng.ms.project_force_host(u)
         )
     else:
+        # (PiecewiseConstant is rejected above for non-power engines.)
         u_m = jnp.asarray(eng.ms.project_force_host(u), x0.dtype)
 
     stats = None

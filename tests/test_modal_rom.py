@@ -458,14 +458,48 @@ class TestHyperReduction:
         with _pytest.raises(ValueError, match="non-finite"):
             ms.hyper_reduce(bad)
 
-    def test_external_forces_rejected(self):
-        """With registry forces the split path is bypassed — a trained
-        sample would silently never be evaluated, so refuse."""
-        fp = ForceParams(fluid_density=1000.0, enable_fluid_effects=True)
-        model = _model(nonlinear_csv(8), fp)
-        ms = make_modal_rom(model, 1e-4, n_modes=10)
+    def test_generic_forces_func_rejected(self):
+        """An arbitrary forces_func takes the general full-transform path,
+        which bypasses the split correction — a trained sample would
+        silently never be evaluated, so refuse."""
+        model = _model(nonlinear_csv(8, include_fluid=False))
+
+        def custom(x, t):
+            n = x.shape[-1] // 2
+            return -0.1 * x[..., n:]
+
+        ms = make_modal_rom(model, 1e-4, n_modes=10, forces_func=custom)
+        assert ms.external_force is not None and ms.ext_modal is None
         with pytest.raises(ValueError, match="external"):
             ms.hyper_reduce(np.zeros((2, 10)))
+
+    def test_registry_fluid_composes_with_ecsw(self):
+        """Registry fluid drag rides the split path as a reduced (exact)
+        correction, so ECSW hyper-reduction composes with forced beams:
+        the sample approximates the element correction only, the drag
+        stays exact, and the reduced forced rollout tracks the unsampled
+        ROM."""
+        fp = ForceParams(fluid_density=1000.0, enable_fluid_effects=True)
+        model = _model(nonlinear_csv(20), fp)
+        n = model.n_pos_states
+        ms = make_modal_rom(model, 1e-4, rho_inf=0.5, n_modes=16)
+        assert ms.ext_modal is not None and ms.external_force is None
+        m = ms.n_modes
+        u = np.zeros(n, np.float32)
+        u[-2] = 3.0
+        u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+        z = jnp.zeros((1, m), jnp.float32)
+        _, etas, _ = ms.rollout_frames(z, z, u_m, 20, substeps=20,
+                                       n_newton=2)
+        snaps = np.asarray(etas[::2, 0, :])
+        red, info = ms.hyper_reduce(snaps, tau=1e-3, return_info=True)
+        assert red.ext_modal is ms.ext_modal  # exact force, not sampled
+        eta0 = jnp.asarray(snaps[-1][None], jnp.float32)
+        e1, ed1, _ = ms.rollout(eta0, z, u_m, 300, n_newton=2)
+        e2, ed2, _ = red.rollout(eta0, z, u_m, 300, n_newton=2)
+        scale = float(jnp.abs(e1).max())
+        assert bool(jnp.all(jnp.isfinite(e2)))
+        assert float(jnp.abs(e2 - e1).max()) < 5e-3 * scale
 
 
 class TestRayleighDampedROM:
