@@ -75,6 +75,28 @@ ENGINE = os.environ.get(
 DT = 1e-4
 # Reference nonlinear RHS: 129.2 ms/eval (7.7 evals/s), same host/date.
 REF_EVALS_PER_SEC_NONLINEAR = 7.7
+# Nonlinear FULL-ORDER rows (dense / sharded-SPIKE / adaptive) integrate the
+# variationally CONSISTENT von Karman element (use_consistent_nonlinear) by
+# default. The reference-parity polynomials are non-conservative (f != dU/dq
+# — a reference quirk preserved by design, PARITY.md) and under the bench's
+# sustained tip load the resulting ODE is GENUINELY unstable: the reference
+# itself, our dopri5 at rtol=1e-8, the dense gen-alpha, and the sharded
+# SPIKE engine all diverge on the same trajectory (engine-independent to
+# 1e-7; root-caused in tools/repros/diag_nl_{matrix,reference}.py — this
+# was round 3's FAILED sharded-NL hardware row reaching f32 overflow).
+# A throughput row must integrate a well-posed ODE to be meaningful over
+# arbitrary horizons; the consistent element has the same cubic polynomial
+# structure and cost class. BENCH_CONSISTENT=0 restores the parity element
+# (bounded-horizon runs only). ROM rows keep the parity element: their
+# basis truncation + dissipation keep the bench horizon bounded.
+BENCH_CONSISTENT = os.environ.get("BENCH_CONSISTENT", "1") == "1"
+
+
+def beam_tag(model) -> str:
+    """Row label for the element variant actually integrated."""
+    if getattr(model, "use_consistent_nonlinear", False):
+        return f"{BEAM_TYPE} (consistent-vK)"
+    return BEAM_TYPE
 # BENCH_TOL=<rtol>: run the ERROR-CONTROLLED implicit engine instead of the
 # fixed-dt recurrence — adaptive generalized-alpha (Zienkiewicz-Xie estimate
 # + PI control) picks every step size from the tolerance; dt above becomes
@@ -628,7 +650,8 @@ def run_sharded(jax, jnp, model, n_red):
     )
     Np = beam.n_nodes
     roll = build_spatial_genalpha(
-        beam, DT, rho_inf=RHO_INF, n_newton=n_newton
+        beam, DT, rho_inf=RHO_INF, n_newton=n_newton,
+        use_consistent=getattr(model, "use_consistent_nonlinear", False),
     )
 
     # Same initial state / tip force as the dense row, in node layout.
@@ -670,7 +693,7 @@ def run_sharded(jax, jnp, model, n_red):
                 "metric": (
                     f"implicit generalized-alpha (distributed-SPIKE, "
                     f"sp={sp} mesh) env-steps/sec/chip, {N_ELEMENTS}-element "
-                    f"{BEAM_TYPE} beam, {N_ENVS} envs, f32"
+                    f"{beam_tag(model)} beam, {N_ENVS} envs, f32"
                 ),
                 "value": round(env_steps_per_sec, 1),
                 "unit": "env_steps/s",
@@ -810,7 +833,8 @@ def run_adaptive(jax, jnp, model, n_red, rtol):
                 "metric": (
                     f"ERROR-CONTROLLED implicit generalized-alpha (rtol={rtol:g}, "
                     f"ZX estimate + PI control, no manual dt) env-steps/sec/chip, "
-                    f"{N_ELEMENTS}-element {BEAM_TYPE} beam, {N_ENVS} envs, f32"
+                    f"{N_ELEMENTS}-element {beam_tag(model)} beam, "
+                    f"{N_ENVS} envs, f32"
                 ),
                 "value": round(env_steps_per_sec, 1),
                 "unit": "env_steps/s",
@@ -927,7 +951,17 @@ def main():
             "boundary_condition": ["FIXED"] + ["NONE"] * (n - 1),
         }
     )
-    model = DynamicEulerBernoulliBeam(df)
+    # Consistent element on the full-order nonlinear rows (see the
+    # BENCH_CONSISTENT comment at the top): ROM engines keep the parity
+    # element (their basis truncation bounds the horizon; the sharded ROM
+    # tier is parity-element-only by construction).
+    full_order_nl = BEAM_TYPE == "nonlinear" and (
+        BENCH_TOL is not None or ENGINE in ("dense", "sharded_genalpha")
+    )
+    use_consistent = BENCH_CONSISTENT and full_order_nl
+    model = DynamicEulerBernoulliBeam(
+        df, use_consistent_nonlinear=use_consistent
+    )
     n_red = model.n_pos_states
 
     if BENCH_TOL is not None:
@@ -1038,7 +1072,8 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"implicit generalized-alpha env-steps/sec/chip, {N_ELEMENTS}-element {BEAM_TYPE} "
+                    f"implicit generalized-alpha env-steps/sec/chip, "
+                    f"{N_ELEMENTS}-element {beam_tag(model)} "
                     f"beam, {N_ENVS} envs, f32/{PRECISION}"
                 ),
                 "value": round(env_steps_per_sec, 1),

@@ -179,7 +179,11 @@ def make_newmark_operator(
 
         def mass_apply(a_red):
             a_nodes = pad(a_red).reshape(*a_red.shape[:-1], n_nodes, 3)
-            out = banded.btd_matvec(mm_diag, mm_lower, mm_upper, a_nodes)
+            out = banded.btd_matvec(
+                jnp.asarray(mm_diag, a_red.dtype),
+                jnp.asarray(mm_lower, a_red.dtype),
+                jnp.asarray(mm_upper, a_red.dtype), a_nodes,
+            )
             return red(out.reshape(*a_red.shape[:-1], n_full))
 
     K_red_dense = (
@@ -197,9 +201,15 @@ def make_newmark_operator(
             )
 
     else:
-        internal_force = assembly.make_reduced_internal_force(
+        _if_raw = assembly.make_reduced_internal_force(
             arrays, free, n_full, use_consistent=use_consistent
         )
+
+        def internal_force(q_red):
+            # Element parameters are host f64 constants; keep the hot state
+            # in ITS dtype (an f32 rollout on an x64 host must not silently
+            # promote — hardware runs f32, and promoted carries crash scans).
+            return jnp.asarray(_if_raw(q_red), q_red.dtype)
 
     # For all-linear beams (tangent constant) and modified Newton (tangent
     # frozen at q=0) the element-tangent blocks are state-independent:
@@ -218,16 +228,25 @@ def make_newmark_operator(
         )
 
     def factors_at(q_full, c, a=1.0):
+        # Factor in the STATE dtype: the solve sweeps (the conditioning-
+        # sensitive part) must run at the precision the caller actually
+        # stepped in, and mixed f64 constants would promote scan carries.
+        dtype = jnp.asarray(q_full).dtype
         if _tangent_cached is not None:
-            kd, kl, ku = (jnp.asarray(t) for t in _tangent_cached)
+            kd, kl, ku = (jnp.asarray(t, dtype) for t in _tangent_cached)
         else:
-            kd, kl, ku = assembly.tangent_block_tridiagonal(
-                arrays, q_full, use_consistent=use_consistent
+            kd, kl, ku = (
+                jnp.asarray(t, dtype)
+                for t in assembly.tangent_block_tridiagonal(
+                    arrays, q_full, use_consistent=use_consistent
+                )
             )
-        jd = a * mm_diag + c * kd
-        jl = a * mm_lower + c * kl
-        ju = a * mm_upper + c * ku
-        jd, jl, ju = banded.btd_apply_bc(jd, jl, ju, jnp.asarray(mask_nodes))
+        jd = a * jnp.asarray(mm_diag, dtype) + c * kd
+        jl = a * jnp.asarray(mm_lower, dtype) + c * kl
+        ju = a * jnp.asarray(mm_upper, dtype) + c * ku
+        jd, jl, ju = banded.btd_apply_bc(
+            jd, jl, ju, jnp.asarray(mask_nodes, dtype)
+        )
         if linear_solver == "cr":
             return banded.btd_cr_factor(jd, jl, ju)
         return banded.btd_factor(jd, jl, ju)
@@ -291,17 +310,22 @@ def make_newmark_operator(
             factors = factors_at(pad(q_red), c, a)
 
         def do_solve(r_red):
+            # Prefactored systems are built once (host/x64); apply them in
+            # the rhs dtype (same contract as the dense_inv path above).
+            fac = jax.tree_util.tree_map(
+                lambda t: jnp.asarray(t, r_red.dtype), factors
+            )
             if use_pallas:
                 from ..ops.pallas import btd_solve_pallas
 
                 r_nodes = pad(r_red).reshape(-1, n_nodes, 3)
-                x = btd_solve_pallas(factors, r_nodes)
+                x = btd_solve_pallas(fac, r_nodes)
                 return red(x.reshape(*r_red.shape[:-1], n_full))
             r_nodes = pad(r_red).reshape(*r_red.shape[:-1], n_nodes, 3)
             solve_fn = (
                 banded.btd_cr_solve if linear_solver == "cr" else banded.btd_solve
             )
-            x = solve_fn(factors, r_nodes)
+            x = solve_fn(fac, r_nodes)
             return red(x.reshape(*r_red.shape[:-1], n_full))
 
         return do_solve
@@ -1491,7 +1515,8 @@ class ModalROMGenAlpha:
         self, eta, etad, u_modal, t_eval, rtol: float = 1e-6,
         atol: float = 1e-9, dt0: float = None, n_newton: int = 2,
         max_steps_per_interval: int = 100_000, safety: float = 0.9,
-        precision=None, nl_precision=None,
+        precision=None, nl_precision=None, etadd0=None,
+        return_final: bool = False,
     ):
         """Error-controlled ROM stepping: adaptive generalized-alpha.
 
@@ -1550,8 +1575,11 @@ class ModalROMGenAlpha:
         rtol = max(float(rtol), 50.0 * eps)
         atol = max(float(atol), 50.0 * eps * 1e-3)
 
-        etadd = self.initial_accel(
-            eta, etad, u_modal, t_eval[0], precision, nl_precision
+        etadd = (
+            etadd0 if etadd0 is not None
+            else self.initial_accel(
+                eta, etad, u_modal, t_eval[0], precision, nl_precision
+            )
         )
 
         cdamp_j = (
@@ -1598,13 +1626,17 @@ class ModalROMGenAlpha:
 
         # Shared accept/reject interval driver (clamp policy, truncation
         # accounting, stats) — see ops.integrators.adaptive_drive.
-        _, (etas, etads), stats = adaptive_drive(
+        state_f, (etas, etads), stats = adaptive_drive(
             trial, (eta, etad, etadd), t_eval, jnp.asarray(dt0, dtype),
             -1.0 / 3.0, max_steps_per_interval=max_steps_per_interval,
             safety=safety, frame_out=lambda s: (s[0], s[1]),
         )
         etas = jnp.concatenate([eta[None], etas], axis=0)
         etads = jnp.concatenate([etad[None], etads], axis=0)
+        if return_final:
+            # Exact-continuation carry for chunked driving
+            # (simulate(chunk=...)): the algorithmic (eta, etad, etadd).
+            return etas, etads, stats, state_f
         return etas, etads, stats
 
     def hyper_reduce(self, snapshots, tau: float = 1e-3,
@@ -2860,6 +2892,58 @@ def _simulate_pallas(
     return SimulationResult(ts=ts, ys=ys, stats=None)
 
 
+def _run_chunked(chunk_fn, state0, t_eval, chunk: int, dt0: float,
+                 use_jit: bool, dtype):
+    """Host-side chunked adaptive driving: the watchdog-safe span driver.
+
+    One jitted device call per ``chunk`` output intervals, warm-restarted
+    from the controller's own proposal (``stats.dt_next``) AND the
+    engine's full algorithmic carry (the ``a0`` / ``etadd0`` continuation
+    hooks), instead of one call over the whole span. The trajectory and
+    step sequence are BIT-IDENTICAL to the monolithic driver — pinned in
+    tests/test_simulate_chunked.py. No single device execution runs longer
+    than ~``chunk`` intervals of trial steps — the workaround for
+    execution-watchdog-limited stacks (the axon remote worker kills
+    executions over ~60 s; bench.py's adaptive rows drive this pattern).
+
+    ``chunk_fn(state, t_grid, dt0) -> (ys, stats, state_next)`` runs one
+    chunk: frames leading, ``ys[0]`` = the chunk's initial frame;
+    ``state`` is engine-opaque (the first call receives ``state0``, whose
+    pytree structure may differ from ``state_next`` — costing exactly one
+    extra trace). The host counter reads between chunks double as the
+    per-chunk completion force (the house timing rule: scalars to the
+    host, never ``block_until_ready``).
+    """
+    if use_jit:
+        chunk_fn = jax.jit(chunk_fn)
+    chunk = int(chunk)
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    n_iv = len(t_eval) - 1
+    dt_prop = jnp.asarray(dt0, dtype)
+    ys_parts = []
+    state = state0
+    n_steps = n_acc = n_rej = n_inc = 0
+    i = 0
+    while i < n_iv:
+        j = min(i + chunk, n_iv)
+        ys, stats, state = chunk_fn(
+            state, jnp.asarray(t_eval[i:j + 1], dtype), dt_prop
+        )
+        ys_parts.append(ys if i == 0 else ys[1:])
+        dt_prop = stats.dt_next
+        n_steps += int(stats.n_steps)
+        n_acc += int(stats.n_accepted)
+        n_rej += int(stats.n_rejected)
+        n_inc += int(stats.n_incomplete)
+        i = j
+    stats = integrators.AdaptiveStats(
+        np.int32(n_steps), np.int32(n_acc), np.int32(n_rej),
+        np.int32(n_inc), dt_next=dt_prop,
+    )
+    return jnp.concatenate(ys_parts, axis=0), stats
+
+
 def simulate(
     model,
     x0,
@@ -2881,6 +2965,7 @@ def simulate(
     engine: str = "xla",
     jit: bool = True,
     rayleigh: tuple = None,
+    chunk: int = None,
 ) -> SimulationResult:
     """Run a complete rollout on device.
 
@@ -2927,6 +3012,16 @@ def simulate(
             ``C = alpha M + beta K`` — modal engines only (both the XLA
             and fused-Pallas paths), exact in the recurrence and the
             effective Jacobian.
+        chunk: adaptive methods only — drive the span as one jitted device
+            call per ``chunk`` output intervals, warm-restarted from the
+            controller's own step proposal (``stats.dt_next``), instead of
+            one call over the whole horizon. Same trajectory and step
+            sequence as the monolithic drive (pinned in
+            tests/test_simulate_chunked.py); use it on stacks whose device
+            runtime kills long executions (the axon TPU worker's ~60 s
+            watchdog — the reason bench.py's adaptive rows drive
+            chunked). Aggregated :class:`AdaptiveStats` are returned as
+            usual, with ``dt_next`` ready to seed a continuation run.
     """
     x0 = jnp.asarray(x0)
     n_steps = int(round(t_final / dt))
@@ -3000,6 +3095,8 @@ def simulate(
             n_newton, rho_inf, n_modes, nl_precision, static_vectors,
             modal_derivatives, rayleigh,
         )
+
+    chunk_fn = None  # set by the adaptive branches (the chunk= drivers)
 
     if method == "rk4":
         rhs = model.build_rhs(forces_func)
@@ -3081,6 +3178,23 @@ def simulate(
             )
             return t_eval, jnp.concatenate([qs, vs], axis=-1), stats
 
+        def chunk_fn(state, t_grid, dt0):
+            # state: (q, v) on the first chunk (consistent-accel init,
+            # exactly like the monolithic drive), (q, v, a) thereafter
+            # (exact continuation of the algorithmic acceleration).
+            q0, v0 = state[0], state[1]
+            a0 = state[2] if len(state) == 3 else None
+            qs, vs, stats, fin = (
+                integrators.integrate_generalized_alpha_adaptive(
+                    op, q0, v0, t_grid, u=u, rho_inf=rho_inf,
+                    rtol=rtol, atol=atol, n_newton=n_newton, dt0=dt0,
+                    a0=a0, return_final=True,
+                )
+            )
+            return jnp.concatenate([qs, vs], axis=-1), stats, fin
+
+        chunk_state0 = (x0[..., :n], x0[..., n:])
+
     elif method in ("sdirk3", "sdirk3_adaptive"):
         # L-stable 3rd-order stiff adaptive (true embedded error estimate):
         # the accuracy-grade LSODA replacement.
@@ -3098,6 +3212,19 @@ def simulate(
                 rtol=rtol, atol=atol, n_newton=n_newton,
             )
             return t_eval, jnp.concatenate([qs, vs], axis=-1), stats
+
+        def chunk_fn(state, t_grid, dt0):
+            # SDIRK3's trial state is just (q, v): the restart is
+            # inherently exact, no extra carry needed.
+            q0, v0 = state
+            qs, vs, stats = integrators.integrate_sdirk3_adaptive(
+                op, q0, v0, t_grid, u=u,
+                rtol=rtol, atol=atol, n_newton=n_newton, dt0=dt0,
+            )
+            return (jnp.concatenate([qs, vs], axis=-1), stats,
+                    (qs[-1], vs[-1]))
+
+        chunk_state0 = (x0[..., :n], x0[..., n:])
 
     elif method in ("modal_rom", "modal_rom_adaptive"):
         ms = make_modal_rom(
@@ -3128,6 +3255,26 @@ def simulate(
                 qs, vs = ms.from_modal(etas, etads)
                 return t_eval, jnp.concatenate([qs, vs], axis=-1), stats
 
+            def chunk_fn(state, t_grid, dt0):
+                # state: (x,) physical on the first chunk, the modal
+                # (eta, etad, etadd) algorithmic carry thereafter.
+                if len(state) == 1:
+                    x = state[0]
+                    nx = x.shape[-1] // 2
+                    eta, etad = ms.to_modal(x[..., :nx], x[..., nx:])
+                    etadd = None
+                else:
+                    eta, etad, etadd = state
+                etas, etads, stats, fin = ms.rollout_adaptive(
+                    eta, etad, u_modal, t_grid, rtol=rtol, atol=atol,
+                    dt0=dt0, n_newton=n_newton, nl_precision=nl_precision,
+                    etadd0=etadd, return_final=True,
+                )
+                qs, vs = ms.from_modal(etas, etads)
+                return jnp.concatenate([qs, vs], axis=-1), stats, fin
+
+            chunk_state0 = (x0,)
+
         else:
 
             def run(x0):
@@ -3152,6 +3299,23 @@ def simulate(
 
     else:
         raise ValueError(f"Unknown method: {method}")
+
+    if chunk is not None:
+        if chunk_fn is None:
+            raise ValueError(
+                "chunk= applies to the adaptive methods "
+                "('generalized_alpha_adaptive' / 'sdirk3' / "
+                "'modal_rom_adaptive'); fixed-step spans are already one "
+                f"bounded device call per frame (got method={method!r})"
+            )
+        t_eval = np.arange(n_steps + 1) * dt  # host grid (CLAUDE.md)
+        # First-chunk dt0 replicates each engine's monolithic default,
+        # (te[1]-te[0])/16 — identical because the chunk grids share the
+        # full grid's spacing.
+        ys, stats = _run_chunked(
+            chunk_fn, chunk_state0, t_eval, chunk, dt / 16.0, jit, x0.dtype
+        )
+        return SimulationResult(ts=t_eval, ys=ys, stats=stats)
 
     if jit:
         run = jax.jit(run)

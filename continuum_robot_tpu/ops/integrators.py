@@ -204,9 +204,12 @@ def adaptive_drive(
         def frame_out(s):
             return s
 
-    t_eval = jnp.asarray(t_eval)
     dt0 = jnp.asarray(dt0)
     dtype = dt0.dtype
+    # The time grid runs in the controller dtype: a host-f64 t_eval against
+    # an f32 dt would promote the while-loop's (t, dt) carry and crash the
+    # loop typecheck (and diverge from hardware, where everything is f32).
+    t_eval = jnp.asarray(t_eval, dtype)
     t_eps = 32.0 * float(jnp.finfo(dtype).eps)
     i32 = functools.partial(jnp.asarray, dtype=jnp.int32)
 
@@ -540,6 +543,8 @@ def integrate_generalized_alpha_adaptive(
     n_newton: int = 2,
     max_steps_per_interval: int = 100_000,
     safety: float = 0.9,
+    a0=None,
+    return_final: bool = False,
 ):
     """Error-controlled implicit stepping: adaptive generalized-alpha.
 
@@ -568,6 +573,13 @@ def integrate_generalized_alpha_adaptive(
 
     Returns ``(qs, vs, AdaptiveStats)`` with frame axis leading and
     ``qs[0] = q0`` (the ``solve_ivp(t_eval=...)`` contract).
+
+    ``a0`` / ``return_final``: exact-continuation hooks for chunked span
+    driving (``simulate(..., chunk=N)``). ``a0`` supplies the algorithmic
+    acceleration carried out of a previous chunk (skipping the consistent-
+    acceleration solve, whose reset would perturb the Zienkiewicz-Xie
+    estimate at the boundary); ``return_final=True`` appends the final
+    ``(q, v, a)`` carry to the return tuple.
     """
     if dt0 is None:
         # Host-side (jnp ops inside a trace stage even on constants).
@@ -587,15 +599,16 @@ def integrate_generalized_alpha_adaptive(
     rtol = max(float(rtol), 50.0 * eps)
     atol = max(float(atol), 50.0 * eps * 1e-3)
 
-    # Initial acceleration: M a0 = F(x0, t0) + u - k(q0).
-    f0 = -op.internal_force(q0)
-    if op.external_force is not None:
-        f0 = f0 + op.external_force(
-            jnp.concatenate([q0, v0], axis=-1), t_eval[0]
-        )
-    if u is not None:
-        f0 = f0 + (u(t_eval[0]) if callable(u) else u)
-    a0 = op.solve(q0, 0.0)(f0)
+    if a0 is None:
+        # Initial acceleration: M a0 = F(x0, t0) + u - k(q0).
+        f0 = -op.internal_force(q0)
+        if op.external_force is not None:
+            f0 = f0 + op.external_force(
+                jnp.concatenate([q0, v0], axis=-1), t_eval[0]
+            )
+        if u is not None:
+            f0 = f0 + (u(t_eval[0]) if callable(u) else u)
+        a0 = op.solve(q0, 0.0)(f0)
 
     def err_norm(e, q_old, q_new):
         scale = atol + rtol * jnp.maximum(jnp.abs(q_old), jnp.abs(q_new))
@@ -610,13 +623,15 @@ def integrate_generalized_alpha_adaptive(
         return (q1, v1, a1), err_norm(e, q, q1)
 
     # Controller exponent -1/3 (ZX estimate is local order 3).
-    _, (qs, vs), stats = adaptive_drive(
+    state_f, (qs, vs), stats = adaptive_drive(
         trial, (q0, v0, a0), t_eval, jnp.asarray(dt0, dtype), -1.0 / 3.0,
         max_steps_per_interval=max_steps_per_interval, safety=safety,
         frame_out=lambda s: (s[0], s[1]),
     )
     qs = jnp.concatenate([q0[None], qs], axis=0)
     vs = jnp.concatenate([v0[None], vs], axis=0)
+    if return_final:
+        return qs, vs, stats, state_f
     return qs, vs, stats
 
 

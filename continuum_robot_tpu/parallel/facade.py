@@ -59,6 +59,57 @@ def _spatial_beam_of(model, mesh, axis: str):
     )
 
 
+def _chunked_adaptive(roll, method, xn, t_eval, chunk, u_node, rtol, atol,
+                      arrays, batched):
+    """Watchdog-safe chunked drive of the sharded adaptive rollouts.
+
+    One device call per ``chunk`` output intervals, threading the
+    controller proposal (``stats.dt_next``, per env when batched) and —
+    for generalized-alpha — the exact 3-plane ``[q; v; a]`` algorithmic
+    carry (``return_carry``); SDIRK3 restarts exactly from the last
+    frame. Mirrors ``models.simulate._run_chunked``; the host-side stat
+    reads between chunks double as the per-chunk completion force.
+    """
+    from ..ops.integrators import AdaptiveStats
+
+    chunk = int(chunk)
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    is_ga = method == "generalized_alpha_adaptive"
+    n_iv = len(t_eval) - 1
+    dt0 = float(t_eval[1] - t_eval[0]) / 16.0
+    state = xn
+    frame_ax = 0  # builders keep frames leading, envs second
+    xs_parts = []
+    n_steps = n_acc = n_rej = n_inc = 0
+    i = 0
+    while i < n_iv:
+        j = min(i + chunk, n_iv)
+        grid = t_eval[i:j + 1]
+        if is_ga:
+            xs_c, stats, state = roll(
+                state, grid, u=u_node, rtol=rtol, atol=atol,
+                arrays=arrays, dt0=dt0, return_carry=True,
+            )
+        else:
+            xs_c, stats = roll(
+                state, grid, u=u_node, rtol=rtol, atol=atol,
+                arrays=arrays, dt0=dt0,
+            )
+            state = xs_c[-1]
+        xs_parts.append(xs_c if i == 0 else
+                        jnp.take(xs_c, np.arange(1, xs_c.shape[0]),
+                                 axis=frame_ax))
+        dt0 = stats.dt_next
+        n_steps = n_steps + np.asarray(stats.n_steps)
+        n_acc = n_acc + np.asarray(stats.n_accepted)
+        n_rej = n_rej + np.asarray(stats.n_rejected)
+        n_inc = n_inc + np.asarray(stats.n_incomplete)
+        i = j
+    stats = AdaptiveStats(n_steps, n_acc, n_rej, n_inc, dt_next=dt0)
+    return jnp.concatenate(xs_parts, axis=frame_ax), stats
+
+
 def _node_force(model, u_red, Np: int, dtype):
     """Reduced position-DOF force vector -> ``(Np, 3)`` node layout."""
     bc = model.beam_model.bc_info
@@ -111,6 +162,7 @@ def simulate_sharded(
     n_modes: Optional[int] = None,
     rayleigh: Optional[tuple] = None,
     engine: str = "xla",
+    chunk: Optional[int] = None,
 ):
     """Run a sharded rollout with the single-chip ``simulate()`` contract.
 
@@ -160,6 +212,15 @@ def simulate_sharded(
             schedule). Stepping is replicated either way (the per-mode
             recurrence has no physical-space work, ``SpatialModal``); the
             sharded value stays in the basis memory and transforms.
+        chunk: adaptive methods only — drive the span as one jitted
+            device call per ``chunk`` output intervals, threading the
+            controller proposal (``stats.dt_next``, per env on batched
+            rollouts) and the full algorithmic carry between calls
+            (bit-identical to the monolithic drive; SDIRK3 restarts are
+            (q, v)-exact, generalized-alpha threads the 3-plane carry).
+            Matches ``simulate(chunk=...)`` — the watchdog-safe pattern
+            for long error-controlled spans on stacks whose device
+            runtime kills long executions.
 
     Returns:
         :class:`SimulationResult` with reduced-layout ``ys`` (env batch
@@ -221,6 +282,16 @@ def simulate_sharded(
     n_frames = int(round(t_final / dt))
     stats = None
 
+    if chunk is not None and method not in (
+        "generalized_alpha_adaptive", "sdirk3"
+    ):
+        raise ValueError(
+            "chunk= applies to the adaptive sharded methods "
+            "('generalized_alpha_adaptive' / 'sdirk3'); fixed-step spans "
+            "are already one bounded device call per frame (got "
+            f"method={method!r})"
+        )
+
     if method == "rk4":
         if arrays is not None:
             raise ValueError(
@@ -272,8 +343,14 @@ def simulate_sharded(
             kw["rho_inf"] = rho_inf
         roll = builder(beam, **kw)
         t_eval = np.linspace(0.0, t_final, n_frames + 1)
-        xs, stats = roll(xn, t_eval, u=u_node, rtol=rtol, atol=atol,
-                         arrays=arrays)
+        if chunk is None:
+            xs, stats = roll(xn, t_eval, u=u_node, rtol=rtol, atol=atol,
+                             arrays=arrays)
+        else:
+            xs, stats = _chunked_adaptive(
+                roll, method, xn, t_eval, int(chunk), u_node, rtol, atol,
+                arrays, batched,
+            )
         ts = jnp.asarray(t_eval, x0.dtype)
 
     ys = _node_frames_to_reduced(model, xs)

@@ -265,17 +265,26 @@ def _operand_arrays(beam, Np, mdiag, mlow, mup, arr_fields, dfac_np,
     w.r.t. physical parameters flows through the whole sharded rollout
     (see ``build_spatial_genalpha``'s rollout docstring for the contract).
     """
+    def _cast_fields(fields):
+        # Element parameters compute in the STATE dtype (all but the bool
+        # nonlinear mask) — otherwise an f32 rollout under an x64 host
+        # promotes the tangent/internal force (and thence the whole SPIKE
+        # recurrence) to f64, diverging from what hardware actually runs.
+        ln, E, I, A, nl = fields
+        return (jnp.asarray(ln, dtype), jnp.asarray(E, dtype),
+                jnp.asarray(I, dtype), jnp.asarray(A, dtype), nl)
+
     if arrays is None:
         return (
             jnp.asarray(mdiag, dtype), jnp.asarray(mlow, dtype),
-            jnp.asarray(mup, dtype), arr_fields,
+            jnp.asarray(mup, dtype), _cast_fields(arr_fields),
             jnp.asarray(dfac_np, dtype), jnp.asarray(gmass_np, dtype),
         )
     md_j, ml_j, mu_j = _traced_mass_bands(arrays, Np, dtype)
-    arr_j = (
+    arr_j = _cast_fields((
         arrays.length, arrays.elastic_modulus, arrays.moment_inertia,
         arrays.cross_area, arrays.nonlinear_mask,
-    )
+    ))
     dfac_j = (
         _traced_drag_factors(arrays, beam.n_nodes_real, Np,
                              float(fluid_density), dtype)
@@ -416,14 +425,18 @@ def build_spatial_genalpha(
     g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
     has_nf = node_force is not None
 
-    def make_core(n_frames: int, substeps: int):
+    def make_core(n_frames: int, substeps: int, carry_in: bool = False,
+                  carry_out: bool = False, t0: float = 0.0):
+        frames_spec = PartitionSpec(None, None, axis, None)
         @partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(p_x, p_node, p_node, p_node, p_block, p_block,
                       p_block, p_node, p_node, p_el, p_el, p_el, p_el,
                       p_el, p_el),
-            out_specs=(PartitionSpec(None, None, axis, None)),
+            out_specs=(
+                (frames_spec, p_x) if carry_out else frames_spec
+            ),
         )
         def rollout_core(x, u_node, dfac, m_mask, md, ml, mu, llm, rfm,
                          a_len, a_E, a_I, a_A, a_nl, gmass):
@@ -480,14 +493,22 @@ def build_spatial_genalpha(
 
             u_m = u_node * m3
             q, v = x[0] * m3, x[1] * m3
-            f0 = u_m - internal(q)
-            if has_fluid:
-                f0 = f0 - drag(v)
-            if has_gravity:
-                f0 = f0 + grav(q)
-            if has_nf:
-                f0 = f0 + nf(q, v, jnp.asarray(0.0, dtype))
-            a = spike_solve(prep_mass, f0 * m3, axis, S) * m3
+            if carry_in:
+                # Exact continuation: the caller supplies the generalized-
+                # alpha acceleration carry from a previous chunk, so the
+                # recurrence continues bit-for-bit — no consistency reset
+                # at the chunk boundary (the reset perturbs, and slightly
+                # damps, the discrete recurrence).
+                a = x[2] * m3
+            else:
+                f0 = u_m - internal(q)
+                if has_fluid:
+                    f0 = f0 - drag(v)
+                if has_gravity:
+                    f0 = f0 + grav(q)
+                if has_nf:
+                    f0 = f0 + nf(q, v, jnp.asarray(0.0, dtype))
+                a = spike_solve(prep_mass, f0 * m3, axis, S) * m3
 
             def substep(carry, t):
                 q, v, a = carry
@@ -521,8 +542,8 @@ def build_spatial_genalpha(
                 # path (fidx is None otherwise — trace unchanged).
                 ts_sub = (
                     None if fidx is None
-                    else (fidx * substeps
-                          + jnp.arange(substeps, dtype=dtype)) * dt
+                    else t0 + (fidx * substeps
+                               + jnp.arange(substeps, dtype=dtype)) * dt
                 )
                 carry, _ = jax.lax.scan(
                     substep, carry, ts_sub, length=substeps
@@ -533,14 +554,20 @@ def build_spatial_genalpha(
             fidxs = (
                 jnp.arange(n_frames, dtype=dtype) if has_nf else None
             )
-            _, xs = jax.lax.scan(
+            (qf, vf, af_), xs = jax.lax.scan(
                 frame, (q, v, a), fidxs, length=n_frames
             )
-            return jnp.concatenate([jnp.stack([q, v])[None], xs], axis=0)
+            frames = jnp.concatenate(
+                [jnp.stack([q, v])[None], xs], axis=0
+            )
+            if carry_out:
+                return frames, jnp.stack([qf, vf, af_])
+            return frames
 
         return rollout_core
 
-    def rollout(x0, n_frames: int, u=None, substeps: int = 1, arrays=None):
+    def rollout(x0, n_frames: int, u=None, substeps: int = 1, arrays=None,
+                return_carry: bool = False, t0: float = 0.0):
         """Roll ``x0`` for ``n_frames``; see builder docstring.
 
         ``arrays``: optional TRACED element-parameter pytree (a
@@ -556,8 +583,21 @@ def build_spatial_genalpha(
         the eager shard_map transpose mis-propagates the cotangent
         sharding of the element-sharded fields on current jax
         ("Unexpected XLA sharding override"); jit resolves it.
+
+        Chunked driving (exact continuation across calls): pass
+        ``return_carry=True`` to additionally get the final ``(3, Np, 3)``
+        generalized-alpha carry ``[q; v; a]`` (env-batched:
+        ``(envs, 3, Np, 3)``); feed it back as ``x0`` of the next call
+        (3-plane inputs skip the consistent-acceleration solve and
+        continue the recurrence bit-for-bit — no per-chunk consistency
+        reset). ``t0`` offsets the ``node_force`` evaluation times and the
+        returned frame times for continuation chunks. This is how long
+        spans are driven on execution-watchdog-limited stacks (one device
+        call per chunk) without changing the step sequence.
         """
-        core = make_core(int(n_frames), int(substeps))
+        core = make_core(int(n_frames), int(substeps),
+                         carry_in=jnp.asarray(x0).shape[-3] == 3,
+                         carry_out=bool(return_carry), t0=float(t0))
         x0 = jnp.asarray(x0)
         if u is None:
             u_node = jnp.zeros((Np, 3), dtype=x0.dtype)
@@ -580,12 +620,16 @@ def build_spatial_genalpha(
                 gmass_j,
             )
 
-        if x0.ndim == 4:  # (envs, 2, Np, 3) -> vmap over dp
-            xs = jax.vmap(run_one, out_axes=1)(x0)
+        if x0.ndim == 4:  # (envs, 2|3, Np, 3) -> vmap over dp
+            out_ax = (1, 0) if return_carry else 1
+            out = jax.vmap(run_one, out_axes=out_ax)(x0)
         else:
-            xs = run_one(x0)
-        ts = (dt * substeps) * jnp.arange(n_frames + 1)
-        return ts, xs
+            out = run_one(x0)
+        ts = t0 + (dt * substeps) * jnp.arange(n_frames + 1)
+        if return_carry:
+            xs, carry = out
+            return ts, xs, carry
+        return ts, out
 
     return rollout
 
@@ -666,7 +710,10 @@ def build_spatial_genalpha_adaptive(
     g_y = float(np.asarray(gravity).ravel()[1]) if has_gravity else 0.0
     has_nf = node_force is not None
 
-    def make_core(n_intervals: int, rtol: float, atol: float):
+    def make_core(n_intervals: int, rtol: float, atol: float,
+                  carry_in: bool = False, carry_out: bool = False):
+        frames_spec = PartitionSpec(None, None, axis, None)
+        stats_spec = AdaptiveStats(p_rep, p_rep, p_rep, p_rep, p_rep)
         @partial(
             jax.shard_map,
             mesh=mesh,
@@ -674,8 +721,8 @@ def build_spatial_genalpha_adaptive(
                       p_block, p_block, p_node, p_node, p_el, p_el, p_el,
                       p_el, p_el, p_el),
             out_specs=(
-                PartitionSpec(None, None, axis, None),
-                AdaptiveStats(p_rep, p_rep, p_rep, p_rep, p_rep),
+                (frames_spec, stats_spec, p_x) if carry_out
+                else (frames_spec, stats_spec)
             ),
         )
         def core(t_evals, dt0, x, u_node, dfac, m_mask, md, ml, mu, llm,
@@ -731,14 +778,20 @@ def build_spatial_genalpha_adaptive(
             u_m = u_node * m3
             q0 = x[0] * m3
             v0 = x[1] * m3
-            f0 = u_m - internal(q0)
-            if has_fluid:
-                f0 = f0 - drag(v0)
-            if has_gravity:
-                f0 = f0 + grav(q0)
-            if has_nf:
-                f0 = f0 + nf(q0, v0, t_evals[0])
-            a0 = spike_solve(prep_mass, f0 * m3, axis, S) * m3
+            if carry_in:
+                # Exact continuation (chunked driving): the caller supplies
+                # the algorithmic acceleration from a previous chunk — no
+                # consistency reset at the boundary.
+                a0 = x[2] * m3
+            else:
+                f0 = u_m - internal(q0)
+                if has_fluid:
+                    f0 = f0 - drag(v0)
+                if has_gravity:
+                    f0 = f0 + grav(q0)
+                if has_nf:
+                    f0 = f0 + nf(q0, v0, t_evals[0])
+                a0 = spike_solve(prep_mass, f0 * m3, axis, S) * m3
 
             def trial_step(dt, q, v, a, t):
                 prep = make_prep(dt)
@@ -784,7 +837,7 @@ def build_spatial_genalpha_adaptive(
                 # the shared driver's accept/reject is globally identical.
                 return (q1, v1, a1), err_norm(e, q, q1)
 
-            _, xs, stats = adaptive_drive(
+            state_f, xs, stats = adaptive_drive(
                 trial, (q0, v0, a0), t_evals,
                 jnp.asarray(dt0, dtype)[()], -1.0 / 3.0,
                 max_steps_per_interval=max_steps_per_interval,
@@ -794,12 +847,15 @@ def build_spatial_genalpha_adaptive(
             xs = jnp.concatenate(
                 [jnp.stack([q0, v0])[None], xs], axis=0
             )
+            if carry_out:
+                return xs, stats, jnp.stack(state_f)
             return xs, stats
 
         return core
 
     def rollout(x0, t_eval, u=None, rtol: float = 1e-6,
-                atol: float = 1e-9, dt0: float = None, arrays=None):
+                atol: float = 1e-9, dt0: float = None, arrays=None,
+                return_carry: bool = False):
         """Adaptive rollout; see builder docstring.
 
         ``arrays``: optional TRACED :class:`BeamArrays` (same contract as
@@ -807,13 +863,24 @@ def build_spatial_genalpha_adaptive(
         sensitivities flow through the error-controlled sharded engine via
         ``jax.jvp`` (the while_loop has no adjoint, so reverse mode stays
         on the fixed-dt rollouts).
+
+        Chunked driving (exact continuation across calls, the watchdog-
+        safe span pattern — see ``simulate(chunk=...)``): pass
+        ``return_carry=True`` to additionally get the final ``(3, Np, 3)``
+        algorithmic carry ``[q; v; a]`` (env-batched: leading env axis);
+        feed it back as ``x0`` of the next call (3-plane inputs skip the
+        consistent-acceleration solve) together with
+        ``dt0=stats.dt_next`` (``dt0`` may be an ``(envs,)`` array on
+        batched rollouts — per-env controller continuation).
         """
         t_eval_np = np.asarray(jax.device_get(t_eval), np.float64)
         if dt0 is None:
             dt0 = float(t_eval_np[1] - t_eval_np[0]) / 16.0
         x0 = jnp.asarray(x0)
         t_evals = jnp.asarray(t_eval_np, x0.dtype)
-        core = make_core(len(t_eval_np) - 1, float(rtol), float(atol))
+        core = make_core(len(t_eval_np) - 1, float(rtol), float(atol),
+                         carry_in=x0.shape[-3] == 3,
+                         carry_out=bool(return_carry))
         if u is None:
             u_node = jnp.zeros((Np, 3), dtype=x0.dtype)
         else:
@@ -825,9 +892,9 @@ def build_spatial_genalpha_adaptive(
             has_fluid, fluid_density, has_gravity, arrays, x0.dtype,
         )
 
-        def run_one(x_single):
+        def run_one(x_single, dt0_single):
             return core(
-                t_evals, dt0_arr, x_single, u_node,
+                t_evals, dt0_single, x_single, u_node,
                 dfac_j, mask,
                 md_j, ml_j, mu_j,
                 jnp.asarray(left_last_node, x0.dtype),
@@ -836,11 +903,14 @@ def build_spatial_genalpha_adaptive(
                 gmass_j,
             )
 
-        if x0.ndim == 4:  # (envs, 2, Np, 3): per-env dt via vmap over dp
-            xs, stats = jax.vmap(run_one, out_axes=(1, 0))(x0)
+        if x0.ndim == 4:  # (envs, 2|3, Np, 3): per-env dt via vmap over dp
+            if dt0_arr.ndim == 0:
+                dt0_arr = jnp.broadcast_to(dt0_arr, (x0.shape[0],))
+            out_ax = (1, 0, 0) if return_carry else (1, 0)
+            out = jax.vmap(run_one, out_axes=out_ax)(x0, dt0_arr)
         else:
-            xs, stats = run_one(x0)
-        return xs, stats
+            out = run_one(x0, dt0_arr)
+        return out
 
     return rollout
 
@@ -1076,6 +1146,11 @@ def build_spatial_sdirk3(
         forward parameter sensitivities through the sharded L-stable
         engine (while_loop has no adjoint; reverse mode stays on the
         fixed-dt rollouts).
+
+        Chunked driving: SDIRK3's trial state is just ``(q, v)``, so the
+        restart from a frame is inherently exact — continue a span by
+        passing the last frame as ``x0`` with ``dt0=stats.dt_next``
+        (``dt0`` may be an ``(envs,)`` array on batched rollouts).
         """
         t_eval_np = np.asarray(jax.device_get(t_eval), np.float64)
         if dt0 is None:
@@ -1094,9 +1169,9 @@ def build_spatial_sdirk3(
             has_fluid, fluid_density, has_gravity, arrays, x0.dtype,
         )
 
-        def run_one(x_single):
+        def run_one(x_single, dt0_single):
             return core(
-                t_evals, dt0_arr, x_single, u_node,
+                t_evals, dt0_single, x_single, u_node,
                 dfac_j, mask,
                 md_j, ml_j, mu_j,
                 jnp.asarray(left_last_node, x0.dtype),
@@ -1106,9 +1181,11 @@ def build_spatial_sdirk3(
             )
 
         if x0.ndim == 4:  # (envs, 2, Np, 3): per-env dt via vmap over dp
-            xs, stats = jax.vmap(run_one, out_axes=(1, 0))(x0)
+            if dt0_arr.ndim == 0:
+                dt0_arr = jnp.broadcast_to(dt0_arr, (x0.shape[0],))
+            xs, stats = jax.vmap(run_one, out_axes=(1, 0))(x0, dt0_arr)
         else:
-            xs, stats = run_one(x0)
+            xs, stats = run_one(x0, dt0_arr)
         return xs, stats
 
     return rollout

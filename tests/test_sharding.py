@@ -2020,3 +2020,291 @@ class TestShardedScaleParity:
         scale = float(jnp.abs(res_1.ys).max())
         np.testing.assert_allclose(
             np.asarray(res_s.ys), np.asarray(res_1.ys), atol=1e-8 * scale)
+
+
+class TestShardedF32Parity:
+    """f32 variants of the scale-parity tests (VERDICT r3 item 8).
+
+    The hardware benches run f32 while this suite validates in f64 — a
+    precision-sensitivity bug in the SPIKE/halo/interface machinery would
+    only ever surface on the TPU. These pin sharded == dense at f32 with
+    conditioning-aware tolerances (both sides carry f32 roundoff amplified
+    by the effective-Jacobian conditioning; bounds pinned at ~3x measured),
+    and bound a bench-shaped nonlinear f32 span so an f32-specific
+    instability in the distributed implicit path fails HERE, not only on
+    hardware.
+    """
+
+    N_EL = 240
+
+    @staticmethod
+    def _f32(a):
+        return jnp.asarray(np.asarray(a), jnp.float32)
+
+    def test_spike_genalpha_240_elements_f32(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["linear"] * self.N_EL))
+        n = model.n_pos_states
+        x0 = self._f32(np.zeros(2 * n))
+        x0 = x0.at[n - 2].set(2e-4)
+        u = self._f32(np.zeros(n))
+        u = u.at[n - 2].set(0.05)
+        kw = dict(method="generalized_alpha", u=u, substeps=2,
+                  rho_inf=0.8, n_newton=2)
+        mesh = make_mesh({"sp": 8})
+        res_s = simulate_sharded(model, x0, 4e-4, 2e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 2e-4,
+                         linear_solver="dense_inv", **kw)
+        assert np.asarray(res_s.ys).dtype == np.float32
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys),
+            atol=3e-4 * scale)
+
+    def test_spike_sdirk3_240_elements_f32(self):
+        from continuum_robot_tpu.models.simulate import simulate
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["linear"] * self.N_EL))
+        n = model.n_pos_states
+        x0 = self._f32(np.zeros(2 * n))
+        x0 = x0.at[n - 2].set(2e-4)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="sdirk3", rtol=1e-4, atol=1e-7)
+        res_s = simulate_sharded(model, x0, 4e-4, 2e-4, mesh, **kw)
+        res_1 = simulate(model, x0, 4e-4, 2e-4,
+                         linear_solver="dense_inv", **kw)
+        assert np.asarray(res_s.ys).dtype == np.float32
+        scale = float(jnp.abs(res_1.ys).max())
+        np.testing.assert_allclose(
+            np.asarray(res_s.ys), np.asarray(res_1.ys),
+            atol=3e-3 * scale)
+
+    def test_nonlinear_spike_f32_bench_shape_stays_bounded(self):
+        """The bench row's workload shape (nonlinear beam, SPIKE gen-alpha,
+        f32, tiny-noise ICs, constant tip force, modified Newton n=2,
+        rho_inf=0.5) at suite scale: a long f32 span must stay finite and
+        bounded — the CPU-side regression for the round-3 FAILED hardware
+        row.
+
+        Disposition of that row (root-caused round 4 via this test's
+        first, parity-element version, which blew up HERE off-hardware):
+        the reference-parity von Karman polynomials are non-conservative
+        (f != dU/dq, a preserved reference quirk) and under a sustained
+        tip load that ODE is GENUINELY unstable — the reference itself,
+        dopri5 at rtol=1e-8, the dense gen-alpha, and the sharded SPIKE
+        engine diverge on the same trajectory (engine-independent to 1e-7;
+        tools/repros/diag_nl_matrix.py / diag_nl_reference.py). The
+        benchmark therefore integrates the variationally CONSISTENT
+        element (stable, same cubic cost class; bench.py BENCH_CONSISTENT)
+        and so does this regression."""
+        from jax.sharding import Mesh
+
+        from continuum_robot_tpu.parallel.facade import _node_force
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            build_spatial_genalpha,
+        )
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["nonlinear"] * self.N_EL),
+            use_consistent_nonlinear=True)
+        n = model.n_pos_states
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh, axis="sp",
+        )
+        Np = beam.n_nodes
+        roll = build_spatial_genalpha(beam, 1e-4, rho_inf=0.5, n_newton=2,
+                                      use_consistent=True)
+        bc = model.beam_model.bc_info
+        free = np.asarray(bc.free_dofs)
+        n_full = bc.n_dofs_full
+        nn = n_full // 3
+        rng = np.random.default_rng(0)
+        B = 2
+        qf = np.zeros((B, n_full), np.float32)
+        qf[:, free] = rng.normal(scale=1e-6, size=(B, n))
+        x0 = np.zeros((B, 2, Np, 3), np.float32)
+        x0[:, 0, :nn, :] = qf.reshape(B, nn, 3)
+        u_red = np.zeros(n, np.float32)
+        u_red[-2] = 0.1
+        u_node = _node_force(model, u_red, Np, jnp.float32)
+        # 600 steps in 3 exact-carry chunks (the chunked driver is the
+        # hardware workaround; equivalence with the monolithic span is
+        # pinned in TestShardedChunkedCarry).
+        x = jnp.asarray(x0)
+        run = jax.jit(lambda s: roll(
+            s, 1, u=u_node, substeps=200, return_carry=True)[2])
+        for _ in range(3):
+            x = run(x)
+            xh = np.asarray(x)
+            assert np.isfinite(xh).all()
+        # Bounded: the tip load is static after the transient; state must
+        # stay at the physical response scale, not grow exponentially.
+        assert float(np.abs(xh[:, 0]).max()) < 1.0
+        assert float(np.abs(xh[:, 1]).max()) < 100.0
+
+
+class TestShardedChunkedCarry:
+    """return_carry chunked driving == the monolithic span, bit-for-bit
+    (the exact-continuation API behind tools/repros/repro_sharded_nl.py
+    and long-span driving on execution-watchdog-limited stacks)."""
+
+    def test_chunked_equals_monolithic(self):
+        from jax.sharding import Mesh
+
+        from continuum_robot_tpu.parallel.facade import _node_force
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            build_spatial_genalpha,
+        )
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["nonlinear"] * 24))
+        n = model.n_pos_states
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh, axis="sp",
+        )
+        Np = beam.n_nodes
+        roll = build_spatial_genalpha(beam, 1e-4, rho_inf=0.5, n_newton=2)
+        bc = model.beam_model.bc_info
+        free = np.asarray(bc.free_dofs)
+        n_full = bc.n_dofs_full
+        nn = n_full // 3
+        rng = np.random.default_rng(1)
+        qf = np.zeros(n_full)
+        qf[free] = rng.normal(scale=1e-5, size=n)
+        x0 = np.zeros((2, Np, 3))
+        x0[0, :nn, :] = qf.reshape(nn, 3)
+        u_red = np.zeros(n)
+        u_red[-2] = 0.05
+        u_node = _node_force(model, u_red, Np, x0.dtype)
+
+        # Monolithic: 30 steps in one call.
+        _, xs = roll(jnp.asarray(x0), 1, u=u_node, substeps=30)
+        x_mono = np.asarray(xs[-1])
+
+        # Chunked: 3 x 10 steps with the (q, v, a) carry threaded.
+        x = jnp.asarray(x0)
+        for k in range(3):
+            _, xs_c, x = roll(x, 1, u=u_node, substeps=10,
+                              return_carry=True, t0=k * 10 * 1e-4)
+        np.testing.assert_array_equal(np.asarray(x)[:2], x_mono)
+
+    def test_reset_differs_from_carry(self):
+        """Restarting chunks WITHOUT the accel carry (the old repro
+        pattern) is a genuinely different recurrence — this pins that the
+        distinction the carry API exists for is real."""
+        from jax.sharding import Mesh
+
+        from continuum_robot_tpu.parallel.facade import _node_force
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            build_spatial_genalpha,
+        )
+
+        model = DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["nonlinear"] * 24))
+        n = model.n_pos_states
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+        beam = make_spatial_beam(
+            model.beam_model.arrays,
+            model.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh, axis="sp",
+        )
+        Np = beam.n_nodes
+        roll = build_spatial_genalpha(beam, 1e-4, rho_inf=0.5, n_newton=2)
+        bc = model.beam_model.bc_info
+        free = np.asarray(bc.free_dofs)
+        n_full = bc.n_dofs_full
+        nn = n_full // 3
+        rng = np.random.default_rng(1)
+        qf = np.zeros(n_full)
+        qf[free] = rng.normal(scale=1e-5, size=n)
+        x0 = np.zeros((2, Np, 3))
+        x0[0, :nn, :] = qf.reshape(nn, 3)
+        u_red = np.zeros(n)
+        u_red[-2] = 0.05
+        u_node = _node_force(model, u_red, Np, x0.dtype)
+
+        x_carry = jnp.asarray(x0)
+        for _ in range(3):
+            _, _, x_carry = roll(x_carry, 1, u=u_node, substeps=10,
+                                 return_carry=True)
+        x_reset = jnp.asarray(x0)
+        for _ in range(3):
+            _, xs_r = roll(x_reset, 1, u=u_node, substeps=10)
+            x_reset = xs_r[-1]
+        d = np.abs(np.asarray(x_carry)[:2] - np.asarray(x_reset)).max()
+        assert d > 0.0
+
+
+class TestShardedFacadeChunked:
+    """simulate_sharded(chunk=N) == the monolithic adaptive drive.
+
+    The sharded half of the chunked-driving API (VERDICT r3 item 7; the
+    single-chip half is tests/test_simulate_chunked.py): the controller
+    proposal (stats.dt_next) and — for generalized-alpha — the 3-plane
+    algorithmic carry thread through chunk boundaries, so the error-
+    controlled recurrence replays bit-for-bit.
+    """
+
+    def _model(self, n_el=24):
+        return DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["nonlinear"] * n_el))
+
+    def _x0_u(self, model):
+        n = model.n_pos_states
+        x0 = np.zeros(2 * n)
+        x0[n - 2] = 1e-4
+        u = np.zeros(n)
+        u[-2] = 0.05
+        return x0, u
+
+    def test_genalpha_adaptive_chunked(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = self._model()
+        x0, u = self._x0_u(model)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="generalized_alpha_adaptive", u=u, rtol=1e-5,
+                  atol=1e-8, rho_inf=0.8, n_newton=2)
+        res_m = simulate_sharded(model, x0, 10e-4, 2e-4, mesh, **kw)
+        res_c = simulate_sharded(model, x0, 10e-4, 2e-4, mesh, chunk=2,
+                                 **kw)
+        np.testing.assert_array_equal(
+            np.asarray(res_c.ys), np.asarray(res_m.ys))
+        assert int(res_c.stats.n_accepted) == int(res_m.stats.n_accepted)
+        assert int(res_c.stats.n_rejected) == int(res_m.stats.n_rejected)
+        assert float(res_c.stats.dt_next) == float(res_m.stats.dt_next)
+
+    def test_sdirk3_chunked(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = self._model()
+        x0, u = self._x0_u(model)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="sdirk3", u=u, rtol=1e-5, atol=1e-8)
+        res_m = simulate_sharded(model, x0, 10e-4, 2e-4, mesh, **kw)
+        res_c = simulate_sharded(model, x0, 10e-4, 2e-4, mesh, chunk=3,
+                                 **kw)
+        np.testing.assert_array_equal(
+            np.asarray(res_c.ys), np.asarray(res_m.ys))
+        assert int(res_c.stats.n_accepted) == int(res_m.stats.n_accepted)
+
+    def test_chunk_rejects_fixed_step(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model = self._model()
+        x0, u = self._x0_u(model)
+        mesh = make_mesh({"sp": 8})
+        with pytest.raises(ValueError, match="adaptive"):
+            simulate_sharded(model, x0, 10e-4, 2e-4, mesh,
+                             method="generalized_alpha", u=u, chunk=2)

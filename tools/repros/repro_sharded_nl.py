@@ -1,22 +1,35 @@
 """Onset scan for the `nonlinear sharded-SPIKE sp=1` hardware failure.
 
-Round-3 session 6 observed (BENCH_SESSION.jsonl row `nonlinear
-sharded-SPIKE sp=1`, FAILED): on the axon TPU the bench's second
-2000-step call returned non-finite states, while the IDENTICAL
-configuration on the CPU backend (1000 elements, f32, dt=1e-4,
-rho_inf=0.5, n_newton=2, constant 0.1 tip force, 4000 total steps,
-B=4) stays bounded and finite over the whole span. The hardware repro
-attempt was cut off by the axon worker wedging on ALL device execution
-immediately afterward, so the row may be environmental (worker
-flakiness), not code.
+RESOLVED (round 4): the failure was the WORKLOAD, not the engine. The
+reference-parity von Karman polynomials are non-conservative (PARITY.md
+divergence 10) and under the bench's sustained 0.1 N tip load the ODE is
+genuinely unstable — the reference itself (solve_ivp RK45), our dopri5 at
+rtol=1e-8, the dense gen-alpha, and this sharded SPIKE engine all diverge
+on the same trajectory (engine parity holds to 1e-7 all the way into the
+blowup; see tools/repros/diag_nl_matrix.py, diag_nl_reference.py,
+diag_f32_cpu.py, diag_f32_dense.py). Round 3's "bounded on CPU" verdict
+was a false negative: the old frame-split rollout here RESET the
+consistent acceleration every frame, which damps the recurrence enough to
+mask the growth (exactly the carry-fidelity concern the round-3 advisor
+flagged); with the exact (q, v, a) carry the CPU f64 run reproduces the
+blowup. The benchmark's full-order nonlinear rows now integrate the
+variationally consistent element (bench.py BENCH_CONSISTENT, stable), and
+tests/test_sharding.py::TestShardedF32Parity pins boundedness of that
+workload at f32.
 
-This tool is the triage asset for the re-run: it executes the exact
-bench workload but split into FRAMES of `substeps` steps, checking
-finiteness on the host after every frame, so a failure is localized to
-a ~frame-sized step window together with the |q|/|v| growth history
-leading into it (energy blow-up looks like exponential growth over many
-frames; a backend miscompile/corruption looks like a clean history that
-goes non-finite in one frame).
+Historical context (round-3 session 6): on the axon TPU the bench's
+second 2000-step call returned non-finite states at the identical
+configuration (1000 elements, f32, dt=1e-4, rho_inf=0.5, n_newton=2,
+constant 0.1 tip force, 4000 total steps).
+
+This tool remains the triage asset for any future non-finite hardware
+row: it executes the exact bench workload split into FRAMES of
+`substeps` steps with the exact generalized-alpha carry threaded between
+them, checking finiteness on the host after every frame, so a failure is
+localized to a ~frame-sized step window together with the |q|/|v| growth
+history leading into it (energy blow-up looks like exponential growth
+over many frames; a backend miscompile/corruption looks like a clean
+history that goes non-finite in one frame).
 
 Usage:
     python tools/repros/repro_sharded_nl.py --backend cpu            # bounded repro (B=4)
@@ -78,6 +91,11 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--substeps", type=int, default=100)
     ap.add_argument("--sp", type=int, default=1)
+    ap.add_argument("--consistent", action="store_true",
+                    help="variationally consistent element (the current "
+                    "bench workload, BENCH_CONSISTENT=1; default here "
+                    "stays the parity element, i.e. the round-3 failing "
+                    "workload)")
     args = ap.parse_args()
 
     import jax
@@ -112,7 +130,8 @@ def main():
     )
     Np = beam.n_nodes
     roll = build_spatial_genalpha(
-        beam, DT, rho_inf=RHO_INF, n_newton=N_NEWTON
+        beam, DT, rho_inf=RHO_INF, n_newton=N_NEWTON,
+        use_consistent=args.consistent,
     )
 
     # Exactly the bench row's initial state: tiny white noise on the free
@@ -131,10 +150,18 @@ def main():
     u_red[-2] = TIP_FORCE
     u_node = _node_force(model, u_red, Np, jnp.float32)
 
-    # One jitted frame call = `substeps` steps, final state only. Same
-    # program shape as the bench row (frames there: 1 x 2000), so the
-    # device executable per call is ~substeps/2000 of the bench's.
-    run = jax.jit(lambda s: roll(s, 1, u=u_node, substeps=args.substeps)[1][-1])
+    # One jitted frame call = `substeps` steps, carrying the FULL
+    # generalized-alpha state (q, v, a) across frames via return_carry, so
+    # the chunked scan is the bench recurrence bit-for-bit — no
+    # consistent-acceleration reset at frame boundaries (an accel restart
+    # perturbs and slightly damps the recurrence, which could shift or
+    # mask the onset). The first call takes the 2-plane (q, v) state and
+    # computes the initial acceleration once, exactly like the bench.
+    def run(s):
+        return roll(s, 1, u=u_node, substeps=args.substeps,
+                    return_carry=True)[2]
+
+    run = jax.jit(run)
 
     t0 = time.time()
     for f in range(args.frames):
