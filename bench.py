@@ -118,6 +118,16 @@ UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
 # the f32-carry run over the same 2 x N_STEPS horizon.
 CARRY = os.environ.get("BENCH_CARRY")
 
+# BENCH_FORCES=1 registers the reference's flagship force pair (fluid drag
+# at 1000 kg/m^3 + gravity, reference beam_comparison_fluid.py /
+# beam_comparison_gravity.py) on the benchmark beam. On the modal-ROM
+# engine they ride the split fast path as exact reduced corrections
+# (``ext_modal``), so this row measures the reference's core force-coupled
+# use case at the throughput tier instead of the dense fallback
+# (VERDICT r3 item 4). XLA split engine only — the fused Pallas kernel
+# refuses external forces by contract.
+FORCES = os.environ.get("BENCH_FORCES") == "1"
+
 
 def roofline_fields(cost, wall_s, tier="f32", model_tag="xla"):
     """Utilization block for the bench JSON (verdict: auditable FLOP/s).
@@ -596,13 +606,15 @@ def run_modal_rom(jax, jnp, model, n_red):
         f", carry={CARRY}"
         if CARRY and ENGINE != "modal_rom_pallas" else ""
     )
+    forces_tag = ", fluid+gravity" if ms.ext_modal is not None else ""
     print(
         json.dumps(
             {
                 "metric": (
                     f"implicit generalized-alpha "
                     f"({'fused-Pallas ' if ENGINE == 'modal_rom_pallas' else ''}"
-                    f"modal-ROM m={N_MODES}{ecsw_tag}{carry_tag}) "
+                    f"modal-ROM m={N_MODES}{ecsw_tag}{carry_tag}"
+                    f"{forces_tag}) "
                     f"env-steps/sec/chip, "
                     f"{N_ELEMENTS}-element {BEAM_TYPE} beam, {N_ENVS} envs, f32"
                 ),
@@ -959,8 +971,28 @@ def main():
         BENCH_TOL is not None or ENGINE in ("dense", "sharded_genalpha")
     )
     use_consistent = BENCH_CONSISTENT and full_order_nl
+    force_params = None
+    if FORCES:
+        if ENGINE != "modal_rom" or BEAM_TYPE != "nonlinear":
+            raise SystemExit(
+                "BENCH_FORCES=1 benchmarks the reduced-correction force "
+                "path: BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom (the "
+                "fused Pallas kernel refuses external forces; dense-tier "
+                "forced numbers come from the workload ports)"
+            )
+        from continuum_robot_tpu.models import ForceParams
+
+        force_params = ForceParams(
+            enable_fluid_effects=True,
+            fluid_density=1000.0,
+            enable_gravity_effects=True,
+        )
+        # Fluid columns per element (reference example_utilities.py:35-56:
+        # cylinder wetted area, Cd=1.2).
+        df["wetted_area"] = 2 * np.pi * r * L_el
+        df["drag_coef"] = 1.2
     model = DynamicEulerBernoulliBeam(
-        df, use_consistent_nonlinear=use_consistent
+        df, force_params, use_consistent_nonlinear=use_consistent
     )
     n_red = model.n_pos_states
 

@@ -92,6 +92,15 @@ for K in 4 8 16; do
         BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom BENCH_ECSW_TAU=1e-3 \
         BENCH_UNROLL=$K
 done
+# The reference's flagship force-coupled workload (fluid drag + gravity)
+# on the throughput tier: exact reduced corrections (ext_modal) on the XLA
+# split path (VERDICT r3 item 4 — previously forced beams ran only on the
+# ~135x-slower dense tier).
+run_bench "nonlinear modal_rom m=256 fluid+gravity" \
+    BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom BENCH_FORCES=1
+run_bench "nonlinear ECSW tau=1e-3 unroll=8 fluid+gravity" \
+    BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom BENCH_ECSW_TAU=1e-3 \
+    BENCH_UNROLL=8 BENCH_FORCES=1
 # bf16 scan carry on the HBM-bound ECSW engine (compute stays f32): halves
 # the compulsory carry traffic; the row's carry_drift_rel field quantifies
 # the accuracy cost on the same horizon (VERDICT r2 item 5).
