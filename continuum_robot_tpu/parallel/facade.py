@@ -370,9 +370,11 @@ def _simulate_sharded_modal(
     ``models.simulate.simulate(method='modal'/'modal_rom'/
     'modal_rom_adaptive')``; the basis memory, the transforms, and (for
     the ROM) the per-Newton correction force are sharded over ``axis``.
-    Force scope matches the single-chip modal engines: constant reduced
-    ``u`` only — fluid/gravity/``node_force`` raise here exactly like
-    ``make_modal_genalpha`` raises on registered registry forces.
+    Force scope matches the single-chip modal engines: the ROM tiers
+    carry the model's registered fluid-drag/gravity forces as exact
+    reduced corrections (``ext_modal``), the linear ``modal`` method and
+    ``node_force`` raise exactly like ``make_modal_genalpha`` raises on
+    registered registry forces.
     """
     from ..models.simulate import PiecewiseConstant, SimulationResult
     from .spatial_modal import build_spatial_modal, build_spatial_modal_rom
@@ -394,17 +396,25 @@ def _simulate_sharded_modal(
             "as the single-chip modal engines)"
         )
     fp = getattr(model, "force_params", None)
-    wants_forces = (
-        fluid_density is not None
-        or gravity is not None
-        or (fp is not None and (fp.enable_fluid_effects
-                                or fp.enable_gravity_effects))
-    )
-    if wants_forces:
+    if fluid_density is not None or gravity is not None:
         raise ValueError(
-            "the sharded modal methods support no fluid/gravity forces "
-            "(same scope as make_modal_genalpha/make_modal_rom); use "
-            "method='generalized_alpha'/'sdirk3' for forced beams"
+            "the sharded modal methods take forces from the model's "
+            "force registry (ForceParams / register_force), same as the "
+            "single-chip modal engines — the explicit fluid_density/"
+            "gravity dials configure the node-layout methods "
+            "('generalized_alpha'/'sdirk3')"
+        )
+    registry_forces = (
+        fp is not None and (fp.enable_fluid_effects
+                            or fp.enable_gravity_effects)
+    )
+    if registry_forces and method == "modal":
+        raise ValueError(
+            "the sharded linear modal method supports no fluid/gravity "
+            "forces (same scope as make_modal_genalpha); use "
+            "method='modal_rom' — registered forces ride its sharded "
+            "rollouts as exact reduced corrections — or the node-layout "
+            "methods ('generalized_alpha'/'sdirk3')"
         )
     if use_consistent and method != "modal":
         raise ValueError(

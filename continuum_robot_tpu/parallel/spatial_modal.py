@@ -23,8 +23,12 @@ its sharded value is in the transforms and the basis memory
 genuinely carries per-step load (:class:`SpatialModalROM`).
 
 Split fast path only: the sharded ROM requires the exactly-diagonal
-reduced linear operator (``ms.lam``) and supports no registered external
-forces — the same scope as the single-chip split path (`_force_modal`).
+reduced linear operator (``ms.lam``) — the same scope as the single-chip
+split path (``_force_modal``). Registered registry forces with a reduced
+closure (fluid drag / gravity, ``make_reduced_modal``) ride every sharded
+rollout as the engine's ``ext_modal`` term, exactly like the single-chip
+engine; only forces that would need the general full-transform
+``external_force`` path are rejected.
 The correction is evaluated per element from
 ``elements.nonlinear_correction_planes`` and masked by the per-element
 ``nonlinear_mask`` (linear elements have identically zero correction), so
@@ -101,16 +105,32 @@ def spatial_correction_force_local(
     return f_ext[:-1].at[:1].add(bridge)
 
 
-def _make_force_modal(Phi, Wn, eL, eEI, eEA, eNL, lam, axis, n_shards):
+def _make_force_modal(Phi, Wn, eL, eEI, eEA, eNL, lam, axis, n_shards,
+                      ext_modal=None):
     """Shard-local reduced force closure for the split fast path.
 
-    ``f_m(eta_af) = lam * eta_af + psum(W^T g(Phi eta_af))`` — same term
-    order as the single-chip split path (``ModalROMGenAlpha._force_modal``)
-    so sharded rollouts pair bit-for-bit with the replicated engine up to
-    psum reduction order.
+    ``f_m(eta_af, etad_af, t_af) = lam * eta_af + psum(W^T g(Phi eta_af))
+    - ext_modal(eta_af, etad_af, t_af)`` — same term order as the
+    single-chip split path (``ModalROMGenAlpha._force_modal``) so sharded
+    rollouts pair bit-for-bit with the replicated engine up to psum
+    reduction order.
+
+    ``ext_modal`` is the engine's reduced external-force closure
+    (``ModalROMGenAlpha.ext_modal`` — fluid drag / gravity via their
+    restricted basis rows, ``forces.*.make_reduced_modal``). It maps modal
+    coordinates to modal force through REPLICATED restricted rows, so
+    inside ``shard_map`` every shard evaluates the identical value with no
+    collective: exact agreement with the single-chip forced engine, all
+    reference quirks preserved. Cost note: that evaluation is O(k·m)
+    replicated work (k = restricted rows, ~N/3 for fluid drag) — at the
+    8-shard production mesh it is comparable to one shard's local
+    transform, so it does not dominate; a node-sharded formulation would
+    save it at the price of diverging from the single-chip force
+    conventions (the node-layout engines' documented gravity divergence,
+    PARITY.md).
     """
 
-    def force_modal(eta_af):
+    def force_modal(eta_af, etad_af=None, t_af=0.0):
         q_loc = jnp.einsum(
             "ncm,m->nc", Phi, eta_af,
             precision=jax.lax.Precision.HIGHEST,
@@ -125,7 +145,13 @@ def _make_force_modal(Phi, Wn, eL, eEI, eEA, eNL, lam, axis, n_shards):
             ),
             axis,
         )
-        return lam * eta_af + corr
+        f = lam * eta_af + corr
+        if ext_modal is not None:
+            f = f - ext_modal(
+                eta_af, etad_af, t_af,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return f
 
     return force_modal
 
@@ -562,18 +588,20 @@ class SpatialModalROM(_SpatialModalBase):
         )
         def core(eta0, etad0, u_mc, Phi, Wn, eL, eEI, eEA, eNL):
             force_modal = _make_force_modal(
-                Phi, Wn, eL, eEI, eEA, eNL, lam, axis, S
+                Phi, Wn, eL, eEI, eEA, eNL, lam, axis, S,
+                ext_modal=ms.ext_modal,
             )
 
             # Consistent initial acceleration (mirrors
             # ModalROMGenAlpha.initial_accel).
-            r0 = -force_modal(eta0)
+            r0 = -force_modal(eta0, etad0, t0)
             if cdamp is not None:
                 r0 = r0 - cdamp * etad0
             etadd0 = r0 + u_mc
 
-            def substep(carry, _):
+            def substep(carry, t):
                 q, v, a = carry
+                t_af = t + t_af_off
                 q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
                 v_pred = v + (1.0 - gamma) * dt * a
 
@@ -583,7 +611,7 @@ class SpatialModalROM(_SpatialModalBase):
                     q_af = (1.0 - af) * q1 + af * q
                     v_af = (1.0 - af) * v1 + af * v
                     a_am = (1.0 - am) * a1 + am * a
-                    r = a_am + force_modal(q_af) - u_mc
+                    r = a_am + force_modal(q_af, v_af, t_af) - u_mc
                     if cdamp is not None:
                         r = r + cdamp * v_af
                     return a1 - solve(r)
@@ -593,13 +621,20 @@ class SpatialModalROM(_SpatialModalBase):
                 v1 = v_pred + gamma * dt * a1
                 return (q1, v1, a1), None
 
-            def frame(carry, _):
-                carry, _ = jax.lax.scan(substep, carry, None, length=substeps)
+            def frame(carry, i):
+                # Same substep time base as rollout_frames_guarded / the
+                # single-chip _step_fn scan (t only feeds ext_modal;
+                # fluid/gravity ignore it, future forces may not).
+                t_frame = t0 + (i * substeps) * dt
+                carry, _ = jax.lax.scan(
+                    substep, carry,
+                    t_frame + dt * jnp.arange(substeps, dtype=dtype),
+                )
                 q, v, _a = carry
                 return carry, (q, v)
 
             _, (es, eds) = jax.lax.scan(
-                frame, (eta0, etad0, etadd0), None, length=n_frames
+                frame, (eta0, etad0, etadd0), jnp.arange(n_frames)
             )
             es = jnp.concatenate([eta0[None], es], axis=0)
             eds = jnp.concatenate([etad0[None], eds], axis=0)
@@ -700,18 +735,22 @@ class SpatialModalROM(_SpatialModalBase):
         )
         def core(eta0, etad0, u_mc, t_ev, dt0c, Phi, Wn, eL, eEI, eEA, eNL):
             force_modal = _make_force_modal(
-                Phi, Wn, eL, eEI, eEA, eNL, lam, axis, S
+                Phi, Wn, eL, eEI, eEA, eNL, lam, axis, S,
+                ext_modal=ms.ext_modal,
             )
-            r0 = -force_modal(eta0)
+            r0 = -force_modal(eta0, etad0, t_ev[0])
             if cdamp is not None:
                 r0 = r0 - cdamp * etad0
             etadd0 = r0 + u_mc
 
             def trial(t, dt, state):
                 q, v, a = state
+                # Modified Newton: jd keeps the force-free diagonal (the
+                # single-chip Sinv likewise omits d(ext)/d(eta, etad)).
                 jd = (1.0 - am) + ((1.0 - af) * beta) * dt * dt * lam
                 if cdamp is not None:
                     jd = jd + ((1.0 - af) * gamma) * dt * cdamp
+                t_af = t + (1.0 - af) * dt
                 q_pred = q + dt * v + (0.5 - beta) * dt * dt * a
                 v_pred = v + (1.0 - gamma) * dt * a
 
@@ -721,7 +760,7 @@ class SpatialModalROM(_SpatialModalBase):
                     q_af = (1.0 - af) * q1 + af * q
                     v_af = (1.0 - af) * v1 + af * v
                     a_am = (1.0 - am) * a1 + am * a
-                    r = a_am + force_modal(q_af) - u_mc
+                    r = a_am + force_modal(q_af, v_af, t_af) - u_mc
                     if cdamp is not None:
                         r = r + cdamp * v_af
                     return a1 - r / jd
@@ -840,8 +879,11 @@ def build_spatial_modal_rom(
 
     Host float64 setup via :func:`make_modal_rom` (Petrov-Galerkin bases,
     diagonal reduced operator, prefactored Newton inverse); requires the
-    split fast path — the exact parity element (``use_consistent`` off)
-    and no registered external forces.
+    split fast path — the exact parity element (``use_consistent`` off).
+    Registered fluid-drag / gravity forces ride the sharded rollouts as
+    exact reduced corrections (the engine's ``ext_modal``, same as the
+    single-chip forced fast path); forces that fall back to the general
+    full-transform ``external_force`` path are rejected.
     """
     ms = make_modal_rom(
         model, dt, rho_inf=rho_inf, n_modes=n_modes, rayleigh=rayleigh,
@@ -855,9 +897,10 @@ def build_spatial_modal_rom(
         )
     if ms.external_force is not None:
         raise ValueError(
-            "the sharded ROM engine supports no registered external "
-            "forces (same scope as the single-chip split fast path); "
-            "clear the force registry or use build_spatial_genalpha"
+            "the sharded ROM engine supports registered external forces "
+            "only through their reduced-modal closures (fluid drag / "
+            "gravity, make_reduced_modal); this registry needs the "
+            "general external_force path — use build_spatial_genalpha"
         )
     lay = _padded_layout(model, mesh, axis)
     Np = lay["n_pad_nodes"]

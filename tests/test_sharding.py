@@ -1259,16 +1259,40 @@ class TestSpatialModalROM:
         np.testing.assert_allclose(got, np.asarray(q_ref), atol=1e-14)
 
     def test_error_contracts(self):
-        """Registered forces and consistent-element models are rejected."""
+        """General-path registry forces are rejected; reduced-closure forces
+        (fluid/gravity) build and are actually integrated (regression: the
+        builder used to guard only ``external_force``, silently DROPPING
+        forces that arrive as ``ext_modal`` after the round-4 split-path
+        force support)."""
+        from continuum_robot_tpu.models.abstractions import AbstractForce
         from continuum_robot_tpu.models.config import ForceParams
         from continuum_robot_tpu.parallel import build_spatial_modal_rom
 
-        fp = ForceParams(enable_gravity_effects=True,
-                         gravity_vector=np.array([0.0, -9.81, 0.0]))
-        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(6), fp)
+        class OpaqueForce(AbstractForce):
+            # No make_reduced_modal -> needs the general external_force
+            # path, which the sharded split engine cannot evaluate.
+            def compute_forces(self, x, t):
+                n = x.shape[-1] // 2
+                return jnp.zeros((*x.shape[:-1], n), x.dtype) + 1e-3
+
+            def is_enabled(self):
+                return True
+
         mesh = make_mesh({"sp": 8})
+        model = DynamicEulerBernoulliBeam(helpers.mixed_csv(6))
+        model.force_registry.register(OpaqueForce())
         with pytest.raises(ValueError, match="external"):
             build_spatial_modal_rom(model, mesh, 1e-4)
+
+        fp = ForceParams(enable_gravity_effects=True,
+                         gravity_vector=np.array([0.0, -9.81, 0.0]))
+        forced = DynamicEulerBernoulliBeam(helpers.mixed_csv(6), fp)
+        sm = build_spatial_modal_rom(forced, mesh, 1e-4, rho_inf=0.5)
+        assert sm.ms.ext_modal is not None
+        m = sm.n_modes
+        z = jnp.zeros(m)
+        _, es, _ = sm.rollout_frames(z, z, None, 2, substeps=2)
+        assert float(jnp.abs(es[-1]).max()) > 0.0  # gravity moved the beam
 
     @pytest.mark.parametrize("rayleigh", [None, (0.5, 1e-6)])
     def test_adaptive_matches_single_chip(self, rayleigh):
@@ -1833,16 +1857,19 @@ class TestSimulateShardedModal:
         model = DynamicEulerBernoulliBeam(helpers.mixed_csv(14))
         n = model.n_pos_states
         x0 = jnp.zeros(2 * n)
-        with pytest.raises(ValueError, match="no fluid/gravity"):
+        with pytest.raises(ValueError, match="force registry"):
             simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal_rom",
                              fluid_density=1000.0)
+        # Registry-registered fluid forces RIDE the sharded ROM tier
+        # (round 4; parity coverage in test_sharding_modal_forces.py) —
+        # only the linear modal method still refuses them.
         fp_model = DynamicEulerBernoulliBeam(
             helpers.mixed_csv(14, include_fluid=True),
             ForceParams(fluid_density=1000.0, enable_fluid_effects=True),
         )
         with pytest.raises(ValueError, match="no fluid/gravity"):
             simulate_sharded(fp_model, x0, 1e-4, 1e-4, mesh,
-                             method="modal_rom")
+                             method="modal")
         with pytest.raises(ValueError, match="node_force"):
             simulate_sharded(model, x0, 1e-4, 1e-4, mesh, method="modal_rom",
                              node_force=lambda x, t: x[0])
