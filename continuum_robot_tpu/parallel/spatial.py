@@ -32,6 +32,11 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+
+# Full-input-precision 3x3-block contractions: the TPU MXU default is
+# bfloat16 inputs, fatal for the stiff beam operators (see
+# parallel/spatial_implicit.py and continuum_robot_tpu/__init__.py).
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
@@ -237,9 +242,9 @@ def spatial_mass_matvec_local(
     left_halo = jax.lax.ppermute(v_local[-1:], axis, _right_perm(n_shards))
     right_halo = jax.lax.ppermute(v_local[:1], axis, _left_perm(n_shards))
     v_ext = jnp.concatenate([left_halo, v_local, right_halo], axis=0)  # (m+2,3)
-    y = jnp.einsum("nij,nj->ni", mdiag_local, v_local)
-    y = y + jnp.einsum("nij,nj->ni", mlow_local, v_ext[:-2])
-    y = y + jnp.einsum("nij,nj->ni", mup_local, v_ext[2:])
+    y = jnp.einsum("nij,nj->ni", mdiag_local, v_local, precision=_HI)
+    y = y + jnp.einsum("nij,nj->ni", mlow_local, v_ext[:-2], precision=_HI)
+    y = y + jnp.einsum("nij,nj->ni", mup_local, v_ext[2:], precision=_HI)
     return y
 
 
@@ -389,7 +394,7 @@ def build_spatial_rhs(
         # Jacobi-preconditioned CG on M a = f.
         a0 = jnp.zeros_like(f)
         r0 = f - matvec(a0)
-        z0 = jnp.einsum("nij,nj->ni", mdi, r0)
+        z0 = jnp.einsum("nij,nj->ni", mdi, r0, precision=_HI)
         p0 = z0
         rz0 = pdot(r0, z0)
         rr0 = None if cg_tol is None else pdot(r0, r0)
@@ -399,7 +404,7 @@ def build_spatial_rhs(
             alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
             a = a + alpha * p
             r = r - alpha * Ap
-            z = jnp.einsum("nij,nj->ni", mdi, r)
+            z = jnp.einsum("nij,nj->ni", mdi, r, precision=_HI)
             rz_new = pdot(r, z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             p = z + beta * p

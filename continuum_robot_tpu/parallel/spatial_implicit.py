@@ -52,6 +52,14 @@ from .spatial import (
     spatial_internal_force_local,
 )
 
+# f32 contractions in the solve path MUST run at full input precision: the
+# TPU MXU default is bfloat16 inputs, which destroys the conditioning of
+# the stiff beam operators (hardware-only NaN blowups of the nonlinear
+# SPIKE engine, bounded on CPU — NOTES_r4.md session 4). The package
+# default (continuum_robot_tpu/__init__.py) already pins this globally;
+# the explicit annotations keep the engine correct standalone.
+_HI = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # Local (per-shard) operator assembly
@@ -128,9 +136,9 @@ def mass_matvec_aligned(v_local, md, mlow, mup, axis, n_shards):
     left_halo = jax.lax.ppermute(v_local[-1:], axis, _right_perm(n_shards))
     right_halo = jax.lax.ppermute(v_local[:1], axis, _left_perm(n_shards))
     v_ext = jnp.concatenate([left_halo, v_local, right_halo], axis=0)
-    y = jnp.einsum("nij,nj->ni", md, v_local)
-    y = y + jnp.einsum("nij,nj->ni", mlow, v_ext[:-2])
-    y = y + jnp.einsum("nij,nj->ni", mup, v_ext[2:])
+    y = jnp.einsum("nij,nj->ni", md, v_local, precision=_HI)
+    y = y + jnp.einsum("nij,nj->ni", mlow, v_ext[:-2], precision=_HI)
+    y = y + jnp.einsum("nij,nj->ni", mup, v_ext[2:], precision=_HI)
     return y
 
 
@@ -179,7 +187,10 @@ def spike_prepare(jd, jlow, jup, axis: str, n_shards: int):
     Mred = Mred.at[idx, 1, :, km1, 1, :].add(gVl)
     Mred = Mred.at[idx, 0, :, kp1, 0, :].add(gW0)
     Mred = Mred.at[idx, 1, :, kp1, 0, :].add(gWl)
-    Mred_inv = jnp.linalg.inv(Mred.reshape(6 * S, 6 * S))
+    # default_matmul_precision context: linalg.inv's blocked LU updates are
+    # dot_generals with no per-call precision arg.
+    with jax.default_matmul_precision("highest"):
+        Mred_inv = jnp.linalg.inv(Mred.reshape(6 * S, 6 * S))
     return {"factors": factors, "V": V, "W": W, "Mred_inv": Mred_inv}
 
 
@@ -193,14 +204,16 @@ def spike_solve(prep, r_local, axis: str, n_shards: int):
     S = n_shards
     y = banded.btd_solve(prep["factors"], r_local)  # (m, 3)
     g = jax.lax.all_gather(jnp.stack([y[0], y[-1]]), axis)  # (S, 2, 3)
-    z = (prep["Mred_inv"] @ g.reshape(6 * S)).reshape(S, 2, 3)
+    z = jnp.einsum(
+        "ij,j->i", prep["Mred_inv"], g.reshape(6 * S), precision=_HI
+    ).reshape(S, 2, 3)
     k = jax.lax.axis_index(axis)
     l_left = z[(k - 1) % S, 1]
     f_right = z[(k + 1) % S, 0]
     x = (
         y
-        - jnp.einsum("nij,j->ni", prep["V"], l_left)
-        - jnp.einsum("nij,j->ni", prep["W"], f_right)
+        - jnp.einsum("nij,j->ni", prep["V"], l_left, precision=_HI)
+        - jnp.einsum("nij,j->ni", prep["W"], f_right, precision=_HI)
     )
     return x
 

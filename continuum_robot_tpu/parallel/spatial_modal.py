@@ -47,6 +47,11 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Full-input-precision transforms: the TPU MXU default is bfloat16 inputs
+# (see continuum_robot_tpu/__init__.py); basis projections/reconstructions
+# and the ECSW gathered transforms pin f32 precision explicitly.
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
@@ -193,8 +198,12 @@ class _SpatialModalBase:
             out_specs=(PartitionSpec(None), PartitionSpec(None)),
         )
         def core(x, PTM):
-            eta = jax.lax.psum(jnp.einsum("ncm,nc->m", PTM, x[0]), axis)
-            etad = jax.lax.psum(jnp.einsum("ncm,nc->m", PTM, x[1]), axis)
+            eta = jax.lax.psum(
+                jnp.einsum("ncm,nc->m", PTM, x[0], precision=_HI), axis
+            )
+            etad = jax.lax.psum(
+                jnp.einsum("ncm,nc->m", PTM, x[1], precision=_HI), axis
+            )
             return eta, etad
 
         x_node = jnp.asarray(x_node)
@@ -221,7 +230,9 @@ class _SpatialModalBase:
             out_specs=PartitionSpec(None),
         )
         def core(u, Wn):
-            return jax.lax.psum(jnp.einsum("ncm,nc->m", Wn, u), axis)
+            return jax.lax.psum(
+                jnp.einsum("ncm,nc->m", Wn, u, precision=_HI), axis
+            )
 
         u_node = jnp.asarray(u_node)
         return core(u_node, jnp.asarray(W, u_node.dtype))
@@ -244,8 +255,8 @@ class _SpatialModalBase:
             ),
         )
         def core(es, eds, Phi):
-            q = jnp.einsum("ncm,fm->fnc", Phi, es)
-            v = jnp.einsum("ncm,fm->fnc", Phi, eds)
+            q = jnp.einsum("ncm,fm->fnc", Phi, es, precision=_HI)
+            v = jnp.einsum("ncm,fm->fnc", Phi, eds, precision=_HI)
             return q, v
 
         etas = jnp.asarray(etas)
@@ -340,11 +351,11 @@ class SpatialModalROM(_SpatialModalBase):
         g_fn = ms.planar_correction
 
         def sampled(eta):
-            q_p = jnp.einsum("nm,...m->...n", Phi6, eta)
+            q_p = jnp.einsum("nm,...m->...n", Phi6, eta, precision=_HI)
             n3 = q_p.shape[-1]
             g = g_fn(q_p.reshape(*q_p.shape[:-1], 3, n3 // 3))
             g = g.reshape(*q_p.shape[:-1], n3)
-            return jnp.einsum("nm,...n->...m", W6, g)
+            return jnp.einsum("nm,...n->...m", W6, g, precision=_HI)
 
         return sampled
 
