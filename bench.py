@@ -683,9 +683,36 @@ def run_sharded(jax, jnp, model, n_red):
 
     # One frame of N_STEPS substeps: the same 2000-step span as the dense
     # row with no per-step frame materialization.
-    run = jax.jit(
-        lambda x: roll(x, 1, u=u_node, substeps=N_STEPS)[1][-1]
-    )
+    # BENCH_CHUNK=K drives the span as exact-carry chunks of K substeps
+    # (bit-identical recurrence — TestShardedChunkedCarry): the axon
+    # worker's execution watchdog kills device calls around the ~60 s
+    # mark and a killed call can surface as garbage output buffers (the
+    # non-finite-only-on-hardware signature of the round-3/4 nonlinear
+    # sharded row, whose single 2000-substep call is the longest-running
+    # execution in the matrix; CPU runs the identical program bounded —
+    # NOTES_r4.md session 4).
+    chunk = int(os.environ.get("BENCH_CHUNK", 0))
+    if chunk:
+        n_chunks, rem = divmod(N_STEPS, chunk)
+        assert rem == 0, "BENCH_CHUNK must divide BENCH_STEPS"
+
+        step_c = jax.jit(
+            lambda x: roll(
+                x, 1, u=u_node, substeps=chunk, return_carry=True
+            )[2]
+        )
+
+        def run(x):
+            # (2, Np, 3) initial state or (3, Np, 3) exact carry in; each
+            # chunk forces a scalar so no device call outlives the chunk.
+            for _ in range(n_chunks):
+                x = step_c(x)
+                float(jnp.sum(x))
+            return x
+    else:
+        run = jax.jit(
+            lambda x: roll(x, 1, u=u_node, substeps=N_STEPS)[1][-1]
+        )
     x1 = run(x0)
     float(jnp.sum(x1))
     t0 = _time.time()
