@@ -135,7 +135,10 @@ def _make_force_modal(Phi, Wn, eL, eEI, eEA, eNL, lam, axis, n_shards,
     PARITY.md).
     """
 
-    def force_modal(eta_af, etad_af=None, t_af=0.0):
+    # All three arguments required: a default etad_af=None would defer the
+    # failure of a missing argument into the fluid-drag closure
+    # (jnp.asarray(None)) instead of the call site (ADVICE r4).
+    def force_modal(eta_af, etad_af, t_af):
         q_loc = jnp.einsum(
             "ncm,m->nc", Phi, eta_af,
             precision=jax.lax.Precision.HIGHEST,

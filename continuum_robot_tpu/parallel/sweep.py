@@ -27,6 +27,18 @@ from ..models import assembly
 from ..models.config import BeamArrays
 from ..ops import banded, integrators
 
+# Full-input-precision contractions: the TPU MXU default is bfloat16
+# inputs, fatal for the stiff reduced operators in the Newton solve below
+# (see parallel/spatial_implicit.py and continuum_robot_tpu/__init__.py).
+# The package pins the global default at import, but the hot path stays
+# correct standalone (tests/test_precision_policy.py AST-checks this file).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    """``a @ b`` with full-f32 MXU inputs (precision=HIGHEST)."""
+    return jnp.matmul(a, b, precision=_HI)
+
 
 def tile_arrays(arrays: BeamArrays, n: int) -> BeamArrays:
     """Replicate a host config into an ``(n, E)`` batched jnp pytree."""
@@ -342,7 +354,7 @@ def parametric_modal_rom_rollout(
         Phi_nodes = pad(Phi.T).reshape(m, n_nodes, 3)
         MPhi = banded.btd_matvec(md, mlw, mup, Phi_nodes)
         MPhi_red = red(MPhi.reshape(m, n_full)).T  # (n_red, m)
-        Mr = W.T @ MPhi_red
+        Mr = _mm(W.T, MPhi_red)
 
         q_zero = jnp.zeros(n_full, dtype)
         kd, kl, ku = assembly.tangent_block_tridiagonal(
@@ -350,20 +362,20 @@ def parametric_modal_rom_rollout(
         )
         kd, kl, ku = banded.btd_apply_bc(kd, kl, ku, mask_nodes)
         KPhi = banded.btd_matvec(kd, kl, ku, Phi_nodes)
-        K0r = W.T @ red(KPhi.reshape(m, n_full)).T
+        K0r = _mm(W.T, red(KPhi.reshape(m, n_full)).T)
         Sinv = jnp.linalg.inv(a_eff * Mr + c_eff * K0r)
         Mr_inv = jnp.linalg.inv(Mr)
 
         def force_modal(eta_af):
-            q = Phi @ eta_af
+            q = _mm(Phi, eta_af)
             k_full = assembly.internal_force_full(
                 arrays, pad(q), use_consistent=use_consistent
             )
-            return W.T @ red(k_full)
+            return _mm(W.T, red(k_full))
 
         if u_m is None:
             u_m = jnp.zeros(m, dtype)
-        etadd0 = Mr_inv @ (u_m - force_modal(eta0))
+        etadd0 = _mm(Mr_inv, u_m - force_modal(eta0))
 
         def step(carry):
             eta, etad, etadd = carry
@@ -374,8 +386,8 @@ def parametric_modal_rom_rollout(
                 eta1 = eta_pred + beta * dt * dt * a1
                 eta_af = (1.0 - af) * eta1 + af * eta
                 a_am = (1.0 - am) * a1 + am * etadd
-                r = Mr @ a_am + force_modal(eta_af) - u_m
-                return a1 - Sinv @ r
+                r = _mm(Mr, a_am) + force_modal(eta_af) - u_m
+                return a1 - _mm(Sinv, r)
 
             a1 = jax.lax.fori_loop(0, n_newton, newton, etadd)
             eta1 = eta_pred + beta * dt * dt * a1

@@ -28,27 +28,42 @@ def test_package_import_pins_default_matmul_precision():
 
 
 def test_sharded_solver_modules_annotate_every_contraction():
-    """Every einsum in the sharded solve paths names a precision.
+    """Every contraction in the sharded/parametric solve paths names a
+    precision.
 
-    Static check (AST): parallel/spatial.py, spatial_implicit.py and
-    spatial_modal.py must not contain a bare ``jnp.einsum`` call — the
-    engines stay correct even standalone (a user clearing the global
-    default gets the annotated hot path, not bf16 SPIKE solves).
+    Static check (AST) over parallel/spatial.py, spatial_implicit.py,
+    spatial_modal.py and sweep.py: no bare ``jnp.einsum``/``matmul``/
+    ``dot``/``tensordot`` call (missing ``precision=``) and no ``@``
+    (``ast.MatMult``) operator at all — the engines stay correct even
+    standalone (a user clearing the global default still gets full-f32
+    MXU inputs on the hot paths, not bf16 SPIKE/Newton solves). The ``@``
+    operator takes no precision argument, so it is banned outright in
+    these modules; use the local ``_mm``/annotated einsum helpers.
     """
     import continuum_robot_tpu.parallel as par
 
     pkg_dir = os.path.dirname(par.__file__)
+    contraction_attrs = {"einsum", "matmul", "dot", "tensordot"}
     offenders = []
-    for fname in ("spatial.py", "spatial_implicit.py", "spatial_modal.py"):
+    for fname in (
+        "spatial.py", "spatial_implicit.py", "spatial_modal.py", "sweep.py"
+    ):
         tree = ast.parse(open(os.path.join(pkg_dir, fname)).read())
         for node in ast.walk(tree):
+            if isinstance(node, ast.BinOp) and isinstance(
+                node.op, ast.MatMult
+            ):
+                offenders.append(f"{fname}:{node.lineno} (@ operator)")
             if not isinstance(node, ast.Call):
                 continue
             fn = node.func
-            if isinstance(fn, ast.Attribute) and fn.attr == "einsum":
+            if (
+                isinstance(fn, ast.Attribute)
+                and fn.attr in contraction_attrs
+            ):
                 if not any(kw.arg == "precision" for kw in node.keywords):
-                    offenders.append(f"{fname}:{node.lineno}")
+                    offenders.append(f"{fname}:{node.lineno} ({fn.attr})")
     assert not offenders, (
-        "bare jnp.einsum (no precision=) in sharded solver paths: "
+        "unannotated contraction in sharded/parametric solver paths: "
         + ", ".join(offenders)
     )
