@@ -312,9 +312,16 @@ def make_newmark_operator(
         def do_solve(r_red):
             # Prefactored systems are built once (host/x64); apply them in
             # the rhs dtype (same contract as the dense_inv path above).
-            fac = jax.tree_util.tree_map(
-                lambda t: jnp.asarray(t, r_red.dtype), factors
-            )
+            # Cast ONLY floating leaves: the cyclic-reduction factors carry
+            # integer size metadata ("n"/"m_pad") that btd_cr_solve reads
+            # with int() — coercing those to the rhs dtype would turn them
+            # into traced f64 scalars under jit (ConcretizationTypeError).
+            def _cast(t):
+                if jnp.issubdtype(jnp.result_type(t), jnp.inexact):
+                    return jnp.asarray(t, r_red.dtype)
+                return t
+
+            fac = jax.tree_util.tree_map(_cast, factors)
             if use_pallas:
                 from ..ops.pallas import btd_solve_pallas
 
