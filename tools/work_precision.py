@@ -190,24 +190,50 @@ def run_points(quick: bool = False):
                    wall_s=round(wall, 3), oracle="exact-modal-flow-f64")
 
     # Error-controlled dense engine: rtol ladder (bench.py BENCH_TOL path).
+    # Chunk-driven exactly like bench.run_adaptive — ONE jitted call per
+    # output interval, warm-started from (q, v, a) + stats.dt_next — so no
+    # single device execution outlives the axon worker's ~60 s watchdog
+    # (at rtol=1e-8 x 4096 envs the whole-span while_loop would; CLAUDE.md,
+    # NOTES_r4 session 4). Step sequence identical to the monolithic call
+    # (tests/test_simulate_chunked.py pins this equivalence).
     op = make_newmark_operator(model, dt=None, linear_solver="dense_inv")
-    t_eval = jnp.asarray([0.0, span], jnp.float32)
+    n_ivals = 20
+    ts_host = np.linspace(0.0, span, n_ivals + 1, dtype=np.float32)
+    u_j = jnp.asarray(u_np)
     rtol_ladder = [1e-4, 1e-6] if quick else [1e-4, 1e-6, 1e-8]
     for rtol in rtol_ladder:
         q0 = jnp.zeros((b, n_red), jnp.float32)
-        run = jax.jit(
-            lambda q, v, _r=rtol: integrate_generalized_alpha_adaptive(
-                op, q, v, t_eval, u=jnp.asarray(u_np), rho_inf=rho,
-                rtol=_r, atol=_r * 1e-3, n_newton=1, dt0=1e-5,
+        run_chunk = jax.jit(
+            lambda q, v, a, ta, tb, dt, _r=rtol:
+            integrate_generalized_alpha_adaptive(
+                op, q, v, jnp.stack([ta, tb]), u=u_j, rho_inf=rho,
+                rtol=_r, atol=_r * 1e-3, n_newton=1, dt0=dt, a0=a,
+                return_final=True,
             )
         )
-        (qs, vs, stats), wall = _timed(
-            run, (q0, q0), lambda o: float(jnp.sum(o[0][-1]))
-        )
-        n_acc = int(stats.n_accepted)
-        err = rel_l2(np.asarray(qs[-1, 0], np.float64), q_exact)
+        a0 = op.solve(q0, 0.0)(u_j - op.internal_force(q0))
+
+        def drive(_a0=a0, _rc=run_chunk):
+            qc, vc, ac = q0, q0, _a0
+            dt = jnp.asarray(1e-5, jnp.float32)
+            n_acc = n_rej = 0
+            for i in range(n_ivals):
+                qs_c, vs_c, stats, (qc, vc, ac) = _rc(
+                    qc, vc, ac, ts_host[i], ts_host[i + 1], dt
+                )
+                n_acc += int(stats.n_accepted)  # host read = chunk sync
+                n_rej += int(stats.n_rejected)
+                dt = stats.dt_next
+            return qc, n_acc, n_rej
+
+        drive()  # warm-up (compile)
+        t0 = time.time()
+        qT, n_acc, n_rej = drive()
+        float(jnp.sum(qT))
+        wall = time.time() - t0
+        err = rel_l2(np.asarray(qT[0], np.float64), q_exact)
         record(engine="genalpha_adaptive", dial="rtol", value=rtol,
-               steps=n_acc, rejected=int(stats.n_rejected), error=err,
+               steps=n_acc, rejected=n_rej, error=err,
                env_steps_per_s=round(n_acc * b / wall, 1),
                wall_s=round(wall, 3), oracle="exact-modal-flow-f64")
 
@@ -227,7 +253,12 @@ def run_points(quick: bool = False):
     n_steps_oracle = int(round(span / h_oracle))
     u_j = jnp.asarray(u_np)
 
-    def dense_roll(q, v, a):
+    # Watchdog-safe oracle: the 20k-step scan is split into host-driven
+    # chunks carrying (q, v, a) exactly — bit-identical recurrence, but no
+    # single device call near the axon ~60 s execution kill (CLAUDE.md).
+    oracle_chunk = max(1, n_steps_oracle // 20)
+
+    def dense_chunk(q, v, a):
         def body(carry, _):
             q, v, a = carry
             q, v, a = generalized_alpha_step(
@@ -237,14 +268,20 @@ def run_points(quick: bool = False):
             return (q, v, a), None
 
         (q, v, a), _ = jax.lax.scan(
-            body, (q, v, a), None, length=n_steps_oracle)
+            body, (q, v, a), None, length=oracle_chunk)
         return q, v, a
 
+    dense_chunk = jax.jit(dense_chunk)
     q0 = jnp.zeros((1, n_red), jnp.float32)
     a0 = op_nl.solve(q0, 0.0)(u_j - op_nl.internal_force(q0))
     t0 = time.time()
-    qT_o, _, _ = jax.jit(dense_roll)(q0, q0, a0)
-    q_oracle = np.asarray(qT_o[0], np.float64)
+    qo, vo, ao = q0, q0, a0
+    done = 0
+    while done < n_steps_oracle:
+        qo, vo, ao = dense_chunk(qo, vo, ao)
+        float(jnp.sum(qo))  # per-chunk completion force
+        done += oracle_chunk
+    q_oracle = np.asarray(qo[0], np.float64)
     print(f"# nonlinear dense oracle: h={h_oracle:g}, "
           f"{n_steps_oracle} steps, {time.time() - t0:.0f}s",
           file=sys.stderr, flush=True)
@@ -302,26 +339,46 @@ def run_points(quick: bool = False):
                    wall_s=round(wall, 3),
                    oracle=f"dense-genalpha-h{h_oracle:g}", **extra)
 
-    # Error-controlled ROM: rtol ladder.
+    # Error-controlled ROM: rtol ladder. Chunk-driven like the dense
+    # adaptive ladder above (one jitted call per output interval,
+    # etadd/dt_next warm restart) — same watchdog rationale.
+    ts_host_nl = np.linspace(0.0, span, n_ivals + 1, dtype=np.float32)
     for rtol in rtol_ladder:
         ms = ms_nl_base
         q0 = jnp.zeros((b, n_red), jnp.float32)
-        eta, etad = jax.jit(ms.to_modal)(q0, q0)
+        eta0r, etad0r = jax.jit(ms.to_modal)(q0, q0)
         u_m = jnp.asarray(ms.project_force_host(u_np), jnp.float32)
-        t_eval_nl = jnp.asarray([0.0, span], jnp.float32)
-        run = jax.jit(
-            lambda e, ed, _r=rtol, _ms=ms: _ms.rollout_adaptive(
-                e, ed, u_m, t_eval_nl, rtol=_r, atol=_r * 1e-3, n_newton=2,
+        run_chunk = jax.jit(
+            lambda e, ed, edd, ta, tb, dt, _r=rtol, _ms=ms:
+            _ms.rollout_adaptive(
+                e, ed, u_m, jnp.stack([ta, tb]), rtol=_r, atol=_r * 1e-3,
+                n_newton=2, dt0=dt, etadd0=edd, return_final=True,
             )
         )
-        (etas, etads, stats), wall = _timed(
-            run, (eta, etad), lambda o: float(jnp.sum(o[0][-1]))
-        )
-        qs, _ = jax.jit(ms.from_modal)(etas[-1], etads[-1])
-        n_acc = int(stats.n_accepted)
+        edd0 = jax.jit(ms.initial_accel)(eta0r, etad0r, u_m, 0.0)
+
+        def drive(_e0=eta0r, _ed0=etad0r, _edd0=edd0, _rc=run_chunk):
+            ec, edc, eddc = _e0, _ed0, _edd0
+            dt = jnp.asarray(span / n_ivals / 16.0, jnp.float32)
+            n_acc = n_rej = 0
+            for i in range(n_ivals):
+                _, _, stats, (ec, edc, eddc) = _rc(
+                    ec, edc, eddc, ts_host_nl[i], ts_host_nl[i + 1], dt
+                )
+                n_acc += int(stats.n_accepted)  # host read = chunk sync
+                n_rej += int(stats.n_rejected)
+                dt = stats.dt_next
+            return ec, edc, n_acc, n_rej
+
+        drive()  # warm-up (compile)
+        t0 = time.time()
+        eT, edT, n_acc, n_rej = drive()
+        float(jnp.sum(eT))
+        wall = time.time() - t0
+        qs, _ = jax.jit(ms.from_modal)(eT, edT)
         err = rel_l2(np.asarray(qs[0], np.float64), q_oracle)
         record(beam="nonlinear", engine="modal_rom_adaptive", dial="rtol",
-               value=rtol, steps=n_acc, rejected=int(stats.n_rejected),
+               value=rtol, steps=n_acc, rejected=n_rej,
                error=err, env_steps_per_s=round(n_acc * b / wall, 1),
                wall_s=round(wall, 3), oracle=f"dense-genalpha-h{h_oracle:g}")
 
