@@ -163,6 +163,7 @@ def simulate_sharded(
     rayleigh: Optional[tuple] = None,
     engine: str = "xla",
     chunk: Optional[int] = None,
+    local_solver: str = "thomas",
 ):
     """Run a sharded rollout with the single-chip ``simulate()`` contract.
 
@@ -212,6 +213,14 @@ def simulate_sharded(
             schedule). Stepping is replicated either way (the per-mode
             recurrence has no physical-space work, ``SpatialModal``); the
             sharded value stays in the basis memory and transforms.
+        local_solver: within-shard solve algorithm for the implicit
+            SPIKE methods — ``"thomas"`` (O(m) scan sweeps, the
+            throughput default), ``"cr"`` (log-depth cyclic reduction),
+            ``"dense"`` (trace-time local inverse applied on the MXU).
+            All exact; see ``spike_prepare``. On the experimental axon
+            TPU stack prefer ``"dense"`` for nonlinear beams — the
+            all-scan program shape is the backend's known batched-fusion
+            miscompile trigger (docs/design.md pitfall 4).
         chunk: adaptive methods only — drive the span as one jitted
             device call per ``chunk`` output intervals, threading the
             controller proposal (``stats.dt_next``, per env on batched
@@ -252,6 +261,13 @@ def simulate_sharded(
             "rayleigh structural damping is supported by the modal "
             "sharded methods (method='modal'/'modal_rom'/"
             "'modal_rom_adaptive'), matching simulate()"
+        )
+
+    if local_solver != "thomas" and method == "rk4":
+        raise ValueError(
+            "local_solver= selects the within-shard solve of the implicit "
+            "SPIKE methods (generalized_alpha / *_adaptive / sdirk3); the "
+            "explicit rk4 path solves its mass system with CG"
         )
 
     fp = getattr(model, "force_params", None)
@@ -323,7 +339,7 @@ def simulate_sharded(
             n_newton=1 if n_newton is None else n_newton,
             use_consistent=use_consistent,
             fluid_density=fluid_density, gravity=gravity,
-            node_force=node_force,
+            node_force=node_force, local_solver=local_solver,
         )
         ts, xs = roll(xn, n_frames, u=u_node, substeps=substeps,
                       arrays=arrays)
@@ -337,7 +353,7 @@ def simulate_sharded(
             n_newton=2 if n_newton is None else n_newton,
             use_consistent=use_consistent,
             fluid_density=fluid_density, gravity=gravity,
-            node_force=node_force,
+            node_force=node_force, local_solver=local_solver,
         )
         if method == "generalized_alpha_adaptive":
             kw["rho_inf"] = rho_inf

@@ -147,23 +147,78 @@ def mass_matvec_aligned(v_local, md, mlow, mup, axis, n_shards):
 # ---------------------------------------------------------------------------
 
 
-def spike_prepare(jd, jlow, jup, axis: str, n_shards: int):
+def _spike_local_solve(prep, rhs):
+    """Apply the factored LOCAL (within-shard) solve; ``rhs``: (..., m, 3)."""
+    solver = prep["local_solver"]
+    if solver == "thomas":
+        return banded.btd_solve(prep["factors"], rhs)
+    if solver == "cr":
+        return banded.btd_cr_solve(prep["factors"], rhs)
+    # dense: one (3m, 3m) inverse applied as an MXU matmul.
+    flat = rhs.reshape(*rhs.shape[:-2], -1)
+    out = jnp.einsum("ij,...j->...i", prep["Ainv"], flat, precision=_HI)
+    return out.reshape(rhs.shape)
+
+
+def spike_prepare(jd, jlow, jup, axis: str, n_shards: int,
+                  local_solver: str = "thomas"):
     """Factor a shard-aligned block-tridiagonal operator for SPIKE solves.
 
     ``jlow[0]`` is ``L_k`` (left inter-shard coupling), ``jup[-1]`` is
     ``U_k``. Returns an opaque pytree consumed by :func:`spike_solve`:
-    local Thomas factors, the two spike column blocks, and the replicated
+    local factors, the two spike column blocks, and the replicated
     inverse of the (6S, 6S) interface system.
+
+    ``local_solver`` selects how the within-shard block-tridiagonal system
+    is solved — all three are exact (algebraically identical results;
+    parity pinned in tests/test_sharding.py):
+
+    * ``"thomas"`` — O(m) block-Thomas ``lax.scan`` sweeps. Throughput-
+      optimal per FLOP, but on the experimental axon TPU backend a batched
+      implicit program whose EVERY operator lowers to such scans is the
+      known fusion-miscompile trigger (docs/design.md backend pitfall 4:
+      batched output != per-env output of the same jitted program, each
+      component individually correct) — the suspected root cause of the
+      round-3/4 nonlinear sharded hardware NaNs.
+    * ``"cr"`` — block cyclic reduction (``banded.btd_cr_*``): log-depth
+      vectorized levels, no scan recursion; dodges the all-scan shape.
+    * ``"dense"`` — trace-time ``(3m, 3m)`` local inverse applied as an
+      MXU matmul: the same substitution that fixed pitfall 4 on the dense
+      engine, and at production shard counts (m = Np/S nodes per shard)
+      a small, batch-friendly matmul.
     """
     m = jd.shape[0]
     Lk, Uk = jlow[0], jup[-1]
     jl_in, ju_in = jlow[1:], jup[:-1]
-    factors = banded.btd_factor(jd, jl_in, ju_in)
+    if local_solver == "thomas":
+        prep0 = {"local_solver": "thomas",
+                 "factors": banded.btd_factor(jd, jl_in, ju_in)}
+    elif local_solver == "cr":
+        prep0 = {"local_solver": "cr",
+                 "factors": banded.btd_cr_factor(jd, jl_in, ju_in)}
+    elif local_solver == "dense":
+        A = jnp.zeros((m, 3, m, 3), jd.dtype)
+        idx = jnp.arange(m)
+        A = A.at[idx, :, idx, :].set(jd)
+        if m > 1:
+            i1 = jnp.arange(m - 1)
+            A = A.at[i1 + 1, :, i1, :].set(jl_in)
+            A = A.at[i1, :, i1 + 1, :].set(ju_in)
+        # default_matmul_precision context: linalg.inv's blocked LU updates
+        # are dot_generals with no per-call precision arg.
+        with jax.default_matmul_precision("highest"):
+            Ainv = jnp.linalg.inv(A.reshape(3 * m, 3 * m))
+        prep0 = {"local_solver": "dense", "Ainv": Ainv}
+    else:
+        raise ValueError(
+            f"local_solver must be 'thomas', 'cr' or 'dense', "
+            f"got {local_solver!r}"
+        )
 
     def solve_cols(rhs_blocks):
         # (m, 3, 3) block rhs -> solve each of the 3 columns.
         b = jnp.moveaxis(rhs_blocks, -1, 0)  # (3, m, 3)
-        x = banded.btd_solve(factors, b)
+        x = _spike_local_solve(prep0, b)
         return jnp.moveaxis(x, 0, -1)  # (m, 3, 3)
 
     V = solve_cols(jnp.zeros_like(jd).at[0, :, :].set(Lk))
@@ -191,18 +246,18 @@ def spike_prepare(jd, jlow, jup, axis: str, n_shards: int):
     # dot_generals with no per-call precision arg.
     with jax.default_matmul_precision("highest"):
         Mred_inv = jnp.linalg.inv(Mred.reshape(6 * S, 6 * S))
-    return {"factors": factors, "V": V, "W": W, "Mred_inv": Mred_inv}
+    return {**prep0, "V": V, "W": W, "Mred_inv": Mred_inv}
 
 
 def spike_solve(prep, r_local, axis: str, n_shards: int):
     """Exact distributed solve ``T x = r`` from :func:`spike_prepare`.
 
-    Per call: one local Thomas substitution, one all_gather of the 6
-    interface floats per shard, one replicated (6S, 6S) matvec, one local
-    rank-2 correction.
+    Per call: one local substitution (Thomas/CR/dense per the prep's
+    ``local_solver``), one all_gather of the 6 interface floats per shard,
+    one replicated (6S, 6S) matvec, one local rank-2 correction.
     """
     S = n_shards
-    y = banded.btd_solve(prep["factors"], r_local)  # (m, 3)
+    y = _spike_local_solve(prep, r_local)  # (m, 3)
     g = jax.lax.all_gather(jnp.stack([y[0], y[-1]]), axis)  # (S, 2, 3)
     z = jnp.einsum(
         "ij,j->i", prep["Mred_inv"], g.reshape(6 * S), precision=_HI
@@ -366,6 +421,7 @@ def build_spatial_genalpha(
     fluid_density: float = None,
     gravity=None,
     node_force: Callable = None,
+    local_solver: str = "thomas",
 ) -> Callable:
     """Implicit generalized-alpha rollout over the ``sp`` mesh axis.
 
@@ -474,8 +530,10 @@ def build_spatial_genalpha(
             jl = a_jac * ml + c_jac * klow
             ju = a_jac * mu + c_jac * kup
             jd, jl, ju = mask_aligned_blocks(jd, jl, ju, m3, llm3, rfm3)
-            prep_jac = spike_prepare(jd, jl, ju, axis, S)
-            prep_mass = spike_prepare(md_bc, ml_bc, mu_bc, axis, S)
+            prep_jac = spike_prepare(jd, jl, ju, axis, S, local_solver)
+            prep_mass = spike_prepare(
+                md_bc, ml_bc, mu_bc, axis, S, local_solver
+            )
 
             def internal(q):
                 return spatial_internal_force_local(
@@ -657,6 +715,7 @@ def build_spatial_genalpha_adaptive(
     fluid_density: float = None,
     gravity=None,
     node_force: Callable = None,
+    local_solver: str = "thomas",
 ) -> Callable:
     """ERROR-CONTROLLED implicit stepping over the ``sp`` mesh axis.
 
@@ -752,7 +811,9 @@ def build_spatial_genalpha_adaptive(
             kd, klow, kup = spatial_tangent_aligned(
                 q0_loc, arr_local, axis, S, use_consistent
             )
-            prep_mass = spike_prepare(md_bc, ml_bc, mu_bc, axis, S)
+            prep_mass = spike_prepare(
+                md_bc, ml_bc, mu_bc, axis, S, local_solver
+            )
             n_free = jax.lax.psum(jnp.sum(m3), axis)
 
             def nf(q_at, v_at, t_at):
@@ -766,7 +827,7 @@ def build_spatial_genalpha_adaptive(
                 jl = a_jac * ml + c_jac * klow
                 ju = a_jac * mu + c_jac * kup
                 jd, jl, ju = mask_aligned_blocks(jd, jl, ju, m3, llm3, rfm3)
-                return spike_prepare(jd, jl, ju, axis, S)
+                return spike_prepare(jd, jl, ju, axis, S, local_solver)
 
             def internal(q):
                 return spatial_internal_force_local(
@@ -937,6 +998,7 @@ def build_spatial_sdirk3(
     fluid_density: float = None,
     gravity=None,
     node_force: Callable = None,
+    local_solver: str = "thomas",
 ):
     """Error-controlled SDIRK3 on the sharded beam axis.
 
@@ -1046,7 +1108,7 @@ def build_spatial_sdirk3(
                 jl = ml + c * klow
                 ju = mu + c * kup
                 jd, jl, ju = mask_aligned_blocks(jd, jl, ju, m3, llm3, rfm3)
-                return spike_prepare(jd, jl, ju, axis, S)
+                return spike_prepare(jd, jl, ju, axis, S, local_solver)
 
             def internal(q):
                 return spatial_internal_force_local(

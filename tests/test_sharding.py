@@ -2178,6 +2178,100 @@ class TestShardedF32Parity:
         assert float(np.abs(xh[:, 1]).max()) < 100.0
 
 
+class TestSpikeLocalSolvers:
+    """The three within-shard solve algorithms are exact and agree.
+
+    ``spike_prepare(local_solver=)`` offers Thomas scans (default), block
+    cyclic reduction, and a trace-time dense local inverse. All three are
+    algebraically the same solve; 'cr' and 'dense' exist because the
+    all-scan program shape is the axon TPU backend's batched-fusion
+    miscompile trigger (docs/design.md pitfall 4 — batched output !=
+    per-env output of the same jitted program while every component is
+    individually correct; substituting any one scan-lowered operator
+    restores correctness). These pin the substitutes to the Thomas
+    reference off-hardware so the hardware dial only changes lowering,
+    never semantics.
+    """
+
+    N_EL = 240
+
+    def _nl_setup(self):
+        model = DynamicEulerBernoulliBeam(
+            helpers.write_beam_csv(["nonlinear"] * self.N_EL),
+            use_consistent_nonlinear=True)
+        n = model.n_pos_states
+        x0 = jnp.zeros(2 * n, jnp.float32).at[n - 2].set(2e-4)
+        u = jnp.zeros(n, jnp.float32).at[n - 2].set(0.05)
+        return model, x0, u
+
+    def test_local_solvers_agree_nonlinear_f32(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model, x0, u = self._nl_setup()
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="generalized_alpha", u=u, substeps=4,
+                  rho_inf=0.5, n_newton=2, use_consistent=True)
+        ys = {}
+        for solver in ("thomas", "cr", "dense"):
+            res = simulate_sharded(model, x0, 8e-4, 4e-4, mesh,
+                                   local_solver=solver, **kw)
+            ys[solver] = np.asarray(res.ys)
+            assert np.isfinite(ys[solver]).all()
+        scale = float(np.abs(ys["thomas"]).max())
+        np.testing.assert_allclose(ys["cr"], ys["thomas"],
+                                   atol=1e-4 * scale)
+        np.testing.assert_allclose(ys["dense"], ys["thomas"],
+                                   atol=1e-4 * scale)
+
+    def test_local_solvers_exact_f64(self):
+        """At f64 the three lowerings agree to solver roundoff (~1e-11)."""
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model, x0, u = self._nl_setup()
+        x0 = jnp.asarray(np.asarray(x0), jnp.float64)
+        u = jnp.asarray(np.asarray(u), jnp.float64)
+        mesh = make_mesh({"sp": 8})
+        kw = dict(method="generalized_alpha", u=u, substeps=2,
+                  rho_inf=0.5, n_newton=2, use_consistent=True)
+        res_t = simulate_sharded(model, x0, 4e-4, 4e-4, mesh,
+                                 local_solver="thomas", **kw)
+        scale = float(jnp.abs(res_t.ys).max())
+        for solver in ("cr", "dense"):
+            res = simulate_sharded(model, x0, 4e-4, 4e-4, mesh,
+                                   local_solver=solver, **kw)
+            np.testing.assert_allclose(
+                np.asarray(res.ys), np.asarray(res_t.ys),
+                atol=1e-9 * scale)
+
+    def test_adaptive_dense_local_solver(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+
+        model, x0, u = self._nl_setup()
+        mesh = make_mesh({"sp": 8})
+        res = simulate_sharded(
+            model, x0, 4e-4, 2e-4, mesh,
+            method="generalized_alpha_adaptive", u=u, rtol=1e-4,
+            atol=1e-7, use_consistent=True, local_solver="dense",
+        )
+        assert np.isfinite(np.asarray(res.ys)).all()
+        assert int(res.stats.n_incomplete) == 0
+
+    def test_local_solver_validation(self):
+        from continuum_robot_tpu.parallel import simulate_sharded
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            spike_prepare,
+        )
+
+        model, x0, u = self._nl_setup()
+        mesh = make_mesh({"sp": 8})
+        with pytest.raises(ValueError, match="local_solver"):
+            simulate_sharded(model, x0, 4e-4, 2e-4, mesh, method="rk4",
+                             local_solver="dense")
+        eye = jnp.broadcast_to(jnp.eye(3), (4, 3, 3))
+        with pytest.raises(ValueError, match="local_solver"):
+            spike_prepare(eye, eye, eye, "sp", 1, local_solver="qr")
+
+
 class TestShardedChunkedCarry:
     """return_carry chunked driving == the monolithic span, bit-for-bit
     (the exact-continuation API behind tools/repros/repro_sharded_nl.py
