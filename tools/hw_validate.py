@@ -132,6 +132,60 @@ def main():
     except RuntimeError as e:
         report("batch-consistency (implicit step)", False, str(e))
 
+    # 1b. batch consistency of the SHARDED implicit step (the nonlinear
+    # SPIKE program whose hardware rows went non-finite in rounds 3-4).
+    # Same pitfall-4 detector as check 1, applied to the shard_map tier:
+    # the batched vmap program must agree with itself run per-env — a
+    # CPU-golden-free on-hardware miscompile probe. Skippable because the
+    # sharded-family compile is the slowest in the repo
+    # (HW_VALIDATE_SKIP_SHARDED=1).
+    if not os.environ.get("HW_VALIDATE_SKIP_SHARDED"):
+        from jax.sharding import Mesh
+
+        from continuum_robot_tpu.parallel import make_spatial_beam
+        from continuum_robot_tpu.parallel.facade import _node_force
+        from continuum_robot_tpu.parallel.spatial_implicit import (
+            build_spatial_genalpha,
+        )
+
+        model_sh = build_model(N, kind="nonlinear")
+        n_sh = model_sh.n_pos_states
+        mesh_sh = Mesh(np.array(jax.devices()[:1]), ("sp",))
+        beam_sh = make_spatial_beam(
+            model_sh.beam_model.arrays,
+            model_sh.beam_model.bc_info.free_mask.reshape(-1, 3),
+            mesh_sh, axis="sp",
+        )
+        roll_sh = build_spatial_genalpha(
+            beam_sh, DT, rho_inf=0.5, n_newton=2, use_consistent=True
+        )
+        bc_sh = model_sh.beam_model.bc_info
+        free_sh = np.asarray(bc_sh.free_dofs)
+        nn_sh = bc_sh.n_dofs_full // 3
+        Bsh = 8
+        qf_sh = np.zeros((Bsh, bc_sh.n_dofs_full), np.float32)
+        qf_sh[:, free_sh] = rng.normal(scale=1e-6, size=(Bsh, n_sh))
+        x_sh = np.zeros((Bsh, 2, beam_sh.n_nodes, 3), np.float32)
+        x_sh[:, 0, :nn_sh, :] = qf_sh.reshape(Bsh, nn_sh, 3)
+        u_red_sh = np.zeros(n_sh, np.float32)
+        u_red_sh[-2] = 0.1
+        u_sh = _node_force(model_sh, u_red_sh, beam_sh.n_nodes, jnp.float32)
+        run_sh = jax.jit(lambda x: roll_sh(
+            x, 1, u=u_sh, substeps=10, return_carry=True)[2])
+        xb = np.asarray(run_sh(jnp.asarray(x_sh)))
+        devs = []
+        for i in (0, Bsh // 2, Bsh - 1):
+            xi = np.asarray(run_sh(jnp.asarray(x_sh[i:i + 1])))[0]
+            denom = max(np.abs(xi).max(), 1e-30)
+            devs.append(np.abs(xb[i] - xi).max() / denom)
+        dev_sh = float(max(devs))
+        finite_sh = bool(np.isfinite(xb).all())
+        report(
+            "batch-consistency (sharded nonlinear SPIKE step)",
+            finite_sh and dev_sh < 1e-4,
+            f"max dev {dev_sh:.2e}, finite={finite_sh}",
+        )
+
     # 2. Pallas btd solve vs XLA Thomas
     d = rng.normal(size=(N + 1, 3, 3)).astype(np.float32)
     d = d + np.swapaxes(d, -1, -2) + 10 * np.eye(3, dtype=np.float32)

@@ -85,6 +85,11 @@ def main():
     ap.add_argument("--n-newton", type=int, default=2)
     ap.add_argument("--sp", type=int, default=1)
     ap.add_argument("--parity-element", action="store_true")
+    ap.add_argument("--local-solver", default="thomas",
+                    choices=["thomas", "cr", "dense"],
+                    help="within-shard solve lowering (spike_prepare); "
+                    "'dense'/'cr' dodge the all-scan fusion-miscompile "
+                    "shape (docs/design.md pitfall 4)")
     ap.add_argument("--save", default=None, help="write carry to .npz")
     ap.add_argument("--compare", default=None, help="compare vs .npz")
     args = ap.parse_args()
@@ -107,7 +112,8 @@ def main():
     print(
         f"# backend={backend} envs={args.envs} elements={args.elements} "
         f"frames={args.frames} substeps={args.substeps} "
-        f"n_newton={args.n_newton} consistent={not args.parity_element}",
+        f"n_newton={args.n_newton} consistent={not args.parity_element} "
+        f"local_solver={args.local_solver}",
         flush=True,
     )
 
@@ -127,6 +133,7 @@ def main():
         rho_inf=RHO_INF,
         n_newton=args.n_newton,
         use_consistent=not args.parity_element,
+        local_solver=args.local_solver,
     )
 
     # Bench row initial state: tiny white noise on free DOFs, seed 0.
