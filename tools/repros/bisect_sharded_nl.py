@@ -53,7 +53,7 @@ RHO_INF = 0.5
 TIP_FORCE = 0.1
 
 
-def build_model(n: int):
+def build_model(n: int, beam_type: str = "nonlinear"):
     import pandas as pd
 
     from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
@@ -68,7 +68,7 @@ def build_model(n: int):
             "moment_inertia": [I] * n,
             "density": [rho] * n,
             "cross_area": [A] * n,
-            "type": ["nonlinear"] * n,
+            "type": [beam_type] * n,
             "boundary_condition": ["FIXED"] + ["NONE"] * (n - 1),
         }
     )
@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--n-newton", type=int, default=2)
     ap.add_argument("--sp", type=int, default=1)
     ap.add_argument("--parity-element", action="store_true")
+    ap.add_argument("--beam", default="nonlinear",
+                    choices=["nonlinear", "linear"],
+                    help="beam type (linear = the bench linear sharded "
+                    "row: rho_inf=0.8, n_newton=1 unless overridden)")
     ap.add_argument("--local-solver", default="thomas",
                     choices=["thomas", "cr", "dense"],
                     help="within-shard solve lowering (spike_prepare); "
@@ -113,11 +117,12 @@ def main():
         f"# backend={backend} envs={args.envs} elements={args.elements} "
         f"frames={args.frames} substeps={args.substeps} "
         f"n_newton={args.n_newton} consistent={not args.parity_element} "
-        f"local_solver={args.local_solver}",
+        f"local_solver={args.local_solver} beam={args.beam}",
         flush=True,
     )
 
-    model = build_model(args.elements)
+    model = build_model(args.elements, args.beam)
+    rho_inf = RHO_INF if args.beam == "nonlinear" else 0.8
     n_red = model.n_pos_states
     mesh = Mesh(np.array(jax.devices()[: args.sp]), ("sp",))
     beam = make_spatial_beam(
@@ -130,7 +135,7 @@ def main():
     roll = build_spatial_genalpha(
         beam,
         DT,
-        rho_inf=RHO_INF,
+        rho_inf=rho_inf,
         n_newton=args.n_newton,
         use_consistent=not args.parity_element,
         local_solver=args.local_solver,
