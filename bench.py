@@ -662,17 +662,25 @@ def run_sharded(jax, jnp, model, n_red):
     )
     Np = beam.n_nodes
     # BENCH_LOCAL_SOLVER: within-shard solve lowering (thomas|cr|dense).
-    # 'dense' substitutes the scan-lowered Thomas sweeps with a trace-time
-    # local inverse on the MXU — the workaround for the axon backend's
-    # all-scan batched-fusion miscompile (docs/design.md pitfall 4), the
-    # root-cause suspect of the round-3/4 nonlinear sharded NaNs. All
-    # three are exact (TestSpikeLocalSolvers).
-    local_solver = os.environ.get("BENCH_LOCAL_SOLVER", "thomas")
+    # Default = the engine's platform default (dense on TPU): the
+    # scan-lowered Thomas sweeps are the axon backend's all-scan
+    # batched-fusion miscompile shape (docs/design.md pitfall 4) —
+    # root-caused round 5 as the round-3/4 sharded-NL failure: one
+    # hardware substep of the 4096-env Thomas program returned
+    # finite-but-wrong states (q rel dev ~1e2 vs CPU) while the dense
+    # lowering AGREES with CPU to 2e-6 at the identical configuration.
+    # All three are exact (TestSpikeLocalSolvers).
+    local_solver = os.environ.get("BENCH_LOCAL_SOLVER") or None
     roll = build_spatial_genalpha(
         beam, DT, rho_inf=RHO_INF, n_newton=n_newton,
         use_consistent=getattr(model, "use_consistent_nonlinear", False),
         local_solver=local_solver,
     )
+    from continuum_robot_tpu.parallel.spatial_implicit import (
+        _resolve_local_solver,
+    )
+
+    local_solver = _resolve_local_solver(local_solver)
 
     # Same initial state / tip force as the dense row, in node layout.
     bc = model.beam_model.bc_info
@@ -739,10 +747,8 @@ def run_sharded(jax, jnp, model, n_red):
             {
                 "metric": (
                     f"implicit generalized-alpha (distributed-SPIKE, "
-                    f"sp={sp} mesh"
-                    + (f", local={local_solver}"
-                       if local_solver != "thomas" else "")
-                    + f") env-steps/sec/chip, {N_ELEMENTS}-element "
+                    f"sp={sp} mesh, local={local_solver}"
+                    f") env-steps/sec/chip, {N_ELEMENTS}-element "
                     f"{beam_tag(model)} beam, {N_ENVS} envs, f32"
                 ),
                 "value": round(env_steps_per_sec, 1),

@@ -163,7 +163,7 @@ def simulate_sharded(
     rayleigh: Optional[tuple] = None,
     engine: str = "xla",
     chunk: Optional[int] = None,
-    local_solver: str = "thomas",
+    local_solver: Optional[str] = None,
 ):
     """Run a sharded rollout with the single-chip ``simulate()`` contract.
 
@@ -214,13 +214,14 @@ def simulate_sharded(
             recurrence has no physical-space work, ``SpatialModal``); the
             sharded value stays in the basis memory and transforms.
         local_solver: within-shard solve algorithm for the implicit
-            SPIKE methods — ``"thomas"`` (O(m) scan sweeps, the
-            throughput default), ``"cr"`` (log-depth cyclic reduction),
-            ``"dense"`` (trace-time local inverse applied on the MXU).
-            All exact; see ``spike_prepare``. On the experimental axon
-            TPU stack prefer ``"dense"`` for nonlinear beams — the
-            all-scan program shape is the backend's known batched-fusion
-            miscompile trigger (docs/design.md pitfall 4).
+            SPIKE methods — ``"thomas"`` (O(m) scan sweeps), ``"cr"``
+            (log-depth cyclic reduction), ``"dense"`` (trace-time local
+            inverse applied on the MXU). All exact; see
+            ``spike_prepare``. Default (None) resolves per platform:
+            Thomas on CPU, dense on accelerators — the all-scan program
+            shape is the experimental axon TPU backend's batched-fusion
+            miscompile trigger (docs/design.md pitfall 4, measured
+            wrong-step results on the sharded tier in round 5).
         chunk: adaptive methods only — drive the span as one jitted
             device call per ``chunk`` output intervals, threading the
             controller proposal (``stats.dt_next``, per env on batched
@@ -263,7 +264,7 @@ def simulate_sharded(
             "'modal_rom_adaptive'), matching simulate()"
         )
 
-    if local_solver != "thomas" and method == "rk4":
+    if local_solver is not None and method == "rk4":
         raise ValueError(
             "local_solver= selects the within-shard solve of the implicit "
             "SPIKE methods (generalized_alpha / *_adaptive / sdirk3); the "

@@ -160,6 +160,26 @@ def _spike_local_solve(prep, rhs):
     return out.reshape(rhs.shape)
 
 
+def _resolve_local_solver(local_solver):
+    """Platform default for the within-shard SPIKE solve lowering.
+
+    Mirrors ``make_newmark_operator``'s linear_solver default: on the TPU
+    backend the trace-time dense local inverse is both the MXU-throughput
+    choice at production shard sizes AND — empirically — the SAFE one: the
+    experimental axon backend miscompiles the batched implicit program
+    when every operator lowers to block-tridiagonal scans (measured on the
+    sharded tier round 5: one substep of the 4096-env nonlinear SPIKE
+    program returns finite-but-wrong states, q-plane rel dev ~1e2 vs the
+    identical CPU f32 program; docs/design.md pitfall 4). CPU lowers the
+    scans correctly; Thomas is the memory-lean throughput choice there.
+    """
+    if local_solver is None:
+        import jax
+
+        return "thomas" if jax.default_backend() == "cpu" else "dense"
+    return local_solver
+
+
 def spike_prepare(jd, jlow, jup, axis: str, n_shards: int,
                   local_solver: str = "thomas"):
     """Factor a shard-aligned block-tridiagonal operator for SPIKE solves.
@@ -421,7 +441,7 @@ def build_spatial_genalpha(
     fluid_density: float = None,
     gravity=None,
     node_force: Callable = None,
-    local_solver: str = "thomas",
+    local_solver: str = None,
 ) -> Callable:
     """Implicit generalized-alpha rollout over the ``sp`` mesh axis.
 
@@ -456,6 +476,7 @@ def build_spatial_genalpha(
     identical to the single-chip dense engine — equality to 1e-8 on a fake
     mesh is pinned in tests/test_sharding.py.
     """
+    local_solver = _resolve_local_solver(local_solver)
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
     Np = beam.n_nodes
 
@@ -715,7 +736,7 @@ def build_spatial_genalpha_adaptive(
     fluid_density: float = None,
     gravity=None,
     node_force: Callable = None,
-    local_solver: str = "thomas",
+    local_solver: str = None,
 ) -> Callable:
     """ERROR-CONTROLLED implicit stepping over the ``sp`` mesh axis.
 
@@ -744,6 +765,7 @@ def build_spatial_genalpha_adaptive(
     """
     from ..ops.integrators import AdaptiveStats, adaptive_drive
 
+    local_solver = _resolve_local_solver(local_solver)
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
     Np = beam.n_nodes
 
@@ -998,7 +1020,7 @@ def build_spatial_sdirk3(
     fluid_density: float = None,
     gravity=None,
     node_force: Callable = None,
-    local_solver: str = "thomas",
+    local_solver: str = None,
 ):
     """Error-controlled SDIRK3 on the sharded beam axis.
 
@@ -1039,6 +1061,7 @@ def build_spatial_sdirk3(
         adaptive_drive,
     )
 
+    local_solver = _resolve_local_solver(local_solver)
     mesh, axis, S = beam.mesh, beam.axis, beam.n_shards
     Np = beam.n_nodes
 
