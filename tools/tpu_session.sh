@@ -45,7 +45,7 @@ run_bench() { # label, env assignments...
     # assertion, or an OOM must land in the error branch, never as a
     # malformed "success" row.
     local out rc line
-    out=$(env "$@" timeout 1800 python bench.py 2>>"$OUT.stderr")
+    out=$(env "$@" timeout "${BENCH_ROW_TIMEOUT:-1800}" python bench.py 2>>"$OUT.stderr")
     rc=$?
     line=${out##*$'\n'}
     if [ $rc -eq 0 ] && [ -n "$line" ] && \
