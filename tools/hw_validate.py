@@ -139,6 +139,15 @@ def main():
     # CPU-golden-free on-hardware miscompile probe. Skippable because the
     # sharded-family compile is the slowest in the repo
     # (HW_VALIDATE_SKIP_SHARDED=1).
+    #
+    # NOTE the default scale (N=200, B=8) does NOT reach the defect: the
+    # round-5 bisection measured the Thomas-lowered program WRONG at
+    # B=4096/N=1000 (q rel dev ~1e2 after one substep) while B=8 agrees
+    # with CPU to 7e-07 — the miscompile is batch-width dependent.
+    # HW_VALIDATE_DEEP=1 runs this probe at the failing scale with the
+    # scan (Thomas) lowering to re-check the backend after upgrades
+    # (~35-70 min of compiles in degraded worker states; the engines'
+    # TPU default 'dense' lowering is unaffected either way).
     if not os.environ.get("HW_VALIDATE_SKIP_SHARDED"):
         from jax.sharding import Mesh
 
@@ -148,7 +157,10 @@ def main():
             build_spatial_genalpha,
         )
 
-        model_sh = build_model(N, kind="nonlinear")
+        deep = bool(os.environ.get("HW_VALIDATE_DEEP"))
+        N_sh = 1000 if deep else N
+        solver_sh = "thomas" if deep else None  # deep probes the scans
+        model_sh = build_model(N_sh, kind="nonlinear")
         n_sh = model_sh.n_pos_states
         mesh_sh = Mesh(np.array(jax.devices()[:1]), ("sp",))
         beam_sh = make_spatial_beam(
@@ -157,12 +169,13 @@ def main():
             mesh_sh, axis="sp",
         )
         roll_sh = build_spatial_genalpha(
-            beam_sh, DT, rho_inf=0.5, n_newton=2, use_consistent=True
+            beam_sh, DT, rho_inf=0.5, n_newton=2, use_consistent=True,
+            local_solver=solver_sh,
         )
         bc_sh = model_sh.beam_model.bc_info
         free_sh = np.asarray(bc_sh.free_dofs)
         nn_sh = bc_sh.n_dofs_full // 3
-        Bsh = 8
+        Bsh = 4096 if deep else 8
         qf_sh = np.zeros((Bsh, bc_sh.n_dofs_full), np.float32)
         qf_sh[:, free_sh] = rng.normal(scale=1e-6, size=(Bsh, n_sh))
         x_sh = np.zeros((Bsh, 2, beam_sh.n_nodes, 3), np.float32)
@@ -170,8 +183,9 @@ def main():
         u_red_sh = np.zeros(n_sh, np.float32)
         u_red_sh[-2] = 0.1
         u_sh = _node_force(model_sh, u_red_sh, beam_sh.n_nodes, jnp.float32)
+        sub_sh = 1 if deep else 10
         run_sh = jax.jit(lambda x: roll_sh(
-            x, 1, u=u_sh, substeps=10, return_carry=True)[2])
+            x, 1, u=u_sh, substeps=sub_sh, return_carry=True)[2])
         xb = np.asarray(run_sh(jnp.asarray(x_sh)))
         devs = []
         for i in (0, Bsh // 2, Bsh - 1):
@@ -181,7 +195,8 @@ def main():
         dev_sh = float(max(devs))
         finite_sh = bool(np.isfinite(xb).all())
         report(
-            "batch-consistency (sharded nonlinear SPIKE step)",
+            "batch-consistency (sharded nonlinear SPIKE step"
+            + (", DEEP thomas B=4096" if deep else "") + ")",
             finite_sh and dev_sh < 1e-4,
             f"max dev {dev_sh:.2e}, finite={finite_sh}",
         )
