@@ -115,6 +115,12 @@ run_bench "nonlinear dense modified-Newton" BENCH_TYPE=nonlinear BENCH_ENGINE=de
 # Multi-chip machinery cost at sp=1 (vs the dense rows above — VERDICT r2
 # item 6b): shard_map + SPIKE + halo/interface collectives on one chip.
 run_bench "linear sharded-SPIKE sp=1" BENCH_ENGINE=sharded_genalpha
+# Scan (Thomas) lowering on the LINEAR sharded program only: value-checked
+# on hardware at substep granularity (round-5 bisect phase 1, AGREE
+# 1.6e-06) and ~2x the dense lowering's throughput at sp=1; the nonlinear
+# program's scan lowering is MISCOMPILED at this batch (never benched).
+run_bench "linear sharded-SPIKE sp=1 local=thomas" \
+    BENCH_ENGINE=sharded_genalpha BENCH_LOCAL_SOLVER=thomas
 run_bench "nonlinear sharded-SPIKE sp=1" \
     BENCH_TYPE=nonlinear BENCH_ENGINE=sharded_genalpha
 # Error-controlled (BENCH_TOL) mode: the no-manual-dt capability.
