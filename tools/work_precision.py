@@ -25,11 +25,19 @@ Oracles (documented per record in the JSON):
   to the constant tip force is analytic
   (``eta_i(t) = (f_i / lam_i)(1 - cos(omega_i t))``). Independent of every
   engine under test.
-* nonlinear beam — the dense generalized-alpha path at ``h = 1e-5``
-  (20x below the tightest ladder point, ``n_newton=2``, B=1): independent
-  of the ROM *basis*, so ROM/ECSW points honestly include basis-truncation
-  and sample-training error, which is exactly what a ROM user needs to
-  see. Its own time-integration error is O(h^2) below the ladder's.
+* nonlinear beam, consistent track — the dense generalized-alpha path at
+  ``h = 1e-5`` (20x below the tightest ladder point, ``n_newton=2``,
+  B=1) on the variationally consistent element: independent of the ROM
+  basis, so the consistent-ROM points include basis-truncation error.
+* nonlinear beam, parity track (the bench ROM-tier configs:
+  modal_rom_pallas / ECSW / modal_rom_adaptive run the reference-parity
+  element's split fast path) — the SAME m=256 parity ROM stepped at
+  ``h = 1e-5``: the error isolates time-discretization error within the
+  ROM (plus hyper-reduction sampling error for ECSW). The full-order
+  parity ODE diverges on this workload/span (PARITY.md divergence 10),
+  so no basis-independent parity reference exists here; basis-truncation
+  accuracy of the parity ROM is characterized separately
+  (tests/test_modal_rom.py).
 
 Usage:
     python tools/work_precision.py run   [--quick] [--out work_precision.json]
@@ -60,16 +68,14 @@ ECSW_TAU = 1e-3      # bench.py ECSW training tolerance
 TIP_FORCE = 0.1
 
 
-def build_model(beam_type: str):
+def _beam_df(beam_type: str):
     import pandas as pd
-
-    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
 
     L_el, E, r, rho = 0.25 / 6, 75e9, 0.005, 6450.0
     I = np.pi * r**4 / 4
     A = np.pi * r**2
     n = 1000
-    df = pd.DataFrame(
+    return pd.DataFrame(
         {
             "length": [L_el] * n,
             "elastic_modulus": [E] * n,
@@ -80,7 +86,32 @@ def build_model(beam_type: str):
             "boundary_condition": ["FIXED"] + ["NONE"] * (n - 1),
         }
     )
-    return DynamicEulerBernoulliBeam(df)
+
+
+def build_model(beam_type: str):
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+
+    # Nonlinear: the VARIATIONALLY CONSISTENT element (bench.py's
+    # full-order disposition since round 4, BENCH_CONSISTENT=1). The
+    # reference-parity polynomials are non-conservative and the bench
+    # workload's sustained tip load makes that ODE genuinely unstable
+    # over this 0.2 s span (PARITY.md divergence 10) — with the parity
+    # element the h=1e-5 oracle itself diverges and every error column
+    # is NaN (observed in the round-5 phase-3 hardware run; the --quick
+    # 0.02 s span was short enough to mask it). A work-precision curve
+    # needs a well-posed ODE. The parity element keeps its own track
+    # (build_parity_model) with a bounded ROM oracle.
+    return DynamicEulerBernoulliBeam(
+        _beam_df(beam_type),
+        use_consistent_nonlinear=(beam_type == "nonlinear"),
+    )
+
+
+def build_parity_model():
+    """The reference-parity nonlinear element (bench's ROM-tier config)."""
+    from continuum_robot_tpu.models import DynamicEulerBernoulliBeam
+
+    return DynamicEulerBernoulliBeam(_beam_df("nonlinear"))
 
 
 def exact_linear_endpoint(model, T: float) -> np.ndarray:
@@ -287,24 +318,75 @@ def run_points(quick: bool = False):
           file=sys.stderr, flush=True)
 
     h_ladder_nl = [1e-4, 5e-5] if quick else [1e-4, 5e-5, 2e-5]
-    ms_nl_base = make_modal_rom(
+
+    # TWO nonlinear tracks (round-5 redesign — the first hardware run
+    # produced NaN error columns because the parity element's ODE is
+    # genuinely unstable on this span, PARITY.md divergence 10):
+    #
+    # 1. CONSISTENT track: the variationally consistent element — a
+    #    stable, well-posed ODE — measured against the dense h=1e-5
+    #    oracle above. Covers the full-order engines and the consistent
+    #    modal ROM (interleaved force path; the split/Pallas/adaptive
+    #    fast paths are parity-only by construction).
+    # 2. PARITY track: the bench's split-path ROM tier
+    #    (modal_rom_pallas / ECSW / modal_rom_adaptive on the parity
+    #    element, whose 256-mode truncation bounds this horizon even
+    #    though the full-order parity ODE diverges). Oracle = the SAME
+    #    m=256 parity ROM stepped at h=1e-5: the error column isolates
+    #    time-discretization error within the ROM — plus hyper-reduction
+    #    sampling error for the ECSW points — which is exactly the
+    #    engine-choice information; the basis-truncation error of the
+    #    parity ROM itself has no finite full-order reference on this
+    #    workload.
+    ms_cons = make_modal_rom(
         model_nl, h_ladder_nl[0], rho_inf=rho_nl, n_modes=N_MODES)
+    model_par = build_parity_model()
+    ms_par = make_modal_rom(
+        model_par, h_ladder_nl[0], rho_inf=rho_nl, n_modes=N_MODES)
     # ECSW training (bench.py's protocol: short impulse rollout), once —
     # the trained sample is dt-independent; with_dt re-prefactors per h.
     u_tr = np.zeros(n_red, np.float32)
     u_tr[-2] = 3.0
-    u_tr_m = jnp.asarray(ms_nl_base.project_force_host(u_tr), jnp.float32)
-    z = jnp.zeros((1, ms_nl_base.n_modes), jnp.float32)
-    _, etas_tr, _ = ms_nl_base.rollout_frames(
+    u_tr_m = jnp.asarray(ms_par.project_force_host(u_tr), jnp.float32)
+    z = jnp.zeros((1, ms_par.n_modes), jnp.float32)
+    _, etas_tr, _ = ms_par.rollout_frames(
         z, z, u_tr_m, 30, substeps=20, n_newton=2)
-    ms_ecsw_base, ecsw_info = ms_nl_base.hyper_reduce(
+    ms_ecsw_base, ecsw_info = ms_par.hyper_reduce(
         np.asarray(etas_tr[::3, 0, :]), tau=ECSW_TAU, return_info=True)
     print(f"# ECSW sample: {ecsw_info['n_sampled']}/1000 elements",
           file=sys.stderr, flush=True)
 
-    for engine in ("modal_rom", "modal_rom_pallas", "ecsw"):
+    # Parity-ROM time-discretization oracle: same basis, h = h_oracle.
+    ms_par_fine = ms_par.with_dt(h_oracle)
+    u_m_par = jnp.asarray(ms_par_fine.project_force_host(u_np), jnp.float32)
+    z1 = jnp.zeros((1, ms_par.n_modes), jnp.float32)
+    e_o, ed_o, _ = jax.jit(
+        lambda e, ed: ms_par_fine.rollout(
+            e, ed, u_m_par, n_steps_oracle, n_newton=2)
+    )(z1, z1)
+    q_par_o, _ = jax.jit(ms_par_fine.from_modal)(e_o, ed_o)
+    q_oracle_par = np.asarray(q_par_o[0], np.float64)
+    assert np.isfinite(q_oracle_par).all(), (
+        "parity-ROM oracle non-finite — truncation no longer bounds "
+        "this horizon; shorten the span or raise dissipation"
+    )
+    print(f"# parity-ROM oracle: m={N_MODES}, h={h_oracle:g}, finite",
+          file=sys.stderr, flush=True)
+
+    for engine in ("modal_rom_consistent", "modal_rom_pallas", "ecsw"):
         for h in h_ladder_nl:
-            ms = (ms_ecsw_base if engine == "ecsw" else ms_nl_base).with_dt(h)
+            if engine == "modal_rom_consistent":
+                ms, q_ref, oracle_tag = (
+                    ms_cons, q_oracle, f"dense-genalpha-h{h_oracle:g}")
+            elif engine == "ecsw":
+                ms, q_ref, oracle_tag = (
+                    ms_ecsw_base, q_oracle_par,
+                    f"parity-rom-m{N_MODES}-h{h_oracle:g}")
+            else:
+                ms, q_ref, oracle_tag = (
+                    ms_par, q_oracle_par,
+                    f"parity-rom-m{N_MODES}-h{h_oracle:g}")
+            ms = ms.with_dt(h)
             extra = (
                 {"ecsw_sampled": int(ecsw_info["n_sampled"])}
                 if engine == "ecsw" else {}
@@ -332,19 +414,19 @@ def run_points(quick: bool = False):
                 roll, (eta, etad), lambda o: float(jnp.sum(o[0]))
             )
             qT, _ = jax.jit(ms.from_modal)(e2, ed2)
-            err = rel_l2(np.asarray(qT[0], np.float64), q_oracle)
+            err = rel_l2(np.asarray(qT[0], np.float64), q_ref)
             record(beam="nonlinear", engine=engine, dial="h", value=h,
                    steps=n_steps, error=err,
                    env_steps_per_s=round(n_steps * b / wall, 1),
                    wall_s=round(wall, 3),
-                   oracle=f"dense-genalpha-h{h_oracle:g}", **extra)
+                   oracle=oracle_tag, **extra)
 
     # Error-controlled ROM: rtol ladder. Chunk-driven like the dense
     # adaptive ladder above (one jitted call per output interval,
     # etadd/dt_next warm restart) — same watchdog rationale.
     ts_host_nl = np.linspace(0.0, span, n_ivals + 1, dtype=np.float32)
     for rtol in rtol_ladder:
-        ms = ms_nl_base
+        ms = ms_par  # adaptive needs the diagonal reduced Jacobian (parity)
         q0 = jnp.zeros((b, n_red), jnp.float32)
         eta0r, etad0r = jax.jit(ms.to_modal)(q0, q0)
         u_m = jnp.asarray(ms.project_force_host(u_np), jnp.float32)
@@ -376,11 +458,12 @@ def run_points(quick: bool = False):
         float(jnp.sum(eT))
         wall = time.time() - t0
         qs, _ = jax.jit(ms.from_modal)(eT, edT)
-        err = rel_l2(np.asarray(qs[0], np.float64), q_oracle)
+        err = rel_l2(np.asarray(qs[0], np.float64), q_oracle_par)
         record(beam="nonlinear", engine="modal_rom_adaptive", dial="rtol",
                value=rtol, steps=n_acc, rejected=n_rej,
                error=err, env_steps_per_s=round(n_acc * b / wall, 1),
-               wall_s=round(wall, 3), oracle=f"dense-genalpha-h{h_oracle:g}")
+               wall_s=round(wall, 3),
+               oracle=f"parity-rom-m{N_MODES}-h{h_oracle:g}")
 
     return records
 
