@@ -338,8 +338,6 @@ def run_points(quick: bool = False):
     #    engine-choice information; the basis-truncation error of the
     #    parity ROM itself has no finite full-order reference on this
     #    workload.
-    ms_cons = make_modal_rom(
-        model_nl, h_ladder_nl[0], rho_inf=rho_nl, n_modes=N_MODES)
     model_par = build_parity_model()
     ms_par = make_modal_rom(
         model_par, h_ladder_nl[0], rho_inf=rho_nl, n_modes=N_MODES)
@@ -376,17 +374,21 @@ def run_points(quick: bool = False):
     for engine in ("modal_rom_consistent", "modal_rom_pallas", "ecsw"):
         for h in h_ladder_nl:
             if engine == "modal_rom_consistent":
-                ms, q_ref, oracle_tag = (
-                    ms_cons, q_oracle, f"dense-genalpha-h{h_oracle:g}")
+                # The consistent-element reduced Jacobian is not diagonal
+                # (no split path, no Sinv_diag) — with_dt refuses; rebuild
+                # the engine at each h instead.
+                ms = make_modal_rom(
+                    model_nl, h, rho_inf=rho_nl, n_modes=N_MODES)
+                q_ref, oracle_tag = (
+                    q_oracle, f"dense-genalpha-h{h_oracle:g}")
             elif engine == "ecsw":
-                ms, q_ref, oracle_tag = (
-                    ms_ecsw_base, q_oracle_par,
-                    f"parity-rom-m{N_MODES}-h{h_oracle:g}")
+                ms = ms_ecsw_base.with_dt(h)
+                q_ref, oracle_tag = (
+                    q_oracle_par, f"parity-rom-m{N_MODES}-h{h_oracle:g}")
             else:
-                ms, q_ref, oracle_tag = (
-                    ms_par, q_oracle_par,
-                    f"parity-rom-m{N_MODES}-h{h_oracle:g}")
-            ms = ms.with_dt(h)
+                ms = ms_par.with_dt(h)
+                q_ref, oracle_tag = (
+                    q_oracle_par, f"parity-rom-m{N_MODES}-h{h_oracle:g}")
             extra = (
                 {"ecsw_sampled": int(ecsw_info["n_sampled"])}
                 if engine == "ecsw" else {}
