@@ -939,6 +939,8 @@ def main():
     # TPU matmuls default to bfloat16 multiplication; the implicit solve
     # needs real f32 (verified: bf16 accumulates to NaN within 400 steps).
     jax.config.update("jax_default_matmul_precision", "float32")
+    from continuum_robot_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()  # sharded compiles take minutes; replay from disk
 
     # Backend-init watchdog: a wedged axon remote worker hangs
     # make_c_api_client FOREVER (SIGINT-proof — see CLAUDE.md). Emit one

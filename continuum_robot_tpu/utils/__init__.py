@@ -8,12 +8,14 @@ from .checks import (
     verify_batch_consistency,
 )
 from .checkpoint import load_checkpoint, save_checkpoint
+from .compile_cache import enable_persistent_cache
 from .profiling import StepMeter, compile_time_breakdown, force_completion, trace
 
 __all__ = [
     "StepMeter",
     "compile_time_breakdown",
     "divergence_flags",
+    "enable_persistent_cache",
     "force_completion",
     "guard_rhs",
     "init_health",

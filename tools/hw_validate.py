@@ -86,6 +86,8 @@ def main():
     interpret = not on_tpu
     print(f"backend: {jax.default_backend()} ({jax.devices()[0]})")
     jax.config.update("jax_default_matmul_precision", "float32")
+    from continuum_robot_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()  # sharded compiles take minutes; replay from disk
 
     from continuum_robot_tpu.models.simulate import (
         make_modal_genalpha,

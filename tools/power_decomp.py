@@ -70,6 +70,8 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_default_matmul_precision", "float32")
+    from continuum_robot_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()  # sharded compiles take minutes; replay from disk
 
     from continuum_robot_tpu.models.simulate import make_modal_genalpha
 

@@ -103,6 +103,8 @@ def main():
     # CLAUDE.md: JAX_PLATFORMS env is ignored by the axon plugin; the
     # config call is the one that works.
     jax.config.update("jax_platforms", args.backend)
+    from continuum_robot_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()  # sharded compiles take minutes; replay from disk
     import jax.numpy as jnp
     from jax.sharding import Mesh
 

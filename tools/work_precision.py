@@ -152,6 +152,8 @@ def run_points(quick: bool = False):
     import jax
 
     jax.config.update("jax_default_matmul_precision", "float32")
+    from continuum_robot_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()  # sharded compiles take minutes; replay from disk
     import jax.numpy as jnp
 
     from continuum_robot_tpu.models.simulate import (
