@@ -859,6 +859,33 @@ class ModalGenAlpha:
         P, S = _affine_power(T, k)
         return P, np.einsum("mij,mj->mi", S, b)
 
+    def _power_map_device(self, k: int, u_host, dtype):
+        """Per-instance memo of composed maps AND their device uploads.
+
+        The composition is a pure function of ``(k, u, stepper
+        coefficients)``; the round-5 decomposition (POWER_DECOMP.jsonl)
+        measured the per-call fixed cost — eager f64 composition + map
+        upload + dispatch — at ~54 ms, i.e. 93% of a 2000-step
+        ``rollout_power`` call. Caching makes repeat calls pay only the
+        ~31 us/application marginal cost, the same amortization contract
+        as every prefactored operator in this module. The memo rides
+        ``object.__setattr__`` (frozen dataclass); ``with_dt`` returns a
+        fresh instance, so coefficient changes can never hit a stale map.
+        """
+        key = (
+            int(k),
+            None if u_host is None else u_host.tobytes(),
+            jnp.dtype(dtype).name,
+        )
+        cache = getattr(self, "_pm_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_pm_cache", cache)
+        if key not in cache:
+            P, b = self._power_map(k, u_host)
+            cache[key] = (jnp.asarray(P, dtype), jnp.asarray(b, dtype))
+        return cache[key]
+
     def _pwc_segments(self, u_pwc: PiecewiseConstant, n_steps: int,
                       t0: float):
         """Step counts per constant-force span of a piecewise-constant
@@ -1014,18 +1041,19 @@ class ModalGenAlpha:
             if u_modal is None
             else np.asarray(jax.device_get(u_modal), np.float64)
         )
-        PK, bK = self._power_map(K, u_host)
-        Pr, br = self._power_map(rem, u_host) if rem else (None, None)
         dtype = jnp.asarray(eta).dtype
+        PK_d, bK_d = self._power_map_device(K, u_host, dtype)
+        Pr_d, br_d = (
+            self._power_map_device(rem, u_host, dtype)
+            if rem else (None, None)
+        )
         u_m = None if u_host is None else jnp.asarray(u_host, dtype)
         cdamp = (
             None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
         )
         return _power_drive(
             jnp.asarray(self.lam, dtype), cdamp, u_m,
-            jnp.asarray(PK, dtype), jnp.asarray(bK, dtype),
-            None if Pr is None else jnp.asarray(Pr, dtype),
-            None if br is None else jnp.asarray(br, dtype),
+            PK_d, bK_d, Pr_d, br_d,
             eta, etad, apps=n_outer, tile=tile, mode_tile=mode_tile,
             unroll=unroll, interpret=interpret, use_pallas=use_pallas,
         )
