@@ -1101,15 +1101,15 @@ class ModalGenAlpha:
             if u_modal is None
             else np.asarray(jax.device_get(u_modal), np.float64)
         )
-        P, b = self._power_map(int(substeps), u_host)
         dtype = jnp.asarray(eta).dtype
+        P_d, b_d = self._power_map_device(int(substeps), u_host, dtype)
         u_m = None if u_host is None else jnp.asarray(u_host, dtype)
         cdamp = (
             None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
         )
         etas, etads = _power_frames_drive(
             jnp.asarray(self.lam, dtype), cdamp, u_m,
-            jnp.asarray(P, dtype), jnp.asarray(b, dtype),
+            P_d, b_d,
             eta, etad, n_frames=int(n_frames),
         )
         ts = (self.dt * substeps) * jnp.arange(n_frames + 1)
