@@ -352,3 +352,39 @@ class TestRolloutPower:
                 P_ref = np.einsum("mij,mjk->mik", T, P_ref)
             np.testing.assert_allclose(P, P_ref, rtol=1e-12, atol=1e-14)
             np.testing.assert_allclose(S, S_ref, rtol=1e-12, atol=1e-14)
+
+
+class TestPowerMapCache:
+    """The composed-map memo (`_power_map_device`, round 5).
+
+    POWER_DECOMP.jsonl measured the per-call fixed cost (eager f64
+    composition + upload) at 93% of a 2000-step call; the memo makes
+    repeat calls pay only the per-application marginal. Contract: same
+    (k, u, dtype) returns the identical device buffers; with_dt returns
+    a fresh instance whose memo is empty (coefficient changes can never
+    hit a stale map); results are unchanged (the parity tests above run
+    through the cache already).
+    """
+
+    def test_repeat_calls_reuse_device_maps(self):
+        ms, eta, etad, u_m = _setup()
+        u_host = np.asarray(jax.device_get(u_m), np.float64)
+        P1, b1 = ms._power_map_device(8, u_host, jnp.float64)
+        P2, b2 = ms._power_map_device(8, u_host, jnp.float64)
+        assert P1 is P2 and b1 is b2
+        # distinct k / dtype / force -> distinct entries
+        P3, _ = ms._power_map_device(4, u_host, jnp.float64)
+        assert P3 is not P1
+        P4, _ = ms._power_map_device(8, u_host, jnp.float32)
+        assert P4 is not P1
+        P5, _ = ms._power_map_device(8, 2.0 * u_host, jnp.float64)
+        assert P5 is not P1
+
+    def test_with_dt_invalidates(self):
+        ms, eta, etad, u_m = _setup()
+        u_host = np.asarray(jax.device_get(u_m), np.float64)
+        P1, _ = ms._power_map_device(8, u_host, jnp.float64)
+        ms2 = ms.with_dt(5e-5)
+        P2, _ = ms2._power_map_device(8, u_host, jnp.float64)
+        assert P2 is not P1
+        assert not np.allclose(np.asarray(P1), np.asarray(P2))
