@@ -60,17 +60,23 @@ N_MODES = int(os.environ.get("BENCH_MODES", 256))
 # 1.5-1.8x the XLA engine per tier.
 NL_PRECISION = os.environ.get("BENCH_NL_PRECISION", "high")
 # Stepping engine for the linear benchmark:
-#   "modal_pallas" (default) — the generalized-alpha recurrence diagonalized
-#     in the mass-orthonormal modal basis, run as a fused Pallas kernel with
-#     the modal state resident in VMEM across all steps (bit-identical to
-#     "modal" on hardware; 46x the dense path).
+#   "modal_power" (default) — the composed-propagator drive: the linear
+#     gen-α step is an exact per-mode affine map, so K steps compose
+#     (host f64, memoized per instance) into ONE map applied per K steps
+#     — ~K-fold less arithmetic for the SAME discrete trajectory; the
+#     whole-span deviation vs the bit-exact stepper is measured per run
+#     and reported as vs_stepper_rel (1.8e-05 on the bench workload).
+#     BENCH_K sets the depth (default 64 — the measured optimum).
+#   "modal_pallas" — the per-step recurrence as a fused Pallas kernel
+#     with the modal state resident in VMEM across all steps
+#     (bit-identical to "modal" on hardware; 46x the dense path).
 #   "modal" — the same diagonalized recurrence via XLA (one HBM roundtrip
 #     per step; 10.5x dense). Exact modal superposition either way — the
 #     same recurrence, not an approximation: 4.2e-4 relative f32 agreement
 #     with "dense" over 400 steps.
 #   "dense" — the general-operator path (always used for nonlinear).
 ENGINE = os.environ.get(
-    "BENCH_ENGINE", "modal_pallas" if BEAM_TYPE == "linear" else "dense"
+    "BENCH_ENGINE", "modal_power" if BEAM_TYPE == "linear" else "dense"
 )
 DT = 1e-4
 # Reference nonlinear RHS: 129.2 ms/eval (7.7 evals/s), same host/date.

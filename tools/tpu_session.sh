@@ -69,8 +69,9 @@ if [ -z "$FILTER" ]; then
     : >"$OUT.stderr"
 fi
 
-# Headline engines at default settings (what the round driver runs).
-run_bench "linear modal_pallas (default)"
+# Headline engines (the round driver runs BENCH_ENGINE=modal_power K=64,
+# the package default; modal_pallas is the per-step stepper headline).
+run_bench "linear modal_pallas" BENCH_ENGINE=modal_pallas
 run_bench "linear modal XLA" BENCH_ENGINE=modal
 # Scan-unroll sweep on the memory-bound XLA engines.
 for K in 2 4 8 16; do
@@ -80,7 +81,9 @@ done
 # stepper, K steps per precomputed affine map (vs_stepper_rel in the row
 # quantifies the whole-span composition drift on this horizon).
 for K in 16 64 256; do
-    run_bench "linear modal_power K=$K" BENCH_ENGINE=modal_power BENCH_K=$K
+    tag=""
+    [ "$K" = 64 ] && tag=" (default)"
+    run_bench "linear modal_power K=$K$tag" BENCH_ENGINE=modal_power BENCH_K=$K
 done
 run_bench "nonlinear modal_rom m=256" BENCH_TYPE=nonlinear BENCH_ENGINE=modal_rom
 run_bench "nonlinear modal_rom_pallas m=256" \
