@@ -388,19 +388,28 @@ def run_modal_power(jax, jnp, model, n_red):
         return ms.rollout_power(e, ed, u_m, N_STEPS, K=K, unroll=unroll,
                                 interpret=interp)
 
-    e1, ed1, _ = roll(eta, etad)
-    float(jnp.sum(e1))
-    t0 = _time.time()
-    e2, ed2, _ = roll(e1, ed1)
+    e2, ed2, _ = roll(eta, etad)  # compile + warm (maps memoized here)
     float(jnp.sum(e2))
-    wall = _time.time() - t0
+    # Best-of-3: at 2000 steps the call is ~30 ms of which most is
+    # per-dispatch tunnel latency with a measured 29-73 ms spread across
+    # identical calls — a single sample can under-report 2.5x. Each trial
+    # advances the state (the recurrence is stable), so this times the
+    # exact production call, not a replay.
+    walls = []
+    for _ in range(3):
+        e1, ed1 = e2, ed2
+        t0 = _time.time()
+        e2, ed2, _ = roll(e1, ed1)
+        float(jnp.sum(e2))
+        walls.append(_time.time() - t0)
+    wall = min(walls)
 
     q2, _ = jax.jit(ms.from_modal)(e2, ed2)
     assert bool(jnp.all(jnp.isfinite(q2))), "non-finite states in benchmark"
 
-    # Accuracy vs the production stepper over the SAME timed span: the
-    # fused Pallas stepper is bit-equal to the XLA modal engine, so this
-    # is the composed map's whole-span drift, not kernel noise.
+    # Accuracy vs the production stepper over the SAME (last) timed span:
+    # the fused Pallas stepper is bit-equal to the XLA modal engine, so
+    # this is the composed map's whole-span drift, not kernel noise.
     er, edr, _ = ms.rollout_pallas(e1, ed1, u_m, N_STEPS, interpret=interp)
     num = jnp.sqrt(jnp.sum((e2 - er) ** 2) + jnp.sum((ed2 - edr) ** 2))
     den = jnp.sqrt(jnp.sum(er**2) + jnp.sum(edr**2))
@@ -432,6 +441,8 @@ def run_modal_power(jax, jnp, model, n_red):
                 "unit": "env_steps/s",
                 "vs_baseline": round(env_steps_per_sec / REF_EVALS_PER_SEC, 1),
                 "vs_stepper_rel": round(drift, 9),
+                "timing": "best-of-3",
+                "wall_spread_ms": [round(w * 1e3, 2) for w in sorted(walls)],
                 **extra,
             }
         )

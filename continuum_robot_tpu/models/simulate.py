@@ -886,6 +886,32 @@ class ModalGenAlpha:
             cache[key] = (jnp.asarray(P, dtype), jnp.asarray(b, dtype))
         return cache[key]
 
+    def _power_consts_device(self, u_host, dtype):
+        """Per-instance memo of the power-drive's small constant uploads
+        (``lam``, ``cdamp``, the modal force) — same contract as
+        :meth:`_power_map_device`. On the axon tunnel every eager upload
+        is a ~ms round trip, and these three were re-uploaded per call:
+        a measurable slice of the ~30 ms per-call fixed cost that
+        dominates short-span ``rollout_power`` calls (POWER_DECOMP)."""
+        key = (
+            "consts",
+            None if u_host is None else u_host.tobytes(),
+            jnp.dtype(dtype).name,
+        )
+        cache = getattr(self, "_pm_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_pm_cache", cache)
+        if key not in cache:
+            cache[key] = (
+                jnp.asarray(self.lam, dtype),
+                None
+                if self.cdamp is None
+                else jnp.asarray(self.cdamp, dtype),
+                None if u_host is None else jnp.asarray(u_host, dtype),
+            )
+        return cache[key]
+
     def _pwc_segments(self, u_pwc: PiecewiseConstant, n_steps: int,
                       t0: float):
         """Step counts per constant-force span of a piecewise-constant
@@ -1047,12 +1073,9 @@ class ModalGenAlpha:
             self._power_map_device(rem, u_host, dtype)
             if rem else (None, None)
         )
-        u_m = None if u_host is None else jnp.asarray(u_host, dtype)
-        cdamp = (
-            None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
-        )
+        lam_d, cdamp, u_m = self._power_consts_device(u_host, dtype)
         return _power_drive(
-            jnp.asarray(self.lam, dtype), cdamp, u_m,
+            lam_d, cdamp, u_m,
             PK_d, bK_d, Pr_d, br_d,
             eta, etad, apps=n_outer, tile=tile, mode_tile=mode_tile,
             unroll=unroll, interpret=interpret, use_pallas=use_pallas,
@@ -1103,12 +1126,9 @@ class ModalGenAlpha:
         )
         dtype = jnp.asarray(eta).dtype
         P_d, b_d = self._power_map_device(int(substeps), u_host, dtype)
-        u_m = None if u_host is None else jnp.asarray(u_host, dtype)
-        cdamp = (
-            None if self.cdamp is None else jnp.asarray(self.cdamp, dtype)
-        )
+        lam_d, cdamp, u_m = self._power_consts_device(u_host, dtype)
         etas, etads = _power_frames_drive(
-            jnp.asarray(self.lam, dtype), cdamp, u_m,
+            lam_d, cdamp, u_m,
             P_d, b_d,
             eta, etad, n_frames=int(n_frames),
         )
