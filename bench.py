@@ -380,7 +380,10 @@ def run_modal_power(jax, jnp, model, n_red):
     u[-2] = 0.1
 
     eta, etad = jax.jit(ms.to_modal)(q, v)
-    u_m = jnp.asarray(ms.project_force_host(u), jnp.float32)
+    # Host-side force: rollout_power keys its map/upload memos off the
+    # HOST value, so passing numpy (not a device array) spares one
+    # device->host tunnel round trip per call.
+    u_m = np.asarray(ms.project_force_host(u), np.float32)
     interp = jax.default_backend() == "cpu"
     unroll = UNROLL if UNROLL > 1 else 8
 
