@@ -388,3 +388,34 @@ class TestPowerMapCache:
         P2, _ = ms2._power_map_device(8, u_host, jnp.float64)
         assert P2 is not P1
         assert not np.allclose(np.asarray(P1), np.asarray(P2))
+
+    def test_consts_memo_reuse_and_isolation(self):
+        """The drive's small constant uploads (`_power_consts_device`,
+        session 6) ride the same memo contract as the composed maps:
+        repeat calls return identical device buffers, keys separate by
+        force value and dtype, and the memo cannot collide with the
+        composed-map entries sharing the cache dict."""
+        ms, eta, etad, u_m = _setup()
+        u_host = np.asarray(jax.device_get(u_m), np.float64)
+        lam1, cd1, um1 = ms._power_consts_device(u_host, jnp.float64)
+        lam2, cd2, um2 = ms._power_consts_device(u_host, jnp.float64)
+        assert lam1 is lam2 and um1 is um2
+        lam3, _, um3 = ms._power_consts_device(2.0 * u_host, jnp.float64)
+        assert um3 is not um1
+        lam4, _, _ = ms._power_consts_device(u_host, jnp.float32)
+        assert lam4 is not lam1
+        # u=None path: no force upload; its own memo entry (keys include
+        # the force bytes), values identical
+        lam5, _, um5 = ms._power_consts_device(None, jnp.float64)
+        assert um5 is None
+        np.testing.assert_array_equal(np.asarray(lam5), np.asarray(lam1))
+        lam6, _, _ = ms._power_consts_device(None, jnp.float64)
+        assert lam6 is lam5
+        # rollout through the memo stays correct vs a fresh instance
+        out_a = ms.rollout_power(eta, etad, u_m, 24, K=8, use_pallas=False)
+        ms_fresh = ms.with_dt(float(ms.dt))
+        out_b = ms_fresh.rollout_power(
+            eta, etad, u_m, 24, K=8, use_pallas=False
+        )
+        for a, b in zip(out_a, out_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
